@@ -1,21 +1,31 @@
-"""Test configuration: run everything on a virtual 8-device CPU mesh.
+"""Test configuration: route tests to a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; sharding correctness is
-validated on XLA's host platform with 8 virtual devices (the driver
-separately dry-run-compiles the multi-chip path via __graft_entry__.py).
-Pallas kernels run in interpreter mode on CPU (zenith_tpu.ops gates on
-platform).
+Environment subtlety: this image's sitecustomize registers the `axon` TPU
+plugin and eagerly initializes the TPU backend at interpreter startup —
+*before* conftest runs — so ``JAX_PLATFORMS=cpu`` cannot exclude it. The CPU
+backend, however, initializes lazily, so setting
+``--xla_force_host_platform_device_count=8`` here (before anything touches
+CPU) still yields 8 virtual CPU devices, and pinning ``jax_default_device``
+to cpu:0 routes all test computation off the real chip.
+
+Pallas kernels detect the non-TPU default device and run in interpreter mode
+(zenith_tpu.ops gates on platform).
 """
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Honored when no axon sitecustomize pre-initialized the TPU backend.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+
+_cpu0 = jax.devices("cpu")[0]
+jax.config.update("jax_default_device", _cpu0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -24,3 +34,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng() -> np.random.Generator:
     return np.random.default_rng(seed=1234)
+
+
+@pytest.fixture
+def cpu_devices():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("virtual 8-device CPU platform unavailable")
+    return devs

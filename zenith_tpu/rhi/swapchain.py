@@ -1,0 +1,166 @@
+"""Swapchain: N-deep framebuffer ring + async host readback.
+
+Mirrors zenith-rhi/src/swapchain.rs, re-based on JAX's async dispatch:
+
+- Vulkan: acquire_next_image waits the slot's in-flight fence
+  (swapchain.rs:210-231); present submits with semaphores (244-264).
+- Here: `acquire_next_image` blocks on the readback of the frame presented
+  NUM_BACK_BUFFERS ago (same backpressure, no fence objects); `present`
+  encodes the linear framebuffer to the swapchain format on-device and
+  starts an async device→host copy. The completed host frame is delivered
+  to an `on_present` sink (PNG dump, viewer, parity harness) — the analog
+  of the OS compositor.
+
+Config mirrors SwapchainConfig (swapchain.rs:62-78): preferred format
+BGRA8_SRGB; present mode MAILBOX (free-running) or FIFO (paced to
+refresh_rate).
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from zenith_tpu.core import log
+from zenith_tpu.rhi.device import NUM_BACK_BUFFERS, RenderDevice
+from zenith_tpu.rhi.formats import Format, encode_present
+from zenith_tpu.rhi.resource import Texture, TextureDesc, TextureUsage
+
+logger = log.get(__name__)
+
+
+class PresentMode(enum.Enum):
+    MAILBOX = "mailbox"  # free-running, lowest latency (preferred, swapchain.rs:74)
+    FIFO = "fifo"  # paced to refresh_rate
+
+
+@dataclass
+class SwapchainConfig:
+    """(reference swapchain.rs:62-78)"""
+
+    width: int = 1920
+    height: int = 1080
+    format: Format = Format.BGRA8_SRGB
+    present_mode: PresentMode = PresentMode.MAILBOX
+    num_images: int = NUM_BACK_BUFFERS
+    refresh_rate: float = 60.0
+
+
+@dataclass
+class _PendingFrame:
+    frame_counter: int
+    encoded: jax.Array  # at-rest dtype, device-resident, host copy in flight
+    t_present: float
+
+
+class Swapchain:
+    """Framebuffer ring with async present (reference swapchain.rs:81-475)."""
+
+    def __init__(
+        self,
+        device: RenderDevice,
+        config: SwapchainConfig,
+        on_present: "Optional[Callable[[np.ndarray, int], None]]" = None,
+    ):
+        self.device = device
+        self.config = config
+        self.on_present = on_present
+        self._image_index = 0
+        self._pending: list[_PendingFrame] = []
+        self._frame_counter = 0
+        self._last_present_time: Optional[float] = None
+        self.suboptimal = False
+        self._textures = [
+            Texture(
+                TextureDesc(
+                    f"swapchain.{i}",
+                    config.width,
+                    config.height,
+                    # Device-side swapchain images are linear float; the
+                    # sRGB encode happens at present (encode_present).
+                    Format.RGBA32F,
+                    TextureUsage.COLOR_ATTACHMENT | TextureUsage.TRANSFER_SRC,
+                )
+            )
+            for i in range(config.num_images)
+        ]
+
+    @property
+    def extent(self) -> "tuple[int, int]":
+        return (self.config.width, self.config.height)
+
+    def acquire_next_image(self) -> "tuple[int, Texture]":
+        """Return (image_index, texture). Blocks only when NUM_BACK_BUFFERS
+        frames are already in flight — the reference's in-flight-fence wait
+        (swapchain.rs:210-231)."""
+        while len(self._pending) >= self.config.num_images:
+            self._deliver(self._pending.pop(0))
+        idx = self._image_index
+        return idx, self._textures[idx]
+
+    def present(self, rendered: jax.Array) -> None:
+        """Encode + start async readback; advances the ring
+        (reference swapchain.rs:243-264)."""
+        encoded = encode_present(rendered, self.config.format)
+        try:
+            encoded.copy_to_host_async()
+        except Exception:  # some backends lack async copy; readback will block
+            pass
+        # Keep the (still device-resident) rendered image bound to the slot so
+        # LOAD-op graphs can read last frame's contents.
+        self._textures[self._image_index] = self._textures[self._image_index].with_array(rendered)
+        self._pending.append(
+            _PendingFrame(self._frame_counter, encoded, time.perf_counter())
+        )
+        self._frame_counter += 1
+        self._image_index = (self._image_index + 1) % self.config.num_images
+        if self.config.present_mode == PresentMode.FIFO:
+            self._pace()
+
+    def flush(self) -> None:
+        """Drain all in-flight frames (used at shutdown / for readback tests)."""
+        while self._pending:
+            self._deliver(self._pending.pop(0))
+
+    def resize(self, width: int, height: int) -> None:
+        """(reference swapchain.rs:275-324) drain + rebuild images; the
+        frame counter keeps running across resizes."""
+        self.flush()
+        self.config.width = width
+        self.config.height = height
+        self._image_index = 0
+        self.suboptimal = False
+        self._textures = [
+            Texture(
+                TextureDesc(
+                    f"swapchain.{i}",
+                    width,
+                    height,
+                    Format.RGBA32F,
+                    TextureUsage.COLOR_ATTACHMENT | TextureUsage.TRANSFER_SRC,
+                )
+            )
+            for i in range(self.config.num_images)
+        ]
+
+    # -- internals -----------------------------------------------------------
+
+    def _deliver(self, frame: _PendingFrame) -> None:
+        host = np.asarray(frame.encoded)  # blocks until device + copy done
+        if self.on_present is not None:
+            self.on_present(host, frame.frame_counter)
+
+    def _pace(self) -> None:
+        period = 1.0 / self.config.refresh_rate
+        now = time.perf_counter()
+        if self._last_present_time is not None:
+            sleep_for = self._last_present_time + period - now
+            if sleep_for > 0:
+                time.sleep(sleep_for)
+                now = time.perf_counter()
+        self._last_present_time = now
