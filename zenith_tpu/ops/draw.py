@@ -1,0 +1,156 @@
+"""The draw call: full programmable+fixed-function pipeline for one draw.
+
+Composes the rasterizer stages into the TPU analog of
+``vkCmdDrawIndexed`` (the reference records this through CommandEncoder,
+command.rs:92-249; here one ``draw`` traces the whole pipeline into the
+frame program):
+
+    vertex fetch (VertexLayout.unpack)
+    → vertex shader (user fn, dense over vertices)
+    → near clip + triangle setup (ops.geometry)
+    → tile binning (ops.binning)
+    → forward-interpolating raster kernel (ops.raster, Pallas)
+    → gather-free varying finalize (ops.shade)
+    → fragment shader (user fn, dense over pixels)
+    → blend/output merger (ops.blend)
+
+Design note: attributes are interpolated *inside* the raster kernel as
+attr·(1/w) planes (classic perspective-correct forward interpolation) rather
+than via a visibility buffer + per-pixel gathers — TPU gathers measured
+~3 ms per 2M-row lookup (and XLA duplicates them across fusions), vs
+streaming SMEM records at full speed. Fragment shading still runs exactly
+once per pixel. Chained draws thread (color, depth) through; everything
+fuses into one XLA program per render-graph compile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+
+from zenith_tpu.ops import blend as blend_ops
+from zenith_tpu.ops import geometry, shade
+from zenith_tpu.ops.binning import TileGrid, bin_triangles
+from zenith_tpu.ops.raster import K_BLOCK, raster_interp_pass
+from zenith_tpu.ops.runtime import round_up
+from zenith_tpu.rhi.pipeline import GraphicPipeline
+from zenith_tpu.rhi.shader import BoundResources
+from zenith_tpu.rhi.state import ColorAttachmentDesc
+
+# Default per-tile candidate capacity; renderers override per scene.
+DEFAULT_BIN_CAPACITY = 256
+
+
+@dataclass
+class DrawStats:
+    """Per-draw counters folded into frame stats (binning overflow is the
+    analog of the reference's perf-hazard warnings, graph.rs:383-385)."""
+
+    bin_overflow: Any = None  # traced scalar
+
+
+def draw_indexed(
+    colors: "Sequence[jnp.ndarray]",  # current color attachment contents
+    depth: Optional[jnp.ndarray],  # current depth contents or None
+    pipeline: GraphicPipeline,
+    vertex_buffer: jnp.ndarray,  # (Nv, stride) f32
+    index_buffer: jnp.ndarray,  # (T, 3) or (3T,) int
+    resources: "Dict[str, Any]",
+    grid: TileGrid,
+    bin_capacity: int = DEFAULT_BIN_CAPACITY,
+    interpret: Optional[bool] = None,
+) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
+    """Trace one indexed draw; returns (colors', depth', stats)."""
+    state = pipeline.desc.state
+    rast_state = state.rasterization
+    ds = state.depth_stencil
+
+    # -- vertex stage --------------------------------------------------------
+    layout = pipeline.vertex_layout
+    if layout is not None:
+        attrs = layout.unpack(vertex_buffer)
+    else:
+        attrs = {"position": vertex_buffer}
+    vs_res = BoundResources(pipeline.vertex_shader.reflection, resources)
+    vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+    clip = vs_out.pop("position")
+    assert clip.ndim == 2 and clip.shape[1] == 4, (
+        f"vertex shader must return clip-space 'position' (N, 4), got {clip.shape}"
+    )
+
+    # -- primitive assembly + setup ------------------------------------------
+    indices = index_buffer.reshape(-1, 3)
+    records = geometry.setup_triangles(
+        clip,
+        indices,
+        grid.width,
+        grid.height,
+        cull_mode=rast_state.cull_mode,
+        front_face=rast_state.front_face,
+    )
+
+    # Flatten varyings (declaration order) for in-kernel interpolation.
+    attr_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
+                   for name, v in vs_out.items()]
+    if vs_out:
+        flat_vary = jnp.concatenate(
+            [v.reshape(v.shape[0], -1).astype(jnp.float32) for v in vs_out.values()],
+            axis=1,
+        )
+    else:
+        flat_vary = jnp.zeros((clip.shape[0], 0), jnp.float32)
+    corner_data = geometry.corner_attributes(records, indices, flat_vary)
+    attr_layout.append(("__front", 1))
+
+    # -- binning + raster ------------------------------------------------------
+    capacity = round_up(max(bin_capacity, K_BLOCK), K_BLOCK)
+    bins = bin_triangles(records, grid, capacity)
+    binned_attr = bins.gather_corner_data(corner_data)
+
+    if depth is not None:
+        init_z = depth
+    else:
+        init_z = jnp.zeros((grid.height, grid.width), jnp.float32)
+
+    z_out, acc = raster_interp_pass(
+        bins,
+        binned_attr,
+        grid,
+        init_z,
+        depth_test=ds.depth_test_enable,
+        depth_write=ds.depth_write_enable,
+        compare_op=ds.depth_compare_op,
+        interpret=interpret,
+    )
+
+    # -- varying finalize + fragment stage -------------------------------------
+    varyings, mask, builtins = shade.finalize_attrs(z_out, acc, attr_layout)
+
+    fs = pipeline.fragment_shader
+    new_colors = list(colors)
+    if fs is not None:
+        fs_res = BoundResources(fs.reflection, resources)
+        frag_out = fs.fn(varyings, fs_res, builtins)
+        if isinstance(frag_out, (list, tuple)):
+            frag_list = list(frag_out)
+        elif isinstance(frag_out, dict):
+            frag_list = [frag_out[k] for k in sorted(frag_out)]
+        else:
+            frag_list = [frag_out]
+        descs = pipeline.desc.color_attachment_descs or tuple(
+            None for _ in new_colors
+        )
+        assert len(frag_list) == len(new_colors), (
+            f"fragment shader wrote {len(frag_list)} outputs for "
+            f"{len(new_colors)} color attachments"
+        )
+        for i, (dst, src) in enumerate(zip(new_colors, frag_list)):
+            desc = descs[i] if descs[i] is not None else ColorAttachmentDesc()
+            new_colors[i] = blend_ops.apply_color_output(
+                dst, src, mask, desc, state.color_blend.blend_constants
+            )
+
+    new_depth = z_out if depth is not None else None
+    return new_colors, new_depth, DrawStats(bin_overflow=bins.overflow)

@@ -1,0 +1,289 @@
+"""Vertex transform, near clipping, and triangle setup.
+
+This is the geometry front-end of the software rasterizer — the part of the
+Vulkan fixed-function pipeline (vertex fetch → clip → viewport → triangle
+setup) that the reference gets from the GPU driver. Everything here is dense
+vectorized jnp over all triangles at once (VPU-friendly; the vertex transform
+itself is an MXU matmul).
+
+Outputs are static-shape *triangle records* consumed by binning and the
+visibility kernel (ops.raster):
+
+- ``rast16``  (R, 16) f32 — the raster core record (see RAST_* indices):
+  three oriented edge equations (inside > 0), top-left flags, 1/|det|, and
+  per-corner NDC depth. This is the only data the Pass-A kernel streams.
+- ``shade16`` (R, 16) f32 — the shading record (SHADE_* indices): per-corner
+  1/w and barycentric coordinates w.r.t. the ORIGINAL triangle (identity for
+  unclipped triangles; blended for near-clipped sub-triangles), plus the
+  front-facing flag. Gathered per-pixel in Pass B.
+- ``tri_id``  (R,) i32 — original triangle index (for vertex-attribute
+  gather in Pass B).
+- ``valid``   (R,) bool, ``aabb`` (R, 4) f32 — for binning.
+
+R = 2 × number of input triangles: near clipping uses a static 2× expansion
+(a triangle crossing the near plane yields up to 2 sub-triangles; fully
+inside/outside triangles leave the second slot invalid).
+
+Rasterization conventions (for per-pixel parity with Vulkan):
+- framebuffer coords: x right, y down, pixel centers at (px+0.5, py+0.5);
+- winding: det = (x1-x0)(y2-y0)-(x2-x0)(y1-y0) > 0 ⇔ clockwise on screen;
+  front-facing per RasterizationState.front_face (Vulkan spec 27.x).
+- fill rule: top-left (edge e == 0 counts iff top or left edge).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from zenith_tpu.rhi.state import CullMode, FrontFace
+
+# rast16 column indices.
+RAST_A01, RAST_B01, RAST_C01 = 0, 1, 2
+RAST_A12, RAST_B12, RAST_C12 = 3, 4, 5
+RAST_A20, RAST_B20, RAST_C20 = 6, 7, 8
+RAST_TL01, RAST_TL12, RAST_TL20 = 9, 10, 11
+RAST_INV_DET = 12
+RAST_Z0, RAST_Z1, RAST_Z2 = 13, 14, 15
+
+# shade16 column indices.
+SHADE_IW0, SHADE_IW1, SHADE_IW2 = 0, 1, 2
+SHADE_B0X, SHADE_B0Y = 3, 4
+SHADE_B1X, SHADE_B1Y = 5, 6
+SHADE_B2X, SHADE_B2Y = 7, 8
+SHADE_FRONT = 9
+
+NEAR_W_EPS = 1e-5
+
+
+class TriangleRecords(NamedTuple):
+    rast16: jnp.ndarray  # (R, 16) f32
+    shade16: jnp.ndarray  # (R, 16) f32
+    tri_id: jnp.ndarray  # (R,) i32
+    valid: jnp.ndarray  # (R,) bool
+    aabb: jnp.ndarray  # (R, 4) f32: xmin, ymin, xmax, ymax (pixels)
+
+
+def corner_attributes(
+    records: "TriangleRecords",
+    indices: jnp.ndarray,  # (T, 3) i32 original index buffer
+    varyings: jnp.ndarray,  # (Nv, A) flattened vertex-stage outputs
+) -> jnp.ndarray:
+    """Per-record per-corner interpolation data for the forward-interpolating
+    raster kernel: (R, 3, A+1) where [..., :A] = varying·(1/w) (premultiplied
+    for perspective-correct attr/w interpolation) and [..., A] = 1/w.
+
+    Clipped sub-triangle corners blend the ORIGINAL corners' varyings by the
+    obary weights recorded at clip time, so clipping is invisible downstream.
+    This costs R-sized gathers (thousands) — never per-pixel gathers, which
+    measure ~100× slower than streaming on TPU.
+    """
+    r = records.rast16.shape[0]
+    tri = jnp.take(indices.astype(jnp.int32), records.tri_id, axis=0)  # (R, 3)
+    v = jnp.take(varyings.astype(jnp.float32), tri.reshape(-1), axis=0)
+    v = v.reshape(r, 3, -1)  # original corner varyings
+
+    sh = records.shade16
+    # obary of record-corner k w.r.t. original corners (x, y, 1-x-y).
+    bx = jnp.stack([sh[:, SHADE_B0X], sh[:, SHADE_B1X], sh[:, SHADE_B2X]], axis=1)
+    by = jnp.stack([sh[:, SHADE_B0Y], sh[:, SHADE_B1Y], sh[:, SHADE_B2Y]], axis=1)
+    bz = 1.0 - bx - by
+    # attr at record corner k = bx·v0 + by·v1 + bz·v2  → (R, 3, A)
+    attr = (
+        bx[..., None] * v[:, None, 0, :]
+        + by[..., None] * v[:, None, 1, :]
+        + bz[..., None] * v[:, None, 2, :]
+    )
+    iw = jnp.stack([sh[:, SHADE_IW0], sh[:, SHADE_IW1], sh[:, SHADE_IW2]], axis=1)
+    # Append the per-record front-facing flag as one more varying channel
+    # (constant across corners; the 1/w premultiply divides back out exactly).
+    front = jnp.broadcast_to(sh[:, SHADE_FRONT][:, None, None], (r, 3, 1))
+    attr = jnp.concatenate([attr, front], axis=-1)
+    out = jnp.concatenate([attr * iw[..., None], iw[..., None]], axis=-1)
+    return out.astype(jnp.float32)
+
+
+def transform_vertices(positions: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
+    """Model/world positions (N, 3) → clip space (N, 4): the vertex-stage
+    fixed part. One (N,4)@(4,4) matmul — MXU work."""
+    n = positions.shape[0]
+    hom = jnp.concatenate(
+        [positions.astype(jnp.float32), jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+    return hom @ mvp.T.astype(jnp.float32)
+
+
+def _lerp(a, b, t):
+    return a + (b - a) * t
+
+
+def clip_near_w(
+    corners: jnp.ndarray, obary: jnp.ndarray, w_eps: float = NEAR_W_EPS
+) -> "tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
+    """Clip triangles against the w > w_eps plane with static 2× expansion.
+
+    corners: (T, 3, 4) clip-space; obary: (T, 3, 3) barycentrics w.r.t. the
+    original triangle (one-hot on entry). Returns (corners2, obary2, valid2)
+    with leading dim 2T: slots [0:T] and [T:2T] are the two output slots per
+    input triangle. Winding is preserved (cyclic rotation + Sutherland-
+    Hodgman ordering).
+    """
+    w = corners[..., 3]  # (T, 3)
+    inside = w > w_eps
+    c = inside.sum(axis=1)  # (T,)
+
+    # Rotate each triangle so the canonical pattern holds:
+    #   c==1 → the inside vertex sits at slot 0
+    #   c==2 → the outside vertex sits at slot 2 (inside at 0, 1)
+    rot1 = jnp.argmax(inside, axis=1)
+    rot2 = (jnp.argmin(inside, axis=1) + 1) % 3
+    rot = jnp.where(c == 1, rot1, jnp.where(c == 2, rot2, 0))
+
+    idx = (rot[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
+    v = jnp.take_along_axis(corners, idx[:, :, None], axis=1)  # rotated corners
+    b = jnp.take_along_axis(obary, idx[:, :, None], axis=1)
+    wv = v[..., 3]
+
+    def isect(i, j):
+        t = (w_eps - wv[:, i]) / (wv[:, j] - wv[:, i])
+        t = jnp.clip(t, 0.0, 1.0)[:, None]
+        return _lerp(v[:, i], v[:, j], t), _lerp(b[:, i], b[:, j], t)
+
+    p01, b01 = isect(0, 1)
+    p12, b12 = isect(1, 2)
+    p02, b02 = isect(0, 2)
+
+    def tri(c0, c1, c2):
+        return jnp.stack(c0, axis=1), jnp.stack(c1, axis=1)
+
+    # Case tensors, each (T, 3, 4) / (T, 3, 3).
+    full_v, full_b = jnp.stack([v[:, 0], v[:, 1], v[:, 2]], 1), jnp.stack(
+        [b[:, 0], b[:, 1], b[:, 2]], 1
+    )
+    one_v = jnp.stack([v[:, 0], p01, p02], 1)
+    one_b = jnp.stack([b[:, 0], b01, b02], 1)
+    twoA_v = jnp.stack([v[:, 0], v[:, 1], p12], 1)
+    twoA_b = jnp.stack([b[:, 0], b[:, 1], b12], 1)
+    twoB_v = jnp.stack([v[:, 0], p12, p02], 1)
+    twoB_b = jnp.stack([b[:, 0], b12, b02], 1)
+
+    c_ = c[:, None, None]
+    out1_v = jnp.where(c_ == 3, full_v, jnp.where(c_ == 2, twoA_v, one_v))
+    out1_b = jnp.where(c_ == 3, full_b, jnp.where(c_ == 2, twoA_b, one_b))
+    out2_v = twoB_v
+    out2_b = twoB_b
+    valid1 = c >= 1
+    valid2 = c == 2
+
+    corners2 = jnp.concatenate([out1_v, out2_v], axis=0)
+    obary2 = jnp.concatenate([out1_b, out2_b], axis=0)
+    valid = jnp.concatenate([valid1, valid2], axis=0)
+    return corners2, obary2, valid
+
+
+def setup_triangles(
+    clip_positions: jnp.ndarray,
+    indices: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_mode: CullMode = CullMode.BACK,
+    front_face: FrontFace = FrontFace.COUNTER_CLOCKWISE,
+    near_clip: bool = True,
+) -> TriangleRecords:
+    """Full triangle setup: gather → near clip → viewport → edge equations.
+
+    clip_positions: (Nv, 4) clip-space vertex positions (vertex-shader
+    output); indices: (T, 3) int. Returns TriangleRecords with R = 2T
+    (near_clip) or T.
+    """
+    indices = indices.astype(jnp.int32)
+    t = indices.shape[0]
+    corners = jnp.take(clip_positions, indices.reshape(-1), axis=0).reshape(t, 3, 4)
+    obary = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32)[None], (t, 3, 3))
+
+    if near_clip:
+        corners, obary, valid = clip_near_w(corners, obary)
+        tri_id = jnp.concatenate(
+            [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
+        )
+    else:
+        valid = jnp.all(corners[..., 3] > NEAR_W_EPS, axis=1)
+        tri_id = jnp.arange(t, dtype=jnp.int32)
+
+    w = jnp.maximum(corners[..., 3], NEAR_W_EPS)  # (R, 3); invalid slots guarded
+    iw = 1.0 / w
+    ndc = corners[..., :3] * iw[..., None]
+    # Vulkan viewport transform (y down, depth passthrough [0, 1]).
+    sx = (ndc[..., 0] + 1.0) * (0.5 * width)
+    sy = (ndc[..., 1] + 1.0) * (0.5 * height)
+    sz = ndc[..., 2]
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+
+    det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    is_cw = det > 0.0
+    front = is_cw if front_face == FrontFace.CLOCKWISE else ~is_cw
+
+    valid = valid & (det != 0.0)
+    if cull_mode == CullMode.BACK:
+        valid = valid & front
+    elif cull_mode == CullMode.FRONT:
+        valid = valid & ~front
+
+    s = jnp.where(is_cw, 1.0, -1.0).astype(jnp.float32)
+
+    def edge(xi, yi, xj, yj):
+        a = (yi - yj) * s
+        bb = (xj - xi) * s
+        cc = -(a * xi + bb * yi)
+        # Top-left classification of the oriented (inside-positive) edge:
+        # d' = s*(xj-xi, yj-yi); top: dy'==0 ∧ dx'>0; left: dy'<0.
+        dx = (xj - xi) * s
+        dy = (yj - yi) * s
+        tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+        return a, bb, cc, tl.astype(jnp.float32)
+
+    a01, b01, c01, tl01 = edge(x0, y0, x1, y1)
+    a12, b12, c12, tl12 = edge(x1, y1, x2, y2)
+    a20, b20, c20, tl20 = edge(x2, y2, x0, y0)
+
+    abs_det = jnp.abs(det)
+    inv_det = jnp.where(abs_det > 0.0, 1.0 / jnp.where(abs_det > 0, abs_det, 1.0), 0.0)
+
+    rast16 = jnp.stack(
+        [a01, b01, c01, a12, b12, c12, a20, b20, c20,
+         tl01, tl12, tl20, inv_det, sz[:, 0], sz[:, 1], sz[:, 2]],
+        axis=1,
+    ).astype(jnp.float32)
+
+    shade16 = jnp.stack(
+        [iw[:, 0], iw[:, 1], iw[:, 2],
+         obary[:, 0, 0], obary[:, 0, 1],
+         obary[:, 1, 0], obary[:, 1, 1],
+         obary[:, 2, 0], obary[:, 2, 1],
+         front.astype(jnp.float32),
+         jnp.zeros_like(det), jnp.zeros_like(det), jnp.zeros_like(det),
+         jnp.zeros_like(det), jnp.zeros_like(det), jnp.zeros_like(det)],
+        axis=1,
+    ).astype(jnp.float32)
+
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    # Clip-reject triangles entirely outside the viewport.
+    valid = valid & (xmax > 0) & (xmin < width) & (ymax > 0) & (ymin < height)
+    # Entirely outside the [0, 1] depth range (per-pixel test handles partial).
+    zmin = jnp.minimum(jnp.minimum(sz[:, 0], sz[:, 1]), sz[:, 2])
+    zmax = jnp.maximum(jnp.maximum(sz[:, 0], sz[:, 1]), sz[:, 2])
+    valid = valid & (zmax >= 0.0) & (zmin <= 1.0)
+
+    aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=1).astype(jnp.float32)
+
+    # Zero out invalid records so garbage coefficients can never cover pixels
+    # (all-zero edges ⇒ e == 0 with tl == 0 ⇒ no coverage).
+    rast16 = jnp.where(valid[:, None], rast16, 0.0)
+
+    return TriangleRecords(rast16, shade16, tri_id, valid, aabb)

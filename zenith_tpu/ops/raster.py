@@ -1,0 +1,368 @@
+"""Pass A — the visibility kernel (Pallas TPU).
+
+The hardware rasterizer + early-Z of the Vulkan pipeline, as a tile-parallel
+Pallas kernel. For each framebuffer tile it streams that tile's binned
+triangle records (SMEM) and updates a per-pixel (depth, record-slot) pair in
+VMEM — a *visibility buffer*. Triangles are processed strictly in submission
+order, so depth-compare ties and depth-write-off overdraw resolve exactly as
+a GPU would.
+
+Fragment shading does NOT happen here: it runs afterwards as a dense
+per-pixel pass over the resolved visibility buffer (ops.shade), which keeps
+this kernel purely fixed-function, keeps shading perfectly vectorized, and
+shades each pixel exactly once (better than GPU early-Z for overdraw).
+
+Grid: (tiles_y, tiles_x, k_blocks) with the k dimension innermost — the
+output tile block is revisited across k_blocks (standard Pallas reduction
+pattern), while Pallas double-buffers the streaming record blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zenith_tpu.ops.binning import TileBins, TileGrid
+from zenith_tpu.ops.runtime import cdiv, pallas_interpret
+from zenith_tpu.rhi.state import CompareOp
+
+# Records processed per k-block (statically unrolled inside the kernel).
+K_BLOCK = 8
+
+
+def _compare_fn(op: CompareOp) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    return {
+        CompareOp.NEVER: lambda new, cur: jnp.zeros_like(new, dtype=bool),
+        CompareOp.LESS: lambda new, cur: new < cur,
+        CompareOp.EQUAL: lambda new, cur: new == cur,
+        CompareOp.LESS_OR_EQUAL: lambda new, cur: new <= cur,
+        CompareOp.GREATER: lambda new, cur: new > cur,
+        CompareOp.NOT_EQUAL: lambda new, cur: new != cur,
+        CompareOp.GREATER_OR_EQUAL: lambda new, cur: new >= cur,
+        CompareOp.ALWAYS: lambda new, cur: jnp.ones_like(new, dtype=bool),
+    }[op]
+
+
+def _visibility_kernel(
+    # refs: SMEM record blocks, VMEM tile blocks
+    count_ref,  # SMEM (1, 1, 1)
+    rast_ref,  # SMEM (1, K_BLOCK, 17) — rast16 columns + slot id as f32
+    initz_ref,  # VMEM (TH, TW)
+    inits_ref,  # VMEM (TH, TW) i32
+    z_ref,  # out VMEM (TH, TW)
+    s_ref,  # out VMEM (TH, TW) i32
+    *,
+    tile_h: int,
+    tile_w: int,
+    compare: Callable,
+    depth_write: bool,
+):
+    tx = pl.program_id(1)
+    ty = pl.program_id(0)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        s_ref[:] = inits_ref[:]
+
+    count = count_ref[0, 0, 0]
+    base = kb * K_BLOCK
+
+    @pl.when(base < count)
+    def _process():
+        # Pixel-center coordinates of this tile (framebuffer space, y down).
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
+        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+
+        z = z_ref[:]
+        s = s_ref[:]
+        for j in range(K_BLOCK):
+            a01 = rast_ref[0, j, 0]
+            b01 = rast_ref[0, j, 1]
+            c01 = rast_ref[0, j, 2]
+            a12 = rast_ref[0, j, 3]
+            b12 = rast_ref[0, j, 4]
+            c12 = rast_ref[0, j, 5]
+            a20 = rast_ref[0, j, 6]
+            b20 = rast_ref[0, j, 7]
+            c20 = rast_ref[0, j, 8]
+            tl01 = rast_ref[0, j, 9]
+            tl12 = rast_ref[0, j, 10]
+            tl20 = rast_ref[0, j, 11]
+            inv_det = rast_ref[0, j, 12]
+            z0 = rast_ref[0, j, 13]
+            z1 = rast_ref[0, j, 14]
+            z2 = rast_ref[0, j, 15]
+
+            e01 = a01 * x + b01 * y + c01
+            e12 = a12 * x + b12 * y + c12
+            e20 = a20 * x + b20 * y + c20
+
+            # Top-left fill rule: boundary pixels belong to top/left edges.
+            cov = (
+                ((e01 > 0.0) | ((e01 == 0.0) & (tl01 > 0.0)))
+                & ((e12 > 0.0) | ((e12 == 0.0) & (tl12 > 0.0)))
+                & ((e20 > 0.0) | ((e20 == 0.0) & (tl20 > 0.0)))
+            )
+
+            # Screen-linear depth from sub-triangle barycentrics.
+            w0 = e12 * inv_det
+            w1 = e20 * inv_det
+            w2 = e01 * inv_det
+            zpx = w0 * z0 + w1 * z1 + w2 * z2
+
+            cov &= base + j < count
+            # Per-pixel near/far clip (z outside [0,1] discarded — the
+            # geometric near clip guarantees finite coords, this finishes it).
+            cov &= (zpx >= 0.0) & (zpx <= 1.0)
+
+            passed = cov & compare(zpx, z)
+            if depth_write:
+                z = jnp.where(passed, zpx, z)
+            # Slot id rides column 16 as an exact small-integer float.
+            sid = rast_ref[0, j, 16].astype(jnp.int32)
+            s = jnp.where(passed, sid, s)
+
+        z_ref[:] = z
+        s_ref[:] = s
+
+
+def _interp_kernel(
+    count_ref,  # SMEM (1, 1, 1)
+    rast_ref,  # SMEM (1, K_BLOCK, 16)
+    attr_ref,  # SMEM (1, K_BLOCK, 3*(A+1)) — per corner [attr·iw ..., iw]
+    initz_ref,  # VMEM (TH, TW)
+    z_ref,  # out VMEM (TH, TW)
+    acc_ref,  # out VMEM (A+1, TH, TW) — attr/w accumulators + 1/w plane
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_attrs: int,  # A
+    compare: Callable,
+    depth_write: bool,
+):
+    """Forward-interpolating rasterizer: resolves visibility AND accumulates
+    perspective-correct attribute/w planes in one pass, so the shading pass
+    is purely elementwise (per-pixel gathers measure ~100× slower than
+    streaming on this hardware — see ops.shade docstring)."""
+    tx = pl.program_id(1)
+    ty = pl.program_id(0)
+    kb = pl.program_id(2)
+    a_n = num_attrs + 1  # +1 for the 1/w channel
+
+    @pl.when(kb == 0)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    count = count_ref[0, 0, 0]
+    base = kb * K_BLOCK
+
+    @pl.when(base < count)
+    def _process():
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
+        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+
+        z = z_ref[:]
+        acc = [acc_ref[a] for a in range(a_n)]
+        for j in range(K_BLOCK):
+            e01 = rast_ref[0, j, 0] * x + rast_ref[0, j, 1] * y + rast_ref[0, j, 2]
+            e12 = rast_ref[0, j, 3] * x + rast_ref[0, j, 4] * y + rast_ref[0, j, 5]
+            e20 = rast_ref[0, j, 6] * x + rast_ref[0, j, 7] * y + rast_ref[0, j, 8]
+            cov = (
+                ((e01 > 0.0) | ((e01 == 0.0) & (rast_ref[0, j, 9] > 0.0)))
+                & ((e12 > 0.0) | ((e12 == 0.0) & (rast_ref[0, j, 10] > 0.0)))
+                & ((e20 > 0.0) | ((e20 == 0.0) & (rast_ref[0, j, 11] > 0.0)))
+            )
+            inv_det = rast_ref[0, j, 12]
+            w0 = e12 * inv_det
+            w1 = e20 * inv_det
+            w2 = e01 * inv_det
+            zpx = (
+                w0 * rast_ref[0, j, 13]
+                + w1 * rast_ref[0, j, 14]
+                + w2 * rast_ref[0, j, 15]
+            )
+            cov &= base + j < count
+            cov &= (zpx >= 0.0) & (zpx <= 1.0)
+            passed = cov & compare(zpx, z)
+            if depth_write:
+                z = jnp.where(passed, zpx, z)
+            for a in range(a_n):
+                plane = (
+                    w0 * attr_ref[0, j, a]
+                    + w1 * attr_ref[0, j, a_n + a]
+                    + w2 * attr_ref[0, j, 2 * a_n + a]
+                )
+                acc[a] = jnp.where(passed, plane, acc[a])
+
+        z_ref[:] = z
+        for a in range(a_n):
+            acc_ref[a] = acc[a]
+
+
+def raster_interp_pass(
+    bins: TileBins,
+    binned_attr: jnp.ndarray,  # (T, K, 3*(A+1))
+    grid: TileGrid,
+    init_z: jnp.ndarray,
+    depth_test: bool = True,
+    depth_write: bool = True,
+    compare_op: CompareOp = CompareOp.GREATER,
+    interpret: Optional[bool] = None,
+) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Rasterize with in-kernel attribute interpolation.
+
+    Returns (z (H, W), acc (A+1, H, W)) where acc[:A] are attr·(1/w) planes
+    and acc[A] is the interpolated 1/w — divide in the shading pass for
+    perspective-correct varyings; acc[A] > 0 is the coverage mask.
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    h, w = grid.height, grid.width
+    th, tw = grid.tile_h, grid.tile_w
+    k = bins.binned_rast.shape[1]
+    assert k % K_BLOCK == 0
+    k_blocks = k // K_BLOCK
+    d3 = binned_attr.shape[-1]
+    assert d3 % 3 == 0
+    a_n = d3 // 3
+    num_attrs = a_n - 1
+
+    effective_compare = compare_op if depth_test else CompareOp.ALWAYS
+    effective_write = depth_write and depth_test
+
+    kernel = functools.partial(
+        _interp_kernel,
+        tile_h=th,
+        tile_w=tw,
+        num_attrs=num_attrs,
+        compare=_compare_fn(effective_compare),
+        depth_write=effective_write,
+    )
+
+    tiles_x = grid.tiles_x
+    grid_dims = (grid.tiles_y, grid.tiles_x, k_blocks)
+
+    # Corner-major → attr-major packing for contiguous SMEM scalar reads:
+    # [c0: a0..aA, c1: a0..aA, c2: a0..aA] matches attr_ref indexing above.
+    out_z, out_acc = pl.pallas_call(
+        kernel,
+        grid=grid_dims,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda ty, tx, kb: (ty * tiles_x + tx, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K_BLOCK, 16), lambda ty, tx, kb: (ty * tiles_x + tx, kb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K_BLOCK, d3), lambda ty, tx, kb: (ty * tiles_x + tx, kb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda ty, tx, kb: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda ty, tx, kb: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_n, th, tw), lambda ty, tx, kb: (0, ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((a_n, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        bins.counts.reshape(-1, 1, 1),
+        bins.binned_rast,
+        binned_attr,
+        init_z.astype(jnp.float32),
+    )
+    return out_z, out_acc
+
+
+def visibility_pass(
+    bins: TileBins,
+    grid: TileGrid,
+    init_z: jnp.ndarray,
+    init_slot: jnp.ndarray,
+    depth_test: bool = True,
+    depth_write: bool = True,
+    compare_op: CompareOp = CompareOp.GREATER,
+    interpret: Optional[bool] = None,
+) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Rasterize binned records over (init_z, init_slot) → (z, slot).
+
+    Vulkan semantics: with depth_test off the test always passes and depth is
+    never written; depth writes require test enabled (spec 27.18).
+    """
+    if interpret is None:
+        interpret = pallas_interpret()
+    h, w = grid.height, grid.width
+    th, tw = grid.tile_h, grid.tile_w
+    k = bins.binned_rast.shape[1]
+    assert k % K_BLOCK == 0, f"bin capacity {k} must be a multiple of {K_BLOCK}"
+    k_blocks = k // K_BLOCK
+
+    effective_compare = compare_op if depth_test else CompareOp.ALWAYS
+    effective_write = depth_write and depth_test
+
+    kernel = functools.partial(
+        _visibility_kernel,
+        tile_h=th,
+        tile_w=tw,
+        compare=_compare_fn(effective_compare),
+        depth_write=effective_write,
+    )
+
+    tiles_x = grid.tiles_x
+    grid_dims = (grid.tiles_y, grid.tiles_x, k_blocks)
+
+    # Mosaic constrains the last two block dims to be (multiples of the
+    # tiling) OR equal to the array dims — SMEM blocks included. Hence:
+    # counts as (T, 1, 1) with (1, 1, 1) blocks, and the slot id packed as a
+    # 17th f32 column so the record block's trailing dim equals the array's.
+    packed = jnp.concatenate(
+        [bins.binned_rast, bins.binned_slot.astype(jnp.float32)[..., None]],
+        axis=-1,
+    )
+
+    out_z, out_s = pl.pallas_call(
+        kernel,
+        grid=grid_dims,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda ty, tx, kb: (ty * tiles_x + tx, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K_BLOCK, 17), lambda ty, tx, kb: (ty * tiles_x + tx, kb, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda ty, tx, kb: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda ty, tx, kb: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda ty, tx, kb: (ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda ty, tx, kb: (ty, tx),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.float32),
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        bins.counts.reshape(-1, 1, 1),
+        packed,
+        init_z.astype(jnp.float32),
+        init_slot.astype(jnp.int32),
+    )
+    return out_z, out_s

@@ -1,0 +1,225 @@
+"""Texture sampling — the sampler hardware of the Vulkan pipeline.
+
+Dense gather-based sampling over per-pixel UV images, interpreting
+SamplerConfig (zenith_tpu.rhi.sampler). Vulkan texel conventions:
+unnormalized coords x = u*W - 0.5; bilinear weights from the fractional
+part; wrap applied per-tap on texel indices.
+
+Mipmapping uses a packed pyramid (all levels flattened into one texel array
+with per-level offsets) so per-pixel LOD selection is a pair of gathers, and
+screen-space derivatives come from neighbor differences over the dense UV
+image — the same quad-derivative trick GPUs use, available here because
+fragment shading is a dense pass.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from zenith_tpu.rhi.sampler import AddressMode, Filter, MipmapMode, SamplerConfig
+
+
+def _wrap_indices(i: jnp.ndarray, n: int, mode: AddressMode) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Wrap integer texel indices; returns (indices, in_bounds_mask)."""
+    if mode == AddressMode.REPEAT:
+        return jnp.mod(i, n), jnp.ones(i.shape, dtype=bool)
+    if mode == AddressMode.MIRRORED_REPEAT:
+        period = 2 * n
+        m = jnp.mod(i, period)
+        m = jnp.where(m >= n, period - 1 - m, m)
+        return m, jnp.ones(i.shape, dtype=bool)
+    if mode == AddressMode.CLAMP_TO_EDGE:
+        return jnp.clip(i, 0, n - 1), jnp.ones(i.shape, dtype=bool)
+    # CLAMP_TO_BORDER
+    ok = (i >= 0) & (i < n)
+    return jnp.clip(i, 0, n - 1), ok
+
+
+def _fetch(tex: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray,
+           sampler: SamplerConfig) -> jnp.ndarray:
+    """Gather texels at integer coords with wrap + border handling.
+    tex: (H, W, C); ix/iy: (...,) int32 → (..., C)."""
+    h, w = tex.shape[0], tex.shape[1]
+    jx, okx = _wrap_indices(ix, w, sampler.address_mode_u)
+    jy, oky = _wrap_indices(iy, h, sampler.address_mode_v)
+    flat = (jy * w + jx).reshape(-1)
+    texels = jnp.take(tex.reshape(h * w, -1), flat, axis=0)
+    texels = texels.reshape(ix.shape + (tex.shape[-1],))
+    ok = (okx & oky)[..., None]
+    border = jnp.asarray(sampler.border_color.value[: tex.shape[-1]], jnp.float32)
+    return jnp.where(ok, texels, border)
+
+
+def sample_2d(
+    tex: jnp.ndarray,  # (H, W, C) linear float
+    uv: jnp.ndarray,  # (..., 2)
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Single-level sample (mag-filter path). Returns (..., C)."""
+    h, w = tex.shape[0], tex.shape[1]
+    u = uv[..., 0] * w
+    v = uv[..., 1] * h
+    if sampler.mag_filter == Filter.NEAREST:
+        ix = jnp.floor(u).astype(jnp.int32)
+        iy = jnp.floor(v).astype(jnp.int32)
+        return _fetch(tex, ix, iy, sampler)
+    # Bilinear.
+    x = u - 0.5
+    y = v - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    t00 = _fetch(tex, x0, y0, sampler)
+    t10 = _fetch(tex, x0 + 1, y0, sampler)
+    t01 = _fetch(tex, x0, y0 + 1, sampler)
+    t11 = _fetch(tex, x0 + 1, y0 + 1, sampler)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+class PackedMips(NamedTuple):
+    """A full mip pyramid flattened for per-pixel LOD gathers."""
+
+    texels: jnp.ndarray  # (total, C)
+    offsets: jnp.ndarray  # (L,) i32
+    widths: jnp.ndarray  # (L,) i32
+    heights: jnp.ndarray  # (L,) i32
+
+    @property
+    def num_levels(self) -> int:
+        return self.offsets.shape[0]
+
+
+def pack_mips(mips: "list[jnp.ndarray]") -> PackedMips:
+    offsets, widths, heights, flats = [], [], [], []
+    off = 0
+    for m in mips:
+        h, w = int(m.shape[0]), int(m.shape[1])
+        offsets.append(off)
+        widths.append(w)
+        heights.append(h)
+        flats.append(m.reshape(h * w, -1))
+        off += h * w
+    return PackedMips(
+        jnp.concatenate(flats, axis=0).astype(jnp.float32),
+        jnp.asarray(offsets, jnp.int32),
+        jnp.asarray(widths, jnp.int32),
+        jnp.asarray(heights, jnp.int32),
+    )
+
+
+def _sample_level(packed: PackedMips, uv: jnp.ndarray, level: jnp.ndarray,
+                  sampler: SamplerConfig) -> jnp.ndarray:
+    """Bilinear sample at a (per-pixel, integer) mip level."""
+    w = jnp.take(packed.widths, level)
+    h = jnp.take(packed.heights, level)
+    off = jnp.take(packed.offsets, level)
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = (x - x0f)[..., None]
+    fy = (y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    def fetch(ix, iy):
+        # Wrap per level dims (dynamic n → use arithmetic wrap).
+        if sampler.address_mode_u == AddressMode.REPEAT:
+            jx = jnp.mod(ix, w)
+        else:
+            jx = jnp.clip(ix, 0, w - 1)
+        if sampler.address_mode_v == AddressMode.REPEAT:
+            jy = jnp.mod(iy, h)
+        else:
+            jy = jnp.clip(iy, 0, h - 1)
+        flat = (off + jy * w + jx).reshape(-1)
+        t = jnp.take(packed.texels, flat, axis=0)
+        return t.reshape(ix.shape + (packed.texels.shape[-1],))
+
+    t00, t10 = fetch(x0, y0), fetch(x0 + 1, y0)
+    t01, t11 = fetch(x0, y0 + 1), fetch(x0 + 1, y0 + 1)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def screen_space_lod(uv: jnp.ndarray, tex_w: int, tex_h: int) -> jnp.ndarray:
+    """Per-pixel LOD from neighbor differences of a dense (H, W, 2) UV image
+    (the GPU quad-derivative analog)."""
+    du_dx = uv - jnp.roll(uv, 1, axis=1)
+    du_dy = uv - jnp.roll(uv, 1, axis=0)
+    scale = jnp.asarray([tex_w, tex_h], jnp.float32)
+    rx = jnp.linalg.norm(du_dx * scale, axis=-1)
+    ry = jnp.linalg.norm(du_dy * scale, axis=-1)
+    rho = jnp.maximum(rx, ry)
+    return jnp.log2(jnp.maximum(rho, 1e-8))
+
+
+def sample_2d_lod(
+    packed: PackedMips,
+    uv: jnp.ndarray,
+    lod: jnp.ndarray,
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Trilinear (or nearest-mip) sample with per-pixel LOD."""
+    lmax = packed.num_levels - 1
+    lod = jnp.clip(lod + sampler.mip_lod_bias, sampler.min_lod,
+                   jnp.minimum(sampler.max_lod, lmax))
+    if sampler.mipmap_mode == MipmapMode.NEAREST:
+        level = jnp.round(lod).astype(jnp.int32)
+        return _sample_level(packed, uv, level, sampler)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+    l0 = l0.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, lmax)
+    s0 = _sample_level(packed, uv, l0, sampler)
+    s1 = _sample_level(packed, uv, l1, sampler)
+    return s0 * (1 - frac) + s1 * frac
+
+
+def sample_shadow_pcf(
+    shadow_depth: jnp.ndarray,  # (H, W) depth map (reverse-Z)
+    uv: jnp.ndarray,  # (..., 2)
+    ref_z: jnp.ndarray,  # (...,) reference depth to compare
+    sampler: SamplerConfig = SamplerConfig.shadow_pcf(),
+) -> jnp.ndarray:
+    """2×2 PCF compare sample → light visibility in [0, 1].
+
+    Each bilinear tap is compared (sampler.compare_op) against ref_z, then
+    the binary results are bilinearly weighted (Vulkan D32 compare sampling).
+    """
+    from zenith_tpu.rhi.state import CompareOp
+
+    h, w = shadow_depth.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx, fy = x - x0f, y - y0f
+    x0, y0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32)
+
+    cmp = {
+        CompareOp.GREATER_OR_EQUAL: lambda a, b: a >= b,
+        CompareOp.GREATER: lambda a, b: a > b,
+        CompareOp.LESS_OR_EQUAL: lambda a, b: a <= b,
+        CompareOp.LESS: lambda a, b: a < b,
+    }[sampler.compare_op]
+
+    tex = shadow_depth[..., None]
+
+    def tap(ix, iy):
+        d = _fetch(tex, ix, iy, sampler)[..., 0]
+        return cmp(ref_z, d).astype(jnp.float32)
+
+    t00, t10 = tap(x0, y0), tap(x0 + 1, y0)
+    t01, t11 = tap(x0, y0 + 1), tap(x0 + 1, y0 + 1)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
