@@ -1,0 +1,352 @@
+"""Render graph tests: builder API, compile caching, node execution order,
+dynamics, load/store semantics, multi-pass dataflow."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from zenith_tpu.rendergraph import (
+    CompileOptions,
+    RenderGraphBuilder,
+    clear_frame_program_cache,
+    frame_program_cache_size,
+)
+from zenith_tpu.rhi import (
+    Buffer,
+    BufferDesc,
+    ColorAttachmentDesc,
+    CullMode,
+    Format,
+    GraphicShaderInput,
+    PipelineCache,
+    RasterizationState,
+    RhiCore,
+    Shader,
+    Texture,
+    TextureDesc,
+    VertexLayout,
+    uniform,
+)
+from zenith_tpu.rhi.state import DepthStencilDesc, GraphicPipelineState
+
+W, H = 128, 32
+OPTS = CompileOptions(tile_h=8, tile_w=128, bin_capacity=16)
+
+
+@pytest.fixture
+def device():
+    return RhiCore().create_render_device()
+
+
+@pytest.fixture
+def pcache():
+    return PipelineCache()
+
+
+def make_triangle_shaders():
+    def vs(attrs, res):
+        pos = attrs["position"]
+        n = pos.shape[0]
+        return {
+            "position": jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], 1),
+            "color": attrs["color"],
+        }
+
+    def fs(varyings, res, builtins):
+        t = res["Time"]
+        c = varyings["color"]
+        animated = c * (0.5 + 0.5 * jnp.sin(t * 3.0 + c * 6.28))
+        return jnp.concatenate([animated, jnp.ones_like(c[..., :1])], -1)
+
+    layout = VertexLayout.from_fields(("position", 3), ("color", 3))
+    return (
+        Shader.vertex("tri.vs", vs),
+        Shader.fragment("tri.ps", fs, bindings=[uniform("Time")]),
+        layout,
+    )
+
+
+TRI_VS, TRI_FS, TRI_LAYOUT = make_triangle_shaders()
+TRI_VB = np.array(
+    [
+        [0.0, 0.5, 0.0, 1.0, 0.0, 0.0],
+        [-0.5, -0.5, 0.0, 0.0, 1.0, 0.0],
+        [0.5, -0.5, 0.0, 0.0, 0.0, 1.0],
+    ],
+    np.float32,
+)
+TRI_IB = np.array([0, 1, 2], np.int32)
+
+
+def build_triangle_graph(vb, ib, output_tex, t):
+    builder = RenderGraphBuilder()
+    vbr = builder.import_resource(vb)
+    ibr = builder.import_resource(ib)
+    out = builder.import_resource(output_tex)
+    builder.set_dynamic("time", t)
+
+    node = builder.add_graphic_node("triangle")
+    vba = node.read(vbr)
+    iba = node.read(ibr)
+    rt = node.write(out)
+    shader = GraphicShaderInput(TRI_VS, TRI_FS, TRI_LAYOUT)
+    state = GraphicPipelineState(
+        rasterization=RasterizationState(cull_mode=CullMode.NONE)
+    )
+    with node.pipeline(shader, state) as binder:
+        binder.push_color(rt, ColorAttachmentDesc(clear_value=(0.1, 0.1, 0.1, 1.0)))
+
+    def record(ctx):
+        ctx.bind("Time", ctx.dynamic("time"))
+        ctx.draw_indexed(vba, iba)
+
+    node.execute(record)
+    return builder.build(), out
+
+
+class TestLambdaClear:
+    def test_clear_screen(self, device, pcache):
+        """SimpleApp parity (zenith-sandbox/src/main.rs): lambda node clears
+        the imported swapchain texture to blue."""
+        tex = Texture(TextureDesc.color("swap", W, H))
+        builder = RenderGraphBuilder()
+        out = builder.import_resource(tex)
+        node = builder.add_lambda_node("clear")
+        oa = node.write(out)
+
+        def record(ctx):
+            from zenith_tpu.ops import clear_color
+
+            ctx.set(oa, clear_color(H, W, (0.2, 0.3, 0.8, 1.0)))
+
+        node.execute(record)
+        graph = builder.build()
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        img = np.asarray(compiled.value(out))
+        np.testing.assert_allclose(img[0, 0], [0.2, 0.3, 0.8, 1.0], atol=1e-6)
+
+    def test_undeclared_write_rejected(self, device, pcache):
+        tex = Texture(TextureDesc.color("swap", W, H))
+        builder = RenderGraphBuilder()
+        out = builder.import_resource(tex)
+        node = builder.add_lambda_node("bad")
+        oa = node.read(out)  # read, not write
+
+        def record(ctx):
+            ctx.set(oa, jnp.zeros((H, W, 4)))
+
+        node.execute(record)
+        with pytest.raises(ValueError, match="without"):
+            builder.build().compile(device, pcache, OPTS).execute(device)
+
+
+class TestTriangleGraph:
+    def test_renders_and_caches(self, device, pcache):
+        clear_frame_program_cache()
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+
+        graph, out = build_triangle_graph(vb, ib, tex, 1.0)
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        img1 = np.asarray(compiled.value(out))
+        assert frame_program_cache_size() == 1
+        # Background cleared to 0.1 linear.
+        np.testing.assert_allclose(img1[0, 0], [0.1, 0.1, 0.1, 1.0], atol=1e-6)
+        # Triangle interior shaded (center-bottom region).
+        assert img1[int(0.6 * H), W // 2, :3].sum() > 0.35
+
+        # Rebuild (as the engine does every frame) with a new time: structure
+        # hit, no retrace; different pixels.
+        graph2, out2 = build_triangle_graph(vb, ib, tex, 2.5)
+        compiled2 = graph2.compile(device, pcache, OPTS)
+        compiled2.execute(device)
+        img2 = np.asarray(compiled2.value(out2))
+        assert frame_program_cache_size() == 1  # structure cache hit
+        assert pcache.stats.hits >= 1
+        assert not np.allclose(img1, img2)  # animation moved
+
+    def test_equals_direct_draw(self, device, pcache):
+        """Graph execution == calling ops.draw_indexed directly."""
+        from zenith_tpu.ops import TileGrid, clear_color, draw_indexed
+        from zenith_tpu.rhi import (
+            GraphicPipelineAttachments,
+            GraphicPipelineDesc,
+        )
+
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+        graph, out = build_triangle_graph(vb, ib, tex, 1.25)
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        img_graph = np.asarray(compiled.value(out))
+
+        desc = GraphicPipelineDesc(
+            shader_input=GraphicShaderInput(TRI_VS, TRI_FS, TRI_LAYOUT),
+            state=GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE)
+            ),
+            attachments=GraphicPipelineAttachments(color_formats=(Format.RGBA32F,)),
+            color_attachment_descs=(
+                ColorAttachmentDesc(clear_value=(0.1, 0.1, 0.1, 1.0)),
+            ),
+        )
+        pipe = PipelineCache().get_or_create(desc)
+        grid = TileGrid(width=W, height=H, tile_h=8, tile_w=128)
+        colors = [clear_color(H, W, (0.1, 0.1, 0.1, 1.0))]
+        colors, _, _ = draw_indexed(
+            colors, None, pipe, vb.array, ib.array,
+            {"Time": jnp.float32(1.25)}, grid, bin_capacity=16,
+        )
+        np.testing.assert_allclose(img_graph, np.asarray(colors[0]), atol=1e-6)
+
+
+class TestMultiPass:
+    def test_two_pass_dataflow(self, device, pcache):
+        """Pass 1 renders to an offscreen target; pass 2 (lambda) reads it
+        and writes a transformed copy — inter-pass dataflow with no explicit
+        sync, all inside one jitted program."""
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+
+        builder = RenderGraphBuilder()
+        vbr = builder.import_resource(vb)
+        ibr = builder.import_resource(ib)
+        offscreen = builder.create(TextureDesc.color("offscreen", W, H))
+        final = builder.create(TextureDesc.color("final", W, H))
+        builder.export(final)
+        builder.set_dynamic("time", 0.0)
+
+        node = builder.add_graphic_node("tri")
+        vba, iba = node.read(vbr), node.read(ibr)
+        rt = node.write(offscreen)
+        with node.pipeline(
+            GraphicShaderInput(TRI_VS, TRI_FS, TRI_LAYOUT),
+            GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE)
+            ),
+        ) as binder:
+            binder.push_color(rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 1)))
+
+        def record(ctx):
+            ctx.bind("Time", ctx.dynamic("time"))
+            ctx.draw_indexed(vba, iba)
+
+        node.execute(record)
+
+        post = builder.add_lambda_node("invert")
+        src = post.read(offscreen)
+        dst = post.write(final)
+
+        def record_post(ctx):
+            img = ctx.get(src)
+            inverted = jnp.concatenate([1.0 - img[..., :3], img[..., 3:]], -1)
+            ctx.set(dst, inverted)
+
+        post.execute(record_post)
+
+        graph = builder.build()
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        img = np.asarray(compiled.value(final))
+        # Background black → inverted to white.
+        np.testing.assert_allclose(img[0, 0, :3], 1.0, atol=1e-6)
+
+    def test_depth_attachment_across_draws(self, device, pcache):
+        """Two draws in one node share the depth buffer: the near triangle
+        occludes the far one regardless of draw order."""
+
+        def flat_vs(attrs, res):
+            p = attrs["position"]
+            return {
+                "position": jnp.concatenate(
+                    [p, jnp.ones((p.shape[0], 1), jnp.float32)], 1
+                ),
+                "color": attrs["color"],
+            }
+
+        def flat_fs(varyings, res, builtins):
+            c = varyings["color"]
+            return jnp.concatenate([c, jnp.ones_like(c[..., :1])], -1)
+
+        layout = VertexLayout.from_fields(("position", 3), ("color", 3))
+        vs = Shader.vertex("flat.vs", flat_vs)
+        fs = Shader.fragment("flat.ps", flat_fs)
+
+        def tri_buf(z, color):
+            return np.array(
+                [
+                    [0.0, -0.5, z] + color,
+                    [0.5, 0.5, z] + color,
+                    [-0.5, 0.5, z] + color,
+                ],
+                np.float32,
+            )
+
+        near = Buffer.from_numpy("near", tri_buf(0.8, [0.0, 1.0, 0.0]))
+        far = Buffer.from_numpy("far", tri_buf(0.2, [1.0, 0.0, 0.0]))
+        ib = Buffer.from_numpy("ib", TRI_IB)
+
+        builder = RenderGraphBuilder()
+        nearr, farr, ibr = (
+            builder.import_resource(near),
+            builder.import_resource(far),
+            builder.import_resource(ib),
+        )
+        color = builder.create(TextureDesc.color("rt", W, H))
+        depth = builder.create(TextureDesc.depth("ds", W, H))
+        builder.export(color)
+
+        node = builder.add_graphic_node("scene")
+        na, fa, ia = node.read(nearr), node.read(farr), node.read(ibr)
+        rt = node.write(color)
+        ds = node.write(depth)
+        with node.pipeline(
+            GraphicShaderInput(vs, fs, layout),
+            GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE)
+            ),
+        ) as binder:
+            binder.push_color(rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 1)))
+            binder.set_depth(ds, DepthStencilDesc().reverse_z())
+
+        def record(ctx):
+            ctx.draw_indexed(na, ia)  # near drawn FIRST
+            ctx.draw_indexed(fa, ia)  # far second — must not overwrite
+
+        node.execute(record)
+
+        compiled = builder.build().compile(device, pcache, OPTS)
+        compiled.execute(device)
+        img = np.asarray(compiled.value(color))
+        np.testing.assert_allclose(img[H // 2, W // 2, :3], [0, 1, 0], atol=1e-5)
+
+
+class TestValidation:
+    def test_incomplete_node_skipped(self, device, pcache):
+        tex = Texture(TextureDesc.color("swap", W, H))
+        builder = RenderGraphBuilder()
+        out = builder.import_resource(tex)
+        node = builder.add_lambda_node("noop")  # no execute() closure
+        node.write(out)
+        compiled = builder.build().compile(device, pcache, OPTS)
+        compiled.execute(device)  # must not raise
+
+    def test_undeclared_dynamic_raises(self, device, pcache):
+        tex = Texture(TextureDesc.color("swap", W, H))
+        builder = RenderGraphBuilder()
+        out = builder.import_resource(tex)
+        node = builder.add_lambda_node("bad")
+        oa = node.write(out)
+
+        def record(ctx):
+            ctx.set(oa, jnp.zeros((H, W, 4)) + ctx.dynamic("missing"))
+
+        node.execute(record)
+        with pytest.raises(KeyError, match="missing"):
+            builder.build().compile(device, pcache, OPTS).execute(device)

@@ -1,0 +1,64 @@
+"""App lifecycle traits (reference zenith/src/app.rs:9-53)."""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Optional, Tuple
+
+from zenith_tpu.core.cli import EngineArgs as Args
+from zenith_tpu.core.events import DeviceEvent, WindowEvent
+from zenith_tpu.rendergraph import RenderGraphBuilder
+from zenith_tpu.rhi.resource import Texture
+
+if TYPE_CHECKING:
+    from zenith_tpu.rhi.device import RenderDevice
+    from zenith_tpu.window import Window
+
+
+class RenderContext:
+    """Per-frame view passed to App.render (app.rs:17-47): the graph builder
+    plus the swapchain texture for this frame slot and the surface extent."""
+
+    def __init__(self, builder: RenderGraphBuilder, swapchain_texture: Texture,
+                 extent: "Tuple[int, int]"):
+        self._builder = builder
+        self._swapchain_texture = swapchain_texture
+        self._extent = extent
+
+    @property
+    def extent(self) -> "Tuple[int, int]":
+        return self._extent
+
+    def swapchain_texture(self) -> Texture:
+        return self._swapchain_texture
+
+    def builder(self) -> RenderGraphBuilder:
+        return self._builder
+
+
+class App:
+    """Base lifecycle (app.rs:9-28)."""
+
+    def __init__(self, args: Args):
+        self.args = args
+
+    def on_window_event(self, event: WindowEvent) -> None:
+        pass
+
+    def on_device_event(self, event: DeviceEvent) -> None:
+        pass
+
+    def tick(self, delta_time: float) -> None:
+        pass
+
+
+class RenderableApp(App):
+    """Renderable lifecycle (app.rs:30-53)."""
+
+    def prepare(self, render_device: "RenderDevice", window: "Window") -> None:
+        pass
+
+    def resize(self, width: int, height: int) -> None:
+        pass
+
+    def render(self, context: RenderContext) -> None:
+        raise NotImplementedError

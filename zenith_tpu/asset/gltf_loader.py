@@ -1,0 +1,306 @@
+"""glTF 2.0 loader + baker (reference zenith-asset/src/gltf_loader.rs).
+
+Pure-Python glTF parse (the reference uses the `gltf` crate): JSON document,
+buffer resolution (external .bin via mmap or data: URIs — GLB bin chunks are
+rejected like the reference, gltf_loader.rs:372-396), image resolution
+(data URI / bufferView / external file decoded by PIL, forced RGBA8 —
+gltf_loader.rs:398-473), accessor reading with component types and strides.
+
+Baking (RawGltfProcessor::bake, gltf_loader.rs:54-359): recursive scene-node
+walk → per-primitive Mesh assets (flat normals generated when missing,
+gltf_loader.rs:150-171; UVs default 0), per-material Material assets with
+inline textures, and a MeshCollection manifest pairing meshes↔materials 1:1.
+
+Divergence from the reference (improvement): node transforms (matrix or TRS)
+are applied to baked positions/normals — the reference drops them.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import urllib.parse
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from zenith_tpu.asset import AssetUrl, registry
+from zenith_tpu.asset.render_types import (
+    Material,
+    Mesh,
+    MeshCollection,
+    TextureAsset,
+    TextureFormat,
+    VERTEX_FLOATS,
+)
+from zenith_tpu.core import log
+from zenith_tpu.core.fileio import load_with_memory_mapping
+
+logger = log.get(__name__)
+
+_COMPONENT_DTYPES = {
+    5120: np.int8,
+    5121: np.uint8,
+    5122: np.int16,
+    5123: np.uint16,
+    5125: np.uint32,
+    5126: np.float32,
+}
+_TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+class RawGltf:
+    """Parsed glTF document + resolved buffers/images
+    (reference RawGltf, gltf_loader.rs:9-52)."""
+
+    def __init__(self, doc: "Dict[str, Any]", buffers: "List[bytes]",
+                 base_dir: Path):
+        self.doc = doc
+        self.buffers = buffers
+        self.base_dir = base_dir
+
+    # -- accessors -------------------------------------------------------------
+
+    def read_accessor(self, index: int) -> np.ndarray:
+        acc = self.doc["accessors"][index]
+        count = acc["count"]
+        n_comp = _TYPE_COUNTS[acc["type"]]
+        dtype = _COMPONENT_DTYPES[acc["componentType"]]
+        if "bufferView" not in acc:
+            data = np.zeros((count, n_comp), dtype=dtype)
+        else:
+            bv = self.doc["bufferViews"][acc["bufferView"]]
+            buf = self.buffers[bv["buffer"]]
+            offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+            elem_size = np.dtype(dtype).itemsize * n_comp
+            stride = bv.get("byteStride", elem_size)
+            if stride == elem_size:
+                data = np.frombuffer(
+                    buf, dtype=dtype, count=count * n_comp, offset=offset
+                ).reshape(count, n_comp)
+            else:
+                raw = np.frombuffer(
+                    buf, dtype=np.uint8,
+                    count=stride * (count - 1) + elem_size, offset=offset,
+                )
+                strided = np.lib.stride_tricks.as_strided(
+                    raw, shape=(count, elem_size), strides=(stride, 1)
+                )
+                data = strided.reshape(-1).view(dtype).reshape(count, n_comp)
+        if acc.get("normalized") and np.issubdtype(dtype, np.integer):
+            info = np.iinfo(dtype)
+            data = data.astype(np.float32) / float(info.max)
+        return np.array(data)
+
+    def read_image(self, index: int) -> np.ndarray:
+        """Decode an image to RGBA8 (gltf_loader.rs:398-473)."""
+        from PIL import Image
+
+        img = self.doc["images"][index]
+        if "uri" in img:
+            uri = img["uri"]
+            if uri.startswith("data:"):
+                payload = base64.b64decode(uri.split(",", 1)[1])
+                pil = Image.open(io.BytesIO(payload))
+            else:
+                pil = Image.open(self.base_dir / urllib.parse.unquote(uri))
+        else:
+            bv = self.doc["bufferViews"][img["bufferView"]]
+            buf = self.buffers[bv["buffer"]]
+            off = bv.get("byteOffset", 0)
+            pil = Image.open(io.BytesIO(bytes(buf[off : off + bv["byteLength"]])))
+        return np.asarray(pil.convert("RGBA"), dtype=np.uint8)
+
+
+class GltfLoader:
+    """(gltf_loader.rs:9-52, 361-473)"""
+
+    @staticmethod
+    def load(path: "Path | str") -> RawGltf:
+        path = Path(path)
+        raw = bytes(load_with_memory_mapping(path))
+        if raw[:4] == b"glTF":
+            raise ValueError("GLB binary container not supported (parity with "
+                             "the reference's rejection, gltf_loader.rs:372-396)")
+        doc = json.loads(raw.decode("utf-8"))
+        buffers: List[bytes] = []
+        for buf in doc.get("buffers", []):
+            uri = buf.get("uri")
+            if uri is None:
+                raise ValueError("GLB bin chunk buffers not supported")
+            if uri.startswith("data:"):
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                buffers.append(
+                    bytes(load_with_memory_mapping(path.parent / urllib.parse.unquote(uri)))
+                )
+        return RawGltf(doc, buffers, path.parent)
+
+
+def _node_matrix(node: "Dict[str, Any]") -> np.ndarray:
+    if "matrix" in node:
+        return np.asarray(node["matrix"], np.float32).reshape(4, 4).T  # column-major in file
+    from zenith_tpu.core import mathtypes as m
+
+    mat = np.eye(4, dtype=np.float32)
+    if "scale" in node:
+        mat = m.mat4_scale(np.asarray(node["scale"], np.float32)) @ mat
+    if "rotation" in node:
+        q = np.asarray(node["rotation"], np.float32)  # x, y, z, w
+        mat = m.mat4_from_quat(q) @ mat
+    if "translation" in node:
+        mat = m.mat4_translation(np.asarray(node["translation"], np.float32)) @ mat
+    return mat
+
+
+def _generate_flat_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Per-vertex flat normals (gltf_loader.rs:151-170 — the reference
+    requires unindexed data; we scatter per-face normals to vertices)."""
+    normals = np.zeros_like(positions)
+    tris = indices.reshape(-1, 3)
+    v0, v1, v2 = (positions[tris[:, k]] for k in range(3))
+    face_n = np.cross(v1 - v0, v2 - v0)
+    norm = np.linalg.norm(face_n, axis=1, keepdims=True)
+    face_n = face_n / np.where(norm > 0, norm, 1.0)
+    for k in range(3):
+        np.add.at(normals, tris[:, k], face_n)
+    norm = np.linalg.norm(normals, axis=1, keepdims=True)
+    return (normals / np.where(norm > 0, norm, 1.0)).astype(np.float32)
+
+
+class RawGltfProcessor:
+    """Bakes a RawGltf into registered + cached assets
+    (gltf_loader.rs:54-359)."""
+
+    def __init__(self, raw: RawGltf, asset_url: AssetUrl, cache_dir: Path):
+        self.raw = raw
+        self.asset_url = asset_url
+        self.cache_dir = cache_dir
+        self._mesh_urls: List[str] = []
+        self._material_urls: List[str] = []
+        self._materials_baked: Dict[int, str] = {}
+
+    def bake(self) -> MeshCollection:
+        doc = self.raw.doc
+        scene = doc.get("scenes", [{}])[doc.get("scene", 0)]
+        for node_index in scene.get("nodes", []):
+            self._process_node(node_index, np.eye(4, dtype=np.float32))
+        manifest_url = self.asset_url.with_extension("mscl")
+        collection = MeshCollection(manifest_url, self._mesh_urls, self._material_urls)
+        collection.save(self.cache_dir / manifest_url.path)
+        registry().register(collection)
+        logger.info(
+            "baked %s: %d meshes, %d materials",
+            self.asset_url, len(self._mesh_urls), len(set(self._material_urls)),
+        )
+        return collection
+
+    # -- nodes (gltf_loader.rs process_node) ------------------------------------
+
+    def _process_node(self, node_index: int, parent: np.ndarray) -> None:
+        node = self.raw.doc["nodes"][node_index]
+        world = parent @ _node_matrix(node)
+        if "mesh" in node:
+            self._bake_mesh(node["mesh"], world)
+        for child in node.get("children", []):
+            self._process_node(child, world)
+
+    def _bake_mesh(self, mesh_index: int, world: np.ndarray) -> None:
+        mesh = self.raw.doc["meshes"][mesh_index]
+        for prim_index, prim in enumerate(mesh.get("primitives", [])):
+            attrs = prim["attributes"]
+            positions = self.raw.read_accessor(attrs["POSITION"]).astype(np.float32)
+            n = positions.shape[0]
+
+            if "indices" in prim:
+                indices = self.raw.read_accessor(prim["indices"]).reshape(-1)
+            else:
+                indices = np.arange(n, dtype=np.uint32)
+            indices = indices.astype(np.int32)
+
+            # Apply the node's world transform (improvement over the
+            # reference, which drops transforms).
+            positions = positions @ world[:3, :3].T + world[:3, 3]
+            normal_mat = np.linalg.inv(world[:3, :3]).T
+
+            if "NORMAL" in attrs:
+                normals = self.raw.read_accessor(attrs["NORMAL"]).astype(np.float32)
+                normals = normals @ normal_mat.T
+                ln = np.linalg.norm(normals, axis=1, keepdims=True)
+                normals = normals / np.where(ln > 0, ln, 1.0)
+            else:
+                normals = _generate_flat_normals(positions, indices)
+
+            if "TEXCOORD_0" in attrs:
+                uvs = self.raw.read_accessor(attrs["TEXCOORD_0"]).astype(np.float32)
+            else:
+                uvs = np.zeros((n, 2), np.float32)  # gltf_loader.rs: default 0
+
+            vertices = np.concatenate([positions, normals, uvs], axis=1)
+            assert vertices.shape[1] == VERTEX_FLOATS
+
+            material_index = prim.get("material", 0)
+            material_url = self._bake_material(material_index)
+
+            mesh_url = self.asset_url.sibling(
+                f"{Path(self.asset_url.path).stem}_{mesh_index}_{prim_index}.mesh"
+            )
+            asset = Mesh(mesh_url, vertices, indices, material_index)
+            asset.save(self.cache_dir / mesh_url.path)
+            registry().register(asset)
+            self._mesh_urls.append(mesh_url.path)
+            self._material_urls.append(material_url)
+
+    # -- materials (gltf_loader.rs:173-307) --------------------------------------
+
+    def _texture_from_info(self, info: "Optional[Dict[str, Any]]",
+                           slot: str) -> "Optional[TextureAsset]":
+        if info is None:
+            return None
+        try:
+            tex = self.raw.doc["textures"][info["index"]]
+            pixels = self.raw.read_image(tex["source"])
+        except (FileNotFoundError, KeyError) as e:
+            # cerberus's PNGs are stripped from the checkout
+            # (.MISSING_LARGE_BLOBS) — degrade to no texture, like a missing
+            # optional slot.
+            logger.warning("texture for %s unavailable (%s); skipping", slot, e)
+            return None
+        url = self.asset_url.sibling(f"{slot}_{info['index']}.tex")
+        return TextureAsset(url, pixels, TextureFormat.RGBA8)
+
+    def _bake_material(self, material_index: int) -> str:
+        if material_index in self._materials_baked:
+            return self._materials_baked[material_index]
+        materials = self.raw.doc.get("materials", [])
+        mat = materials[material_index] if material_index < len(materials) else {}
+        pbr = mat.get("pbrMetallicRoughness", {})
+
+        url = self.asset_url.sibling(
+            f"{Path(self.asset_url.path).stem}_mat_{material_index}.mat"
+        )
+        asset = Material(
+            url,
+            base_color_factor=pbr.get("baseColorFactor", (1, 1, 1, 1)),
+            metallic_factor=pbr.get("metallicFactor", 1.0),
+            roughness_factor=pbr.get("roughnessFactor", 1.0),
+            emissive_factor=mat.get("emissiveFactor", (0, 0, 0)),
+            base_color_texture=self._texture_from_info(
+                pbr.get("baseColorTexture"), "base_color"
+            ),
+            metallic_roughness_texture=self._texture_from_info(
+                pbr.get("metallicRoughnessTexture"), "mra"
+            ),
+            normal_texture=self._texture_from_info(
+                mat.get("normalTexture"), "normal"
+            ),
+            emissive_texture=self._texture_from_info(
+                mat.get("emissiveTexture"), "emissive"
+            ),
+        )
+        asset.save(self.cache_dir / url.path)
+        registry().register(asset)
+        self._materials_baked[material_index] = url.path
+        return url.path

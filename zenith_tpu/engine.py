@@ -1,0 +1,137 @@
+"""Engine — owns device, swapchain, caches; drives the frame
+(reference zenith/src/engine.rs).
+
+Frame flow (engine.rs:88-112 → SURVEY.md §3.2), TPU-re-based:
+  begin_frame → new builder → app.render (declares nodes) → build →
+  compile (structure-cached → jitted frame program) → execute (one async
+  dispatch) → present (async readback ring) → end_frame.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from zenith_tpu.app import RenderableApp, RenderContext
+from zenith_tpu.core import log
+from zenith_tpu.rendergraph import (
+    CompileOptions,
+    RenderGraphBuilder,
+    RetiredRenderGraph,
+    frame_program_cache_size,
+)
+from zenith_tpu.rhi.device import RenderDevice, RhiCore, select_physical_device
+from zenith_tpu.rhi.pipeline import PipelineCache
+from zenith_tpu.rhi.swapchain import Swapchain, SwapchainConfig
+from zenith_tpu.window import Window
+
+logger = log.get(__name__)
+
+_compile_cache_ready = False
+
+
+def ensure_persistent_compile_cache() -> None:
+    """XLA persistent compilation cache — the analog of the serializable
+    vk::PipelineCache blob (pipeline_cache.rs:74-76), but actually persisted.
+    Critical here: first-time TPU compiles route through a remote-compile
+    relay and can take minutes."""
+    global _compile_cache_ready
+    if _compile_cache_ready:
+        return
+    cache_dir = os.environ.get("ZENITH_COMPILE_CACHE", ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # older jax versions
+        logger.warning("persistent compile cache unavailable: %s", e)
+    _compile_cache_ready = True
+
+
+class Engine:
+    """(engine.rs:10-23, 26-82)"""
+
+    def __init__(
+        self,
+        window: Window,
+        swapchain_config: Optional[SwapchainConfig] = None,
+        compile_options: CompileOptions = CompileOptions(),
+    ):
+        ensure_persistent_compile_cache()
+        self.window = window
+        core = RhiCore()
+        self.render_device: RenderDevice = core.create_render_device()
+        config = swapchain_config or SwapchainConfig(
+            width=window.width,
+            height=window.height,
+            readback_interval=int(os.environ.get("ZENITH_READBACK_INTERVAL", "1")),
+        )
+        self.swapchain = Swapchain(self.render_device, config, on_present=window.present)
+        self.pipeline_cache = PipelineCache()
+        self.compile_options = compile_options
+        self.last_retired: Optional[RetiredRenderGraph] = None
+        self._elapsed = 0.0
+        logger.info(
+            "Engine up: %s, %dx%d %s",
+            self.render_device.physical.name,
+            config.width,
+            config.height,
+            config.format,
+        )
+
+    # -- stats (engine.rs:136-147) ---------------------------------------------
+
+    @property
+    def pipeline_cache_size(self) -> int:
+        return len(self.pipeline_cache)
+
+    @property
+    def frame_program_count(self) -> int:
+        return frame_program_cache_size()
+
+    @property
+    def elapsed(self) -> float:
+        return self._elapsed
+
+    def tick(self, delta_time: float) -> None:
+        self._elapsed += delta_time
+
+    # -- frame (engine.rs:88-112) ------------------------------------------------
+
+    def render(self, app: RenderableApp) -> None:
+        device = self.render_device
+        device.begin_frame()
+
+        image_index, swap_texture = self.swapchain.acquire_next_image()
+        builder = RenderGraphBuilder()
+        context = RenderContext(builder, swap_texture, self.swapchain.extent)
+        app.render(context)
+
+        graph = builder.build()
+        compiled = graph.compile(device, self.pipeline_cache, self.compile_options)
+        self.last_retired = compiled.execute(device)
+
+        # Present: find the imported swapchain texture that some node wrote
+        # (the reference splits nodes at the first swapchain write,
+        # graph.rs:156-180; here we just fetch its final value).
+        swap_rid = None
+        for rid, st in enumerate(graph.resources):
+            if st.imported is swap_texture:
+                swap_rid = rid
+                break
+        if swap_rid is not None and str(swap_rid) in (compiled._outputs or {}):
+            from zenith_tpu.rendergraph.resource import RenderGraphResource
+
+            handle = RenderGraphResource(swap_rid, "texture")
+            compiled.present(self.swapchain, handle)
+        device.end_frame()
+
+    def resize(self, width: int, height: int) -> None:
+        """(engine.rs:114-133)"""
+        self.window.width = width
+        self.window.height = height
+        self.swapchain.resize(width, height)
+
+    def shutdown(self) -> None:
+        self.swapchain.flush()

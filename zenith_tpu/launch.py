@@ -1,0 +1,33 @@
+"""Engine entry point (reference zenith/src/lib.rs:31-44)."""
+
+from __future__ import annotations
+
+from typing import Optional, Type
+
+from zenith_tpu.app import RenderableApp
+from zenith_tpu.core import log, profile
+from zenith_tpu.core.cli import EngineArgs
+from zenith_tpu.main_loop import EngineLoop
+from zenith_tpu.window import Window
+
+
+def launch(
+    app_class: "Type[RenderableApp]",
+    argv: "Optional[list[str]]" = None,
+    window: "Optional[Window]" = None,
+    max_frames: "Optional[int]" = None,
+) -> EngineLoop:
+    """Parse args → init logging/profiling/assets → construct app → run the
+    loop (lib.rs:31-44). Returns the loop for inspection (tests/benches)."""
+    args = EngineArgs.parse_args(argv)
+    profile.initialize()
+    log.initialize(args.log_level.to_logging_level())
+
+    from zenith_tpu import asset
+
+    asset.initialize()
+
+    app = app_class(args)
+    loop = EngineLoop(app, window=window)
+    loop.run(max_frames=max_frames)
+    return loop

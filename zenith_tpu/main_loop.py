@@ -1,0 +1,94 @@
+"""Engine loop (reference zenith/src/main_loop.rs).
+
+The winit ApplicationHandler becomes a plain frame loop over a headless
+Window: pump events → tick (dt + 1 Hz stats log, main_loop.rs:140-174) →
+render → repeat. Continuous redraw (ControlFlow::Poll parity) until the
+window closes or a frame budget runs out.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from zenith_tpu.app import RenderableApp
+from zenith_tpu.core import log
+from zenith_tpu.core.events import CloseRequested, Resized
+from zenith_tpu.engine import Engine
+from zenith_tpu.window import Window
+
+logger = log.get(__name__)
+
+
+class EngineLoop:
+    """(main_loop.rs:11-85)"""
+
+    def __init__(self, app: RenderableApp, window: Optional[Window] = None):
+        self.app = app
+        self.window = window or Window()
+        self.engine: Optional[Engine] = None
+        self._last_tick: Optional[float] = None
+        self._stats_window_start = 0.0
+        self._stats_frames = 0
+        self.frames_rendered = 0
+
+    def _resumed(self) -> None:
+        """(main_loop.rs:21-62) create engine + app.prepare."""
+        self.engine = Engine(self.window)
+        self.app.prepare(self.engine.render_device, self.window)
+
+    def run(self, max_frames: Optional[int] = None) -> None:
+        if self.engine is None:
+            self._resumed()
+        self._last_tick = time.perf_counter()
+        self._stats_window_start = self._last_tick
+        while not self.window.closed:
+            if max_frames is not None and self.frames_rendered >= max_frames:
+                break
+            self._pump_events()
+            if self.window.closed:
+                break
+            self._tick()
+            self.engine.render(self.app)
+            self.frames_rendered += 1
+        self.engine.shutdown()
+
+    def _pump_events(self) -> None:
+        for event in self.window.drain_window_events():
+            if isinstance(event, CloseRequested):
+                self.window.request_close()
+                continue
+            if isinstance(event, Resized):
+                self.engine.resize(event.width, event.height)
+                self.app.resize(event.width, event.height)
+                continue
+            self.app.on_window_event(event)
+        for event in self.window.drain_device_events():
+            self.app.on_device_event(event)
+
+    def _tick(self) -> None:
+        """dt + 1 Hz stats line (main_loop.rs:140-174)."""
+        now = time.perf_counter()
+        dt = now - self._last_tick
+        self._last_tick = now
+        self._stats_frames += 1
+        window = now - self._stats_window_start
+        if window >= 1.0:
+            fps = self._stats_frames / window
+            overflow = 0
+            if self.engine.last_retired is not None:
+                try:
+                    overflow = int(self.engine.last_retired.bin_overflow)
+                except Exception:
+                    overflow = 0
+            logger.info(
+                "FPS: %.1f | pipelines: %d | frame programs: %d | bin overflow: %d",
+                fps,
+                self.engine.pipeline_cache_size,
+                self.engine.frame_program_count,
+                overflow,
+            )
+            self._stats_window_start = now
+            self._stats_frames = 0
+        self.engine.tick(dt)
+        self.app.tick(dt)

@@ -1,0 +1,267 @@
+"""Render graph builder — the per-frame declarative API.
+
+Mirrors zenith-rendergraph/src/builder.rs: ``create``/``import_resource``/
+``export``/``add_graphic_node``/``add_lambda_node``/``build`` (builder.rs:
+29-140); per-node ``read``/``write`` access declarations (builder.rs:147-299);
+``GraphicNodeBuilder.pipeline(...)`` returning an ``AttachmentBinder`` that
+collects color/depth attachments and finalizes a GraphicPipelineDesc with
+formats pulled from the graph resources (builder.rs:301-427).
+
+What changes on TPU: barrier stage hints disappear (no barriers exist), and
+**per-frame values flow through declared dynamics** (``set_dynamic`` /
+``ctx.dynamic(name)``) instead of closure captures — node closures run once
+at trace time, so a captured Python float would be baked into the compiled
+frame program. The graph is rebuilt every frame exactly like the reference
+(engine.rs:93-102); compilation is cached on graph *structure*.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from zenith_tpu.core import log
+from zenith_tpu.rendergraph.resource import (
+    InitialResourceStorage,
+    RenderGraphResource,
+    RenderGraphResourceAccess,
+    ViewKind,
+)
+from zenith_tpu.rhi.pipeline import (
+    GraphicPipelineAttachments,
+    GraphicPipelineDesc,
+    GraphicShaderInput,
+)
+from zenith_tpu.rhi.resource import Buffer, BufferDesc, Texture, TextureDesc
+from zenith_tpu.rhi.state import (
+    ColorAttachmentDesc,
+    DepthStencilDesc,
+    GraphicPipelineState,
+)
+
+logger = log.get(__name__)
+
+
+@dataclass
+class ResourceAccessStorage:
+    """(builder.rs:15-19, minus the vk stage hint — no barriers to derive)"""
+
+    resource_id: int
+    view: ViewKind
+
+
+@dataclass
+class GraphNode:
+    """(node.rs:7-21) One graph node: accesses + pipeline + record closure."""
+
+    name: str
+    index: int
+    kind: str  # "graphic" | "lambda"
+    inputs: List[ResourceAccessStorage] = field(default_factory=list)
+    outputs: List[ResourceAccessStorage] = field(default_factory=list)
+    # Graphic-only:
+    pipeline_desc: Optional[GraphicPipelineDesc] = None
+    color_attachments: List[Tuple[int, ColorAttachmentDesc]] = field(default_factory=list)
+    depth_attachment: Optional[Tuple[int, DepthStencilDesc]] = None
+    # The record callback, run at trace time with an execution context.
+    job: Optional[Callable[[Any], Any]] = None
+
+    @property
+    def is_complete(self) -> bool:
+        if self.job is None:
+            return False
+        if self.kind == "graphic" and self.pipeline_desc is None:
+            return False
+        return True
+
+
+class NodeBuilder:
+    """Shared read/write declaration API (builder.rs:147-299)."""
+
+    def __init__(self, builder: "RenderGraphBuilder", node: GraphNode):
+        self._builder = builder
+        self._node = node
+
+    def read(self, resource: RenderGraphResource) -> RenderGraphResourceAccess:
+        access = RenderGraphResourceAccess(resource, ViewKind.SRV, self._node.index)
+        if any(a.resource_id == resource.id for a in self._node.inputs):
+            logger.warning(
+                "node '%s': duplicate read of resource #%d", self._node.name, resource.id
+            )
+            return access
+        self._node.inputs.append(ResourceAccessStorage(resource.id, ViewKind.SRV))
+        return access
+
+    def write(self, resource: RenderGraphResource) -> RenderGraphResourceAccess:
+        access = RenderGraphResourceAccess(resource, ViewKind.UAV, self._node.index)
+        if any(a.resource_id == resource.id for a in self._node.outputs):
+            logger.warning(
+                "node '%s': duplicate write of resource #%d", self._node.name, resource.id
+            )
+            return access
+        self._node.outputs.append(ResourceAccessStorage(resource.id, ViewKind.UAV))
+        return access
+
+    def execute(self, job: Callable[[Any], Any]) -> None:
+        """Store the record closure. It runs at TRACE time: it must be pure
+        jnp + context ops, and must not capture per-frame Python values —
+        declare those with builder.set_dynamic / ctx.dynamic."""
+        self._node.job = job
+
+
+class AttachmentBinder:
+    """Collects color/depth attachments then finalizes the pipeline desc
+    (builder.rs:341-427). Usable as a context manager; ``finish`` is also
+    called automatically by ``build()`` if omitted."""
+
+    def __init__(
+        self,
+        builder: "RenderGraphBuilder",
+        node: GraphNode,
+        shader_input: GraphicShaderInput,
+        state: GraphicPipelineState,
+    ):
+        self._builder = builder
+        self._node = node
+        self._shader_input = shader_input
+        self._state = state
+        self._finished = False
+
+    def push_color(
+        self, access: RenderGraphResourceAccess, desc: ColorAttachmentDesc
+    ) -> "AttachmentBinder":
+        self._node.color_attachments.append((access.id, desc))
+        return self
+
+    def set_depth(
+        self, access: RenderGraphResourceAccess, desc: DepthStencilDesc
+    ) -> "AttachmentBinder":
+        self._node.depth_attachment = (access.id, desc)
+        return self
+
+    def finish(self) -> None:
+        if self._finished:
+            return
+        self._finished = True
+        color_formats = []
+        for rid, _ in self._node.color_attachments:
+            tdesc = self._builder.resources[rid].texture_desc()
+            assert tdesc is not None, "color attachment must be a texture"
+            color_formats.append(tdesc.format)
+        depth_format = None
+        state = self._state
+        if self._node.depth_attachment is not None:
+            rid, ddesc = self._node.depth_attachment
+            tdesc = self._builder.resources[rid].texture_desc()
+            assert tdesc is not None and tdesc.format.is_depth, (
+                "depth attachment must be a depth-format texture"
+            )
+            depth_format = tdesc.format
+            # The attachment's DepthStencilDesc carries test/write state into
+            # the pipeline (reference keeps them in one struct too).
+            from dataclasses import replace
+
+            state = replace(state, depth_stencil=ddesc)
+        self._node.pipeline_desc = GraphicPipelineDesc(
+            shader_input=self._shader_input,
+            state=state,
+            attachments=GraphicPipelineAttachments(
+                color_formats=tuple(color_formats), depth_format=depth_format
+            ),
+            color_attachment_descs=tuple(d for _, d in self._node.color_attachments),
+            depth_attachment_desc=(
+                self._node.depth_attachment[1] if self._node.depth_attachment else None
+            ),
+        )
+
+    def __enter__(self) -> "AttachmentBinder":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.finish()
+
+
+class GraphicNodeBuilder(NodeBuilder):
+    def pipeline(
+        self, shader_input: GraphicShaderInput, state: GraphicPipelineState
+    ) -> AttachmentBinder:
+        binder = AttachmentBinder(self._builder, self._node, shader_input, state)
+        self._builder._pending_binders.append(binder)
+        return binder
+
+
+class LambdaNodeBuilder(NodeBuilder):
+    pass
+
+
+class RenderGraphBuilder:
+    """(builder.rs:22-140)"""
+
+    def __init__(self) -> None:
+        self.resources: List[InitialResourceStorage] = []
+        self.nodes: List[GraphNode] = []
+        self.exports: List[int] = []
+        self.dynamics: Dict[str, Any] = {}
+        self._pending_binders: List[AttachmentBinder] = []
+
+    # -- resources -----------------------------------------------------------
+
+    def create(self, desc: "Union[BufferDesc, TextureDesc]") -> RenderGraphResource:
+        """Declare a graph-managed transient resource (builder.rs:37-47)."""
+        rid = len(self.resources)
+        self.resources.append(InitialResourceStorage(desc=desc))
+        kind = "texture" if isinstance(desc, TextureDesc) else "buffer"
+        return RenderGraphResource(rid, kind)
+
+    def import_resource(
+        self, resource: "Union[Buffer, Texture]"
+    ) -> RenderGraphResource:
+        """Import a live resource; it becomes a frame-program input
+        (builder.rs:50-60; initial-state tracking dissolves)."""
+        rid = len(self.resources)
+        self.resources.append(InitialResourceStorage(imported=resource))
+        kind = "texture" if isinstance(resource, Texture) else "buffer"
+        return RenderGraphResource(rid, kind)
+
+    def export(self, resource: RenderGraphResource) -> RenderGraphResource:
+        """Mark a resource's final contents as a frame-program output
+        (the reference left this unimplemented!, interface.rs:105-107)."""
+        if resource.id not in self.exports:
+            self.exports.append(resource.id)
+        return resource
+
+    # -- per-frame dynamic values ---------------------------------------------
+
+    def set_dynamic(self, name: str, value: Any) -> None:
+        """Declare a per-frame value (time, camera matrices, light params).
+        Closures read it back with ``ctx.dynamic(name)``; it becomes a traced
+        argument of the compiled frame program, so changing it does NOT
+        recompile. The TPU analog of writing a uniform buffer each frame
+        (reference triangle.rs:131-138)."""
+        self.dynamics[name] = np.asarray(value, dtype=np.float32) if not hasattr(
+            value, "dtype"
+        ) else value
+
+    # -- nodes ----------------------------------------------------------------
+
+    def add_graphic_node(self, name: str) -> GraphicNodeBuilder:
+        node = GraphNode(name=name, index=len(self.nodes), kind="graphic")
+        self.nodes.append(node)
+        return GraphicNodeBuilder(self, node)
+
+    def add_lambda_node(self, name: str) -> LambdaNodeBuilder:
+        node = GraphNode(name=name, index=len(self.nodes), kind="lambda")
+        self.nodes.append(node)
+        return LambdaNodeBuilder(self, node)
+
+    # -- build ----------------------------------------------------------------
+
+    def build(self) -> "RenderGraph":
+        from zenith_tpu.rendergraph.graph import RenderGraph
+
+        for binder in self._pending_binders:
+            binder.finish()
+        self._pending_binders.clear()
+        return RenderGraph(self)

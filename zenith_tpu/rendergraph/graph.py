@@ -1,0 +1,434 @@
+"""Render graph compile + execute: the node DAG becomes ONE jitted program.
+
+Mirrors zenith-rendergraph/src/graph.rs re-based on XLA:
+
+- ``compile`` (graph.rs:87-191): materializes pipelines from the cache and
+  builds the frame program. Where the reference materializes resources and
+  derives barriers, here node record-closures are *traced*: resource state
+  is a dict of traced values threaded through nodes in declaration order, so
+  hazards are impossible and XLA sees the whole frame for fusion (the
+  north-star "no host round-trips between passes").
+- Compilation is cached on graph *structure* (node names, pipeline descs,
+  access lists, resource descs, dynamics signature) — the same discipline as
+  GraphicPipelineDesc hash-keying (pipeline.rs:906-920). A structure hit
+  reuses the compiled XLA executable; per-frame values ride as traced
+  arguments (dynamics + imported arrays).
+- ``execute`` (graph.rs:202-225): one async dispatch of the jitted program —
+  the two queue_submit2 calls, barriers, fences, and semaphores of the
+  reference collapse into this.
+- ``present`` + ``RetiredRenderGraph`` (graph.rs:227-274, 656-674): fetch an
+  output and hand it to the swapchain; stats survive for the 1 Hz log.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from zenith_tpu.core import log
+from zenith_tpu.ops import blend as blend_ops
+from zenith_tpu.ops.binning import TileGrid
+from zenith_tpu.ops.draw import DEFAULT_BIN_CAPACITY, draw_indexed
+from zenith_tpu.rendergraph.builder import GraphNode, RenderGraphBuilder
+from zenith_tpu.rendergraph.resource import (
+    InitialResourceStorage,
+    RenderGraphResource,
+    RenderGraphResourceAccess,
+)
+from zenith_tpu.rhi.device import RenderDevice
+from zenith_tpu.rhi.pipeline import GraphicPipeline, PipelineCache
+from zenith_tpu.rhi.resource import Buffer, Texture, TextureDesc
+from zenith_tpu.rhi.state import LoadOp
+
+logger = log.get(__name__)
+
+
+@dataclass(frozen=True)
+class CompileOptions:
+    """Static rasterizer configuration (part of the compile cache key)."""
+
+    tile_h: int = 32
+    tile_w: int = 128
+    bin_capacity: int = DEFAULT_BIN_CAPACITY
+
+
+def _import_value(res: "Buffer | Texture"):
+    """The jit-input pytree for an imported resource."""
+    if isinstance(res, Texture) and res.mips is not None:
+        return tuple(res.mips)
+    return res.array
+
+
+class _NodeContextBase:
+    def __init__(self, graph: "RenderGraph", node: GraphNode,
+                 state: Dict[int, Any], dynamics: Dict[str, Any]):
+        self._graph = graph
+        self._node = node
+        self._state = state
+        self._dynamics = dynamics
+
+    def dynamic(self, name: str):
+        """Read a per-frame value declared with builder.set_dynamic."""
+        if name not in self._dynamics:
+            raise KeyError(
+                f"dynamic '{name}' not declared; call builder.set_dynamic first "
+                f"(declared: {sorted(self._dynamics)})"
+            )
+        return self._dynamics[name]
+
+    def _check_access(self, access: RenderGraphResourceAccess) -> int:
+        return access.id
+
+    def get(self, access: RenderGraphResourceAccess):
+        """Current traced value of a resource (array, or tuple of mip arrays
+        for imported mip-mapped textures)."""
+        rid = self._check_access(access)
+        val = self._state.get(rid)
+        if val is None:
+            val = self._graph._materialize_default(rid)
+            self._state[rid] = val
+        return val
+
+
+class LambdaNodeExecutionContext(_NodeContextBase):
+    """(graph.rs:635-654) Arbitrary traced compute over declared resources."""
+
+    def set(self, access: RenderGraphResourceAccess, value) -> None:
+        rid = self._check_access(access)
+        if not any(a.resource_id == rid for a in self._node.outputs):
+            raise ValueError(
+                f"node '{self._node.name}' writes resource #{rid} without "
+                f"declaring write()"
+            )
+        self._state[rid] = value
+
+
+class GraphicNodeExecutionContext(_NodeContextBase):
+    """(graph.rs:509-633) Draw recording over the node's attachments."""
+
+    def __init__(self, graph, node, state, dynamics,
+                 pipeline: GraphicPipeline, grid: TileGrid,
+                 colors: List[Any], depth: Optional[Any],
+                 bin_capacity: int):
+        super().__init__(graph, node, state, dynamics)
+        self.pipeline = pipeline
+        self.grid = grid
+        self._colors = colors
+        self._depth = depth
+        self._bindings: Dict[str, Any] = {}
+        self._bin_capacity = bin_capacity
+        self.stats: List[Any] = []
+
+    @property
+    def extent(self) -> "Tuple[int, int]":
+        return (self.grid.width, self.grid.height)
+
+    def bind(self, name: str, value) -> None:
+        """Name-based resource binding for the next draw — the
+        DescriptorSetBinder analog (descriptor.rs:298-456); names are
+        validated against shader reflection at draw time."""
+        self._bindings[name] = value
+
+    def bind_resource(self, name: str, access: RenderGraphResourceAccess) -> None:
+        self.bind(name, self.get(access))
+
+    def draw_indexed(
+        self,
+        vertex_buffer: "RenderGraphResourceAccess | Any",
+        index_buffer: "RenderGraphResourceAccess | Any",
+        resources: "Optional[Dict[str, Any]]" = None,
+        bin_capacity: Optional[int] = None,
+    ) -> None:
+        """Record one indexed draw (the cmd_draw_indexed analog,
+        triangle.rs:173)."""
+        vb = (
+            self.get(vertex_buffer)
+            if isinstance(vertex_buffer, RenderGraphResourceAccess)
+            else vertex_buffer
+        )
+        ib = (
+            self.get(index_buffer)
+            if isinstance(index_buffer, RenderGraphResourceAccess)
+            else index_buffer
+        )
+        merged = dict(self._bindings)
+        if resources:
+            merged.update(resources)
+        self._colors, self._depth, stats = draw_indexed(
+            self._colors,
+            self._depth,
+            self.pipeline,
+            vb,
+            ib,
+            merged,
+            self.grid,
+            bin_capacity=bin_capacity or self._bin_capacity,
+        )
+        self.stats.append(stats.bin_overflow)
+
+
+@dataclass
+class FrameStatsOutput:
+    """Traced per-frame counters returned beside the frame outputs."""
+
+    bin_overflow: Any = 0
+
+
+class RenderGraph:
+    """(graph.rs:81-200)"""
+
+    def __init__(self, builder: RenderGraphBuilder):
+        self.resources: List[InitialResourceStorage] = builder.resources
+        self.nodes: List[GraphNode] = builder.nodes
+        self.exports: List[int] = builder.exports
+        self.dynamics: Dict[str, Any] = builder.dynamics
+        self._pipelines: Dict[int, GraphicPipeline] = {}
+
+    # -- helpers --------------------------------------------------------------
+
+    def _materialize_default(self, rid: int):
+        """Managed resource first touched by a read: zero contents."""
+        storage = self.resources[rid]
+        desc = storage.desc
+        assert desc is not None, "imported resources are always pre-seeded"
+        sds = desc.shape_dtype()
+        return jnp.zeros(sds.shape, sds.dtype)
+
+    def _written_imports(self) -> List[int]:
+        out = []
+        for node in self.nodes:
+            for a in node.outputs:
+                if self.resources[a.resource_id].is_imported and a.resource_id not in out:
+                    out.append(a.resource_id)
+        return out
+
+    def _structure_key(self, options: CompileOptions) -> str:
+        h = hashlib.sha256()
+
+        def feed(*items):
+            for it in items:
+                h.update(repr(it).encode())
+
+        def desc_key(desc):
+            # Deliberately name-free: swapchain ring slots ("swapchain.0/1/2")
+            # must share one frame program.
+            if isinstance(desc, TextureDesc):
+                return ("tex", desc.width, desc.height, desc.format, desc.usage,
+                        desc.mip_levels, desc.array_layers, desc.depth)
+            return ("buf", desc.shape, desc.dtype, desc.usage)
+
+        feed("options", options)
+        for rid, st in enumerate(self.resources):
+            if st.is_imported:
+                feed(rid, "import", type(st.imported).__name__,
+                     desc_key(st.imported.desc))
+                if isinstance(st.imported, Texture) and st.imported.mips is not None:
+                    feed("mips", len(st.imported.mips))
+            else:
+                feed(rid, "managed", desc_key(st.desc))
+        for node in self.nodes:
+            feed(node.index, node.kind, node.name)
+            feed([(a.resource_id, a.view) for a in node.inputs])
+            feed([(a.resource_id, a.view) for a in node.outputs])
+            feed(node.color_attachments, node.depth_attachment)
+            if node.pipeline_desc is not None:
+                feed(hash(node.pipeline_desc))
+            if node.job is not None:
+                code = node.job.__code__
+                feed(code.co_filename, code.co_firstlineno)
+                h.update(code.co_code)
+        for name in sorted(self.dynamics):
+            v = self.dynamics[name]
+            feed(name, getattr(v, "shape", ()), str(getattr(v, "dtype", "f32")))
+        feed("exports", sorted(self.exports))
+        return h.hexdigest()
+
+    # -- compile ---------------------------------------------------------------
+
+    def compile(
+        self,
+        device: RenderDevice,
+        pipeline_cache: PipelineCache,
+        options: CompileOptions = CompileOptions(),
+    ) -> "CompiledRenderGraph":
+        # Pipelines from the cache (graph.rs:130-154).
+        active_nodes: List[GraphNode] = []
+        for node in self.nodes:
+            if not node.is_complete:
+                logger.warning("skipping incomplete node '%s'", node.name)
+                continue
+            if node.kind == "graphic":
+                self._pipelines[node.index] = pipeline_cache.get_or_create(
+                    node.pipeline_desc
+                )
+            active_nodes.append(node)
+
+        key = self._structure_key(options)
+        cached = _FRAME_PROGRAM_CACHE.get(key)
+        if cached is None:
+            cached = jax.jit(self._build_frame_fn(active_nodes, options))
+            _FRAME_PROGRAM_CACHE[key] = cached
+            logger.debug("frame-program cache miss (%d cached)", len(_FRAME_PROGRAM_CACHE))
+
+        imports = {
+            str(rid): _import_value(st.imported)
+            for rid, st in enumerate(self.resources)
+            if st.is_imported
+        }
+        dynamics = {k: jnp.asarray(v) for k, v in self.dynamics.items()}
+        return CompiledRenderGraph(self, cached, imports, dynamics, key)
+
+    def _build_frame_fn(self, active_nodes: List[GraphNode], options: CompileOptions):
+        resources = self.resources
+        pipelines = self._pipelines
+        output_ids = list(dict.fromkeys(self._written_imports() + self.exports))
+
+        def frame_fn(imports: Dict[str, Any], dynamics: Dict[str, Any]):
+            state: Dict[int, Any] = {}
+            for rid, st in enumerate(resources):
+                if st.is_imported:
+                    state[rid] = imports[str(rid)]
+            overflow = jnp.int32(0)
+
+            for node in active_nodes:
+                if node.kind == "lambda":
+                    ctx = LambdaNodeExecutionContext(self, node, state, dynamics)
+                    node.job(ctx)
+                    continue
+
+                # Graphic node prologue: attachment load/clear (the
+                # RenderingAttachmentInfo load-op handling, graph.rs:539-601).
+                pipeline = pipelines[node.index]
+                first_rid = (
+                    node.color_attachments[0][0]
+                    if node.color_attachments
+                    else node.depth_attachment[0]
+                )
+                tdesc = resources[first_rid].texture_desc()
+                grid = TileGrid(
+                    width=tdesc.width,
+                    height=tdesc.height,
+                    tile_h=options.tile_h,
+                    tile_w=options.tile_w,
+                )
+
+                colors = []
+                for rid, cdesc in node.color_attachments:
+                    cur = state.get(rid)
+                    if cdesc.load_op == LoadOp.CLEAR or cur is None:
+                        arr = blend_ops.clear_color(
+                            grid.height, grid.width, cdesc.clear_value
+                        )
+                    else:
+                        arr = cur
+                    colors.append(arr)
+
+                depth = None
+                if node.depth_attachment is not None:
+                    rid, ddesc = node.depth_attachment
+                    cur = state.get(rid)
+                    if ddesc.depth_load_op == LoadOp.CLEAR or cur is None:
+                        depth = blend_ops.clear_depth(
+                            grid.height, grid.width, ddesc.depth_clear_value
+                        )
+                    else:
+                        depth = cur[..., 0] if cur.ndim == 3 else cur
+
+                ctx = GraphicNodeExecutionContext(
+                    self, node, state, dynamics, pipeline, grid,
+                    colors, depth, options.bin_capacity,
+                )
+                node.job(ctx)
+
+                # Epilogue: store attachments back (store-op STORE semantics;
+                # DONT_CARE stores too — contents are valid, just unneeded).
+                for (rid, cdesc), arr in zip(node.color_attachments, ctx._colors):
+                    state[rid] = arr
+                if node.depth_attachment is not None and ctx._depth is not None:
+                    state[node.depth_attachment[0]] = ctx._depth
+                for ov in ctx.stats:
+                    overflow = overflow + ov
+
+            outputs = {}
+            for rid in output_ids:
+                if rid in state:
+                    outputs[str(rid)] = state[rid]
+            return outputs, FrameStatsOutput(bin_overflow=overflow)
+
+        return frame_fn
+
+
+# Frame-program cache: structure key → jitted callable. Module-level so
+# graphs rebuilt every frame (engine.rs:93-102) hit the same executables.
+_FRAME_PROGRAM_CACHE: Dict[str, Callable] = {}
+
+
+def frame_program_cache_size() -> int:
+    return len(_FRAME_PROGRAM_CACHE)
+
+
+def clear_frame_program_cache() -> None:
+    _FRAME_PROGRAM_CACHE.clear()
+
+
+class CompiledRenderGraph:
+    """(graph.rs:202-348)"""
+
+    def __init__(self, graph: RenderGraph, fn, imports, dynamics, key: str):
+        self._graph = graph
+        self._fn = fn
+        self._imports = imports
+        self._dynamics = dynamics
+        self.key = key
+        self._outputs: Optional[Dict[str, Any]] = None
+        self._stats: Optional[FrameStatsOutput] = None
+
+    def execute(self, device: Optional[RenderDevice] = None) -> "RetiredRenderGraph":
+        """One async dispatch of the frame program (replaces submit #1/#2 +
+        all barriers/fences, graph.rs:203-274)."""
+        if device is not None:
+            device.stats.submits += 1
+        self._outputs, self._stats = self._fn(self._imports, self._dynamics)
+        return RetiredRenderGraph(self)
+
+    def value(self, resource: RenderGraphResource):
+        """Final traced/async value of an exported or imported-written
+        resource."""
+        assert self._outputs is not None, "execute() first"
+        out = self._outputs.get(str(resource.id))
+        if out is None:
+            raise KeyError(
+                f"resource #{resource.id} is not a frame output "
+                f"(exports: {self._graph.exports})"
+            )
+        return out
+
+    def present(self, swapchain, swapchain_resource: RenderGraphResource) -> None:
+        """Hand the rendered swapchain image to the presentation ring
+        (graph.rs:227-274 — acquire/rebind/final-barrier collapse away)."""
+        swapchain.present(self.value(swapchain_resource))
+
+
+class RetiredRenderGraph:
+    """(graph.rs:656-674) Stats carrier; resource recycling is XLA's job."""
+
+    def __init__(self, compiled: CompiledRenderGraph):
+        self._compiled = compiled
+
+    @property
+    def bin_overflow(self):
+        """Traced overflow counter — fetch sparingly (forces a sync)."""
+        return self._compiled._stats.bin_overflow if self._compiled._stats else 0
+
+    def release_frame_resources(self, device: RenderDevice) -> None:
+        # Memory returns to the XLA allocator automatically; kept for parity.
+        pass
+
+
+jax.tree_util.register_dataclass(
+    FrameStatsOutput, data_fields=["bin_overflow"], meta_fields=[]
+)

@@ -19,6 +19,7 @@ refresh_rate).
 from __future__ import annotations
 
 import enum
+import functools
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -39,6 +40,13 @@ class PresentMode(enum.Enum):
     FIFO = "fifo"  # paced to refresh_rate
 
 
+@functools.lru_cache(maxsize=32)
+def _encode_jit(fmt: Format):
+    # Present encode must be compiled: eager jnp through the device tunnel
+    # costs milliseconds per op.
+    return jax.jit(lambda img: encode_present(img, fmt))
+
+
 @dataclass
 class SwapchainConfig:
     """(reference swapchain.rs:62-78)"""
@@ -49,6 +57,12 @@ class SwapchainConfig:
     present_mode: PresentMode = PresentMode.MAILBOX
     num_images: int = NUM_BACK_BUFFERS
     refresh_rate: float = 60.0
+    # Host-readback cadence: deliver every Nth presented frame to the
+    # on_present sink (1 = every frame). Device-side rendering/encoding is
+    # unaffected; this only throttles the device→host copy, which dominates
+    # when the chip is reached through a network tunnel. The analog of a
+    # display link's fixed bandwidth.
+    readback_interval: int = 1
 
 
 @dataclass
@@ -72,6 +86,12 @@ class Swapchain:
         self.on_present = on_present
         self._image_index = 0
         self._pending: list[_PendingFrame] = []
+        self._inflight: list[jax.Array] = []  # device-side frames-in-flight
+        import os
+
+        self.max_frames_in_flight = int(
+            os.environ.get("ZENITH_MAX_FRAMES_IN_FLIGHT", "32")
+        )
         self._frame_counter = 0
         self._last_present_time: Optional[float] = None
         self.suboptimal = False
@@ -106,18 +126,47 @@ class Swapchain:
     def present(self, rendered: jax.Array) -> None:
         """Encode + start async readback; advances the ring
         (reference swapchain.rs:243-264)."""
-        encoded = encode_present(rendered, self.config.format)
-        try:
-            encoded.copy_to_host_async()
-        except Exception:  # some backends lack async copy; readback will block
-            pass
         # Keep the (still device-resident) rendered image bound to the slot so
         # LOAD-op graphs can read last frame's contents.
         self._textures[self._image_index] = self._textures[self._image_index].with_array(rendered)
-        self._pending.append(
-            _PendingFrame(self._frame_counter, encoded, time.perf_counter())
-        )
+        interval = max(1, self.config.readback_interval)
+        if self._frame_counter % interval == 0:
+            encoded = _encode_jit(self.config.format)(rendered)
+            try:
+                encoded.copy_to_host_async()
+            except Exception:  # some backends lack async copy; readback blocks
+                pass
+            self._pending.append(
+                _PendingFrame(self._frame_counter, encoded, time.perf_counter())
+            )
+        # Device-side frames-in-flight fence (device.rs:185-193 analog).
+        # A blocking wait costs a full host↔device round trip (~30 ms when the
+        # chip sits behind a network tunnel) and an array only reports ready
+        # one round trip after submission — so the queue must hold at least
+        # latency/frame_time entries to run at device throughput. Drain
+        # non-blockingly; beyond the cap, pace with short sleeps instead of
+        # hard blocks.
+        # Sampling: tracking every frame would bound the window by our own
+        # ready-latency; every 4th frame gives a 4× wider window per tracked
+        # entry (XLA holds queued buffers regardless of our references, so
+        # sampling loses nothing).
+        if self._frame_counter % 4 == 0:
+            self._inflight.append(rendered)
+        self._drain_ready()
+        while len(self._inflight) > self.max_frames_in_flight:
+            time.sleep(0.0005)
+            self._drain_ready()
         self._frame_counter += 1
+
+    def _drain_ready(self) -> None:
+        while self._inflight:
+            try:
+                ready = self._inflight[0].is_ready()
+            except Exception:
+                ready = True
+            if not ready:
+                break
+            self._inflight.pop(0)
         self._image_index = (self._image_index + 1) % self.config.num_images
         if self.config.present_mode == PresentMode.FIFO:
             self._pace()
