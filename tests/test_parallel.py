@@ -1,0 +1,120 @@
+"""Multi-chip SPMD rendering tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from np_reference import render_reference
+from zenith_tpu.parallel import default_mesh, make_row_sharded_frame
+from zenith_tpu.rhi import (
+    ColorAttachmentDesc,
+    CullMode,
+    Format,
+    GraphicPipelineAttachments,
+    GraphicPipelineDesc,
+    GraphicShaderInput,
+    PipelineCache,
+    RasterizationState,
+    Shader,
+    VertexLayout,
+)
+from zenith_tpu.rhi.state import DepthStencilDesc, GraphicPipelineState
+
+W, H = 128, 64  # 8 devices × 8-row bands
+
+
+def _vs(attrs, res):
+    p = attrs["position"]
+    return {
+        "position": jnp.concatenate([p, jnp.ones((p.shape[0], 1), jnp.float32)], 1),
+        "color": attrs["color"],
+    }
+
+
+def _fs(varyings, res, builtins):
+    c = varyings["color"]
+    return jnp.concatenate([c, jnp.ones_like(c[..., :1])], -1)
+
+
+def make_pipeline(depth=True):
+    layout = VertexLayout.from_fields(("position", 3), ("color", 3))
+    state = GraphicPipelineState(
+        rasterization=RasterizationState(cull_mode=CullMode.NONE),
+        depth_stencil=DepthStencilDesc().reverse_z() if depth else DepthStencilDesc(),
+    )
+    desc = GraphicPipelineDesc(
+        shader_input=GraphicShaderInput(
+            Shader.vertex("p.vs", _vs), Shader.fragment("p.fs", _fs), layout
+        ),
+        state=state,
+        attachments=GraphicPipelineAttachments(
+            color_formats=(Format.RGBA32F,),
+            depth_format=Format.D32F if depth else None,
+        ),
+        color_attachment_descs=(ColorAttachmentDesc(),),
+    )
+    return PipelineCache().get_or_create(desc)
+
+
+class TestRowSharded:
+    def test_eight_device_band_render_matches_oracle(self, cpu_devices, rng):
+        mesh = default_mesh(8, backend="cpu")
+        pipeline = make_pipeline(depth=True)
+        step = make_row_sharded_frame(
+            mesh, pipeline, W, H, clear_color=(0, 0, 0, 1), tile_h=8,
+            bin_capacity=32, interpret=True,
+        )
+
+        nv = 30
+        pos = rng.uniform(-1.1, 1.1, size=(nv, 2))
+        zz = rng.uniform(0.1, 0.9, size=(nv, 1))
+        colors = rng.uniform(0, 1, size=(nv, 3))
+        vb = np.concatenate([pos, zz, colors], axis=1).astype(np.float32)
+        ib = rng.integers(0, nv, size=(14, 3)).astype(np.int32)
+
+        color, depth = step(jnp.asarray(vb), jnp.asarray(ib), {})
+        color = np.asarray(color)
+        depth = np.asarray(depth)
+        assert color.shape == (H, W, 4)
+
+        # Oracle: single-device reference rasterization of the same scene.
+        clip = np.concatenate(
+            [vb[:, :2], vb[:, 2:3], np.ones((nv, 1), np.float32)], axis=1
+        )
+        ref = render_reference(
+            clip, ib, W, H, cull="none", varyings={"c": vb[:, 3:6]}
+        )
+        covered = ref["tri"] >= 0
+        np.testing.assert_allclose(depth, ref["z"], atol=1e-4)
+        np.testing.assert_allclose(
+            color[covered][:, :3], ref["c"][covered], atol=2e-3
+        )
+        np.testing.assert_allclose(color[~covered][:, :3], 0.0, atol=1e-6)
+
+    def test_output_is_sharded_across_devices(self, cpu_devices):
+        mesh = default_mesh(8, backend="cpu")
+        pipeline = make_pipeline(depth=False)
+        step = make_row_sharded_frame(
+            mesh, pipeline, W, H, use_depth=False, tile_h=8, interpret=True
+        )
+        vb = np.array(
+            [
+                [0.0, -0.9, 0.5, 1, 0, 0],
+                [0.9, 0.9, 0.5, 0, 1, 0],
+                [-0.9, 0.9, 0.5, 0, 0, 1],
+            ],
+            np.float32,
+        )
+        ib = np.array([[0, 1, 2]], np.int32)
+        color, _ = step(jnp.asarray(vb), jnp.asarray(ib), {})
+        # The result must actually live sharded across 8 devices.
+        assert len(color.sharding.device_set) == 8
+        # And the triangle must span multiple bands contiguously (no band
+        # seams): center column covered from near-top to near-bottom.
+        covered = np.asarray(color[..., :3].sum(-1) > 0)
+        col = covered[:, W // 2]
+        rows = np.where(col)[0]
+        assert rows.max() - rows.min() + 1 == len(rows)  # contiguous
+        assert len(rows) > H // 2

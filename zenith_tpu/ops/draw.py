@@ -61,6 +61,7 @@ def draw_indexed(
     grid: TileGrid,
     bin_capacity: int = DEFAULT_BIN_CAPACITY,
     interpret: Optional[bool] = None,
+    viewport: "Optional[tuple]" = None,  # (x0, y0, full_w, full_h) for SPMD shards
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
     """Trace one indexed draw; returns (colors', depth', stats)."""
     state = pipeline.desc.state
@@ -89,6 +90,7 @@ def draw_indexed(
         grid.height,
         cull_mode=rast_state.cull_mode,
         front_face=rast_state.front_face,
+        viewport=viewport,
     )
 
     # Flatten varyings (declaration order) for in-kernel interpolation.

@@ -190,12 +190,19 @@ def setup_triangles(
     cull_mode: CullMode = CullMode.BACK,
     front_face: FrontFace = FrontFace.COUNTER_CLOCKWISE,
     near_clip: bool = True,
+    viewport: "tuple[int, int, int, int] | None" = None,
 ) -> TriangleRecords:
     """Full triangle setup: gather → near clip → viewport → edge equations.
 
     clip_positions: (Nv, 4) clip-space vertex positions (vertex-shader
     output); indices: (T, 3) int. Returns TriangleRecords with R = 2T
     (near_clip) or T.
+
+    ``viewport`` = (x0, y0, full_w, full_h) renders a sub-rectangle of a
+    larger logical surface: NDC maps to the FULL surface, then (x0, y0)
+    shifts into local coordinates. This is how SPMD multi-chip rendering
+    shards the framebuffer across a device mesh (each chip owns a row band)
+    — x0/y0 may be traced values (e.g. derived from jax.lax.axis_index).
     """
     indices = indices.astype(jnp.int32)
     t = indices.shape[0]
@@ -215,8 +222,12 @@ def setup_triangles(
     iw = 1.0 / w
     ndc = corners[..., :3] * iw[..., None]
     # Vulkan viewport transform (y down, depth passthrough [0, 1]).
-    sx = (ndc[..., 0] + 1.0) * (0.5 * width)
-    sy = (ndc[..., 1] + 1.0) * (0.5 * height)
+    if viewport is not None:
+        vx0, vy0, full_w, full_h = viewport
+    else:
+        vx0, vy0, full_w, full_h = 0, 0, width, height
+    sx = (ndc[..., 0] + 1.0) * (0.5 * full_w) - vx0
+    sy = (ndc[..., 1] + 1.0) * (0.5 * full_h) - vy0
     sz = ndc[..., 2]
 
     x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]

@@ -89,9 +89,7 @@ class Swapchain:
         self._inflight: list[jax.Array] = []  # device-side frames-in-flight
         import os
 
-        self.max_frames_in_flight = int(
-            os.environ.get("ZENITH_MAX_FRAMES_IN_FLIGHT", "32")
-        )
+        self.pace_stride = int(os.environ.get("ZENITH_PACE_STRIDE", "128"))
         self._frame_counter = 0
         self._last_present_time: Optional[float] = None
         self.suboptimal = False
@@ -146,27 +144,18 @@ class Swapchain:
         # latency/frame_time entries to run at device throughput. Drain
         # non-blockingly; beyond the cap, pace with short sleeps instead of
         # hard blocks.
-        # Sampling: tracking every frame would bound the window by our own
-        # ready-latency; every 4th frame gives a 4× wider window per tracked
-        # entry (XLA holds queued buffers regardless of our references, so
-        # sampling loses nothing).
-        if self._frame_counter % 4 == 0:
+        # Amortized pacing: sample every Nth frame into a tiny queue and
+        # hard-fence only when more than two samples are outstanding. Worst
+        # case the device queue holds 2×stride frames; the fence costs one
+        # host↔device round trip (~30 ms through a tunnel) per stride frames
+        # — ~0.25 ms/frame amortized at the default stride, while device
+        # frame times of ~0.1 ms stay unthrottled. (A per-frame fence, the
+        # naive Vulkan translation, measured 30 ms/frame here.)
+        if self._frame_counter % self.pace_stride == 0:
             self._inflight.append(rendered)
-        self._drain_ready()
-        while len(self._inflight) > self.max_frames_in_flight:
-            time.sleep(0.0005)
-            self._drain_ready()
+            if len(self._inflight) > 2:
+                jax.block_until_ready(self._inflight.pop(0))
         self._frame_counter += 1
-
-    def _drain_ready(self) -> None:
-        while self._inflight:
-            try:
-                ready = self._inflight[0].is_ready()
-            except Exception:
-                ready = True
-            if not ready:
-                break
-            self._inflight.pop(0)
         self._image_index = (self._image_index + 1) % self.config.num_images
         if self.config.present_mode == PresentMode.FIFO:
             self._pace()
