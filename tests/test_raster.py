@@ -304,6 +304,90 @@ class TestForwardInterp:
         np.testing.assert_allclose(out["c"][H // 2, W // 2], [0, 1, 0], atol=1e-5)
 
 
+class TestSegmented:
+    """The segmented (uncapped) production path vs the oracle."""
+
+    def _run(self, clip, idx, vary, compare=CompareOp.GREATER):
+        import jax.numpy as jnp
+        from zenith_tpu.ops import (
+            bin_segmented,
+            corner_attributes,
+            raster_segmented,
+            finalize_attrs,
+        )
+
+        records = setup_triangles(
+            jnp.asarray(clip, jnp.float32), jnp.asarray(idx, jnp.int32),
+            W, H, cull_mode=CullMode.NONE,
+        )
+        flat = jnp.concatenate(
+            [jnp.asarray(v, jnp.float32) for v in vary.values()], axis=1
+        )
+        corner = corner_attributes(records, jnp.asarray(idx, jnp.int32), flat)
+        bins = bin_segmented(records, corner, GRID)
+        z, acc = raster_segmented(
+            bins, GRID, jnp.zeros((H, W), jnp.float32), compare_op=compare
+        )
+        layout = [(k, v.shape[1]) for k, v in vary.items()] + [("__front", 1)]
+        out, mask, builtins = finalize_attrs(z, acc, layout)
+        return (
+            np.asarray(z),
+            {k: np.asarray(v) for k, v in out.items()},
+            np.asarray(mask),
+            np.asarray(bins.overflow),
+        )
+
+    def test_matches_oracle(self, rng):
+        nv = 24
+        pos = rng.uniform(-1.1, 1.1, size=(nv, 2))
+        zz = rng.uniform(0.1, 0.9, size=(nv, 1))
+        ww = rng.uniform(0.8, 3.0, size=(nv, 1))
+        clip = np.concatenate([pos * ww, zz * ww, ww], axis=1).astype(np.float32)
+        idx = rng.integers(0, nv, size=(12, 3)).astype(np.int32)
+        vary = {"c": rng.uniform(0, 1, size=(nv, 3)).astype(np.float32)}
+        z, out, mask, overflow = self._run(clip, idx, vary)
+        ref = render_reference(clip, idx, W, H, cull="none", varyings=vary)
+        assert overflow == 0
+        np.testing.assert_array_equal(mask, ref["tri"] >= 0)
+        np.testing.assert_allclose(z, ref["z"], atol=1e-4)
+        np.testing.assert_allclose(out["c"][mask], ref["c"][mask], atol=2e-3)
+
+    def test_huge_record_dense_path(self):
+        # A screen-covering triangle takes the huge path (span > span_cap);
+        # must still rasterize everywhere, in correct submission order with a
+        # small tri drawn after at equal z.
+        big = ndc_tri([(-4, -4), (8, -4), (-4, 8)], z=0.5)
+        small = ndc_tri([(0.0, -0.5), (0.5, 0.5), (-0.5, 0.5)], z=0.5)
+        clip = np.concatenate([big, small])
+        idx = np.array([[0, 1, 2], [3, 4, 5]])
+        vary = {"c": np.array([[1, 0, 0]] * 3 + [[0, 1, 0]] * 3, np.float32)}
+        z, out, mask, overflow = self._run(
+            clip, idx, vary, compare=CompareOp.GREATER_OR_EQUAL
+        )
+        assert overflow == 0
+        assert mask.all()  # big tri covers every pixel
+        np.testing.assert_allclose(out["c"][0, 0], [1, 0, 0], atol=1e-5)
+        # Later small tri wins the EQUAL tie at the center.
+        np.testing.assert_allclose(out["c"][H // 2, W // 2], [0, 1, 0], atol=1e-5)
+
+    def test_dense_single_tile_no_cap(self, rng):
+        # 300 triangles crammed into one tile: the capped binner dropped
+        # these; segmented must keep all (validated via oracle equality).
+        nv = 120
+        pos = rng.uniform(-0.1, 0.1, size=(nv, 2))  # all in one tile
+        zz = rng.uniform(0.1, 0.9, size=(nv, 1))
+        clip = np.concatenate(
+            [pos, zz, np.ones((nv, 1))], axis=1
+        ).astype(np.float32)
+        idx = rng.integers(0, nv, size=(300, 3)).astype(np.int32)
+        vary = {"c": rng.uniform(0, 1, size=(nv, 3)).astype(np.float32)}
+        z, out, mask, overflow = self._run(clip, idx, vary)
+        ref = render_reference(clip, idx, W, H, cull="none", varyings=vary)
+        assert overflow == 0
+        np.testing.assert_array_equal(mask, ref["tri"] >= 0)
+        np.testing.assert_allclose(z, ref["z"], atol=1e-4)
+
+
 class TestInterpolation:
     def test_perspective_correct_varying(self):
         # A "floor" quad receding in depth: w differs per vertex; the

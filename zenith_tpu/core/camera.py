@@ -79,8 +79,14 @@ class Camera:
 
     @property
     def view_projection(self) -> np.ndarray:
-        """proj @ view (reference camera.rs:85-87)."""
+        """proj @ view (reference camera.rs:85-87), glam conventions."""
         return (self._proj @ self._view).astype(np.float32)
+
+    @property
+    def render_view_projection(self) -> np.ndarray:
+        """view_projection with the Vulkan clip-space Y flip baked in — what
+        renderers feed the rasterizer (see mathtypes.VULKAN_Y_FLIP)."""
+        return (m.VULKAN_Y_FLIP @ self._proj @ self._view).astype(np.float32)
 
     @property
     def forward(self) -> np.ndarray:

@@ -176,6 +176,14 @@ def mat4_identity() -> np.ndarray:
     return np.eye(4, dtype=np.float32)
 
 
+# The standard Vulkan clip-space correction: glam/GL-style projections put
+# +Y up in clip space, Vulkan NDC puts +Y down. Engines bake this flip into
+# the projection (the reference's only shipped demo bypasses the camera, so
+# it never had to). Note the flip mirrors screen-space winding: pipelines
+# using flipped matrices keep glTF's COUNTER_CLOCKWISE front faces.
+VULKAN_Y_FLIP = np.diag([1.0, -1.0, 1.0, 1.0]).astype(np.float32)
+
+
 def perspective_infinite_reverse_rh(
     fov_y: "Radians | Degree | float", aspect_ratio: float, z_near: float
 ) -> np.ndarray:

@@ -69,7 +69,9 @@ class EngineLoop:
     def _tick(self) -> None:
         """dt + 1 Hz stats line (main_loop.rs:140-174)."""
         now = time.perf_counter()
-        dt = now - self._last_tick
+        # Clamp dt so compile stalls / debugger pauses don't teleport
+        # animation state (standard game-loop hygiene).
+        dt = min(now - self._last_tick, 0.1)
         self._last_tick = now
         self._stats_frames += 1
         window = now - self._stats_window_start

@@ -9,7 +9,14 @@ interpolation (shade), the texture sampler (sampling), and the output merger
 """
 
 from zenith_tpu.ops import binning, blend, draw, geometry, raster, runtime, sampling, shade
-from zenith_tpu.ops.binning import TileBins, TileGrid, bin_triangles
+from zenith_tpu.ops.binning import (
+    ENTRY_CHUNK,
+    SegmentedBins,
+    TileBins,
+    TileGrid,
+    bin_segmented,
+    bin_triangles,
+)
 from zenith_tpu.ops.blend import apply_color_output, clear_color, clear_depth
 from zenith_tpu.ops.draw import DEFAULT_BIN_CAPACITY, DrawStats, draw_indexed
 from zenith_tpu.ops.geometry import (
@@ -19,7 +26,12 @@ from zenith_tpu.ops.geometry import (
     setup_triangles,
     transform_vertices,
 )
-from zenith_tpu.ops.raster import K_BLOCK, raster_interp_pass, visibility_pass
+from zenith_tpu.ops.raster import (
+    K_BLOCK,
+    raster_interp_pass,
+    raster_segmented,
+    visibility_pass,
+)
 from zenith_tpu.ops.sampling import (
     PackedMips,
     pack_mips,

@@ -22,6 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from zenith_tpu.ops.geometry import TriangleRecords
@@ -67,6 +68,186 @@ class TileBins(NamedTuple):
         g = jnp.take(flat, safe.reshape(-1), axis=0)
         g = g.reshape(self.binned_slot.shape + (d,))
         return jnp.where(self.binned_slot[..., None] < 0, 0.0, g)
+
+
+class SegmentedBins(NamedTuple):
+    """Per-tile variable-length candidate segments, block-aligned for the
+    segmented raster kernel (no per-tile capacity cap).
+
+    Produced by ``bin_segmented``: entries (tile, record) are sorted once
+    globally by (tile, record-order) — lexicographic two-key sort, the GPU
+    coarse-raster equivalent — then gathered into CHUNK-aligned blocks. Each
+    block carries scalar routing (tile coords, live count, init flag) that
+    the kernel consumes via scalar prefetch.
+    """
+
+    blk_tile_y: jnp.ndarray  # (B,) i32
+    blk_tile_x: jnp.ndarray  # (B,) i32
+    blk_count: jnp.ndarray  # (B,) i32 — live entries in this block
+    blk_init: jnp.ndarray  # (B,) i32 — 1 on a tile's first block
+    rast_pad: jnp.ndarray  # (B*CHUNK, 16) f32 — record data in entry order
+    attr_pad: jnp.ndarray  # (B*CHUNK, D) f32 — corner data in entry order
+    overflow: jnp.ndarray  # () i32 — entries dropped (budget/span caps)
+
+
+ENTRY_CHUNK = 128  # entries per kernel block
+
+
+def bin_segmented(
+    records: TriangleRecords,
+    corner_data: jnp.ndarray,  # (R, 3, A+1) from geometry.corner_attributes
+    grid: TileGrid,
+    span_cap: int = 32,
+    huge_cap: int = 256,
+    entry_budget: "int | None" = None,
+) -> SegmentedBins:
+    """Exact, uncapped-per-tile binning.
+
+    - records spanning ≤ span_cap tiles emit static per-record entries;
+    - up to huge_cap larger records (full-screen floors, skyboxes) take a
+      dense per-tile mask path;
+    - both merge in one lexicographic (tile, record) sort, preserving
+      submission order within every tile (Vulkan primitive-order semantics).
+
+    ``entry_budget`` bounds total (tile, record) pairs per draw (default
+    4×R, min 16384); overflow is counted, not silently ignored.
+    """
+    r = records.rast16.shape[0]
+    t = grid.num_tiles
+    tiles_x = grid.tiles_x
+    chunk = ENTRY_CHUNK
+    if entry_budget is None:
+        # Real tri-tile pair counts hug 1.2×R for typical meshes; kernel grid
+        # steps cost ~µs each, so the budget should hug reality. Overflow is
+        # counted — callers raise the budget when it fires.
+        entry_budget = max(2 * r, 8192)
+    b_max = cdiv(entry_budget, chunk)
+
+    xmin, ymin, xmax, ymax = (records.aabb[:, i] for i in range(4))
+    tx0 = jnp.clip(jnp.floor(xmin / grid.tile_w), 0, grid.tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor(xmax / grid.tile_w), 0, grid.tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(ymin / grid.tile_h), 0, grid.tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor(ymax / grid.tile_h), 0, grid.tiles_y - 1).astype(jnp.int32)
+    sx = tx1 - tx0 + 1
+    sy = ty1 - ty0 + 1
+    span = sx * sy
+
+    valid = records.valid
+    small = valid & (span <= span_cap)
+    huge = valid & (span > span_cap)
+
+    # Small records → per-record entry expansion (R, span_cap).
+    j = jnp.arange(span_cap, dtype=jnp.int32)[None, :]
+    ty_e = ty0[:, None] + j // sx[:, None]
+    tx_e = tx0[:, None] + j % sx[:, None]
+    tile_small = ty_e * tiles_x + tx_e
+    ev_small = small[:, None] & (j < span[:, None])
+    rec_small = jnp.broadcast_to(
+        jnp.arange(r, dtype=jnp.int32)[:, None], (r, span_cap)
+    )
+
+    # Huge records → dense per-tile mask over the top-huge_cap by span.
+    huge_score = jnp.where(huge, span, 0)
+    _, hidx = jax.lax.top_k(huge_score, min(huge_cap, r))
+    hvalid = jnp.take(huge, hidx)
+    huge_dropped = huge.sum() - hvalid.sum()
+    t_ids = jnp.arange(t, dtype=jnp.int32)
+    t_ty = t_ids // tiles_x
+    t_tx = t_ids % tiles_x
+    hmask = (
+        hvalid[:, None]
+        & (t_tx[None, :] >= jnp.take(tx0, hidx)[:, None])
+        & (t_tx[None, :] <= jnp.take(tx1, hidx)[:, None])
+        & (t_ty[None, :] >= jnp.take(ty0, hidx)[:, None])
+        & (t_ty[None, :] <= jnp.take(ty1, hidx)[:, None])
+    )  # (H, T)
+    tile_huge = jnp.broadcast_to(t_ids[None, :], hmask.shape)
+    rec_huge = jnp.broadcast_to(hidx[:, None].astype(jnp.int32), hmask.shape)
+
+    # Merge + lexicographic (tile, record) sort. Invalid entries get tile = t
+    # (sorts to the end; two-key int32 sort avoids 64-bit keys).
+    tiles_all = jnp.concatenate(
+        [
+            jnp.where(ev_small, tile_small, t).reshape(-1),
+            jnp.where(hmask, tile_huge, t).reshape(-1),
+        ]
+    )
+    recs_all = jnp.concatenate([rec_small.reshape(-1), rec_huge.reshape(-1)])
+    tiles_sorted, recs_sorted = jax.lax.sort(
+        (tiles_all, recs_all), num_keys=2
+    )
+    total_entries = (tiles_sorted < t).sum()
+
+    # Per-tile segments + block table. Tiles with no candidates get NO
+    # blocks — the raster kernel writes outputs in place over pre-initialized
+    # (aliased) buffers, so untouched tiles keep their cleared/loaded content.
+    seg_off = jnp.searchsorted(tiles_sorted, jnp.arange(t + 1, dtype=jnp.int32))
+    counts = jnp.diff(seg_off)
+    n_blocks = -(-counts // chunk)
+    blk_off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_blocks).astype(jnp.int32)]
+    )
+    total_blocks = blk_off[-1]
+    block_overflow = jnp.maximum(total_blocks - b_max, 0)
+
+    b = jnp.arange(b_max, dtype=jnp.int32)
+    tile_of_b = jnp.clip(
+        jnp.searchsorted(blk_off, b, side="right") - 1, 0, t - 1
+    ).astype(jnp.int32)
+    # Dead blocks (past the real total) must route to the LAST LIVE tile:
+    # the pipeline flushes the output block at every index change, so a dead
+    # block routed elsewhere would flush the previous tile's VMEM contents
+    # over an unrelated tile. Re-flushing the same tile is a harmless rewrite.
+    live_b = b < total_blocks
+    last_live_tile = jnp.max(
+        jnp.where(counts > 0, jnp.arange(t, dtype=jnp.int32), 0)
+    )
+    tile_of_b = jnp.where(live_b, tile_of_b, last_live_tile)
+    j_b = b - jnp.take(blk_off, tile_of_b)
+    cnt_tile = jnp.take(counts, tile_of_b)
+    blk_count = jnp.where(
+        live_b, jnp.clip(cnt_tile - j_b * chunk, 0, chunk), 0
+    ).astype(jnp.int32)
+    # First live block of each tile initializes the tile's VMEM state; when
+    # the whole draw is empty, block 0 still initializes (so its mandatory
+    # final flush writes init content, not garbage).
+    blk_init = (((j_b == 0) & live_b) | ((b == 0) & (total_blocks == 0))).astype(
+        jnp.int32
+    )
+
+    # Block-aligned entry gather: record index per padded row.
+    row = jnp.arange(b_max * chunk, dtype=jnp.int32)
+    bb = row // chunk
+    k_in_tile = jnp.take(j_b, bb) * chunk + row % chunk
+    src = jnp.take(seg_off, jnp.take(tile_of_b, bb)) + k_in_tile
+    src_ok = (row % chunk) < jnp.take(blk_count, bb)
+    n_sorted = recs_sorted.shape[0]
+    rec_idx = jnp.where(
+        src_ok, jnp.take(recs_sorted, jnp.clip(src, 0, n_sorted - 1)), 0
+    )
+
+    # One merged (rast16 | corner-data) row per entry: a single SMEM stream
+    # per kernel block (two separate streams doubled the unhidden DMA latency
+    # that dominates per-block cost).
+    d = corner_data.shape[1] * corner_data.shape[2]
+    merged = jnp.concatenate(
+        [records.rast16, corner_data.reshape(r, d)], axis=1
+    )
+    rows = jnp.take(merged, rec_idx, axis=0)
+    rows = jnp.where(src_ok[:, None], rows, 0.0)
+    rast_rows = rows  # (B*CHUNK, 16+D)
+    attr_rows = jnp.zeros((0,), jnp.float32)  # folded into rast_rows
+
+    overflow = huge_dropped + block_overflow * chunk
+    return SegmentedBins(
+        jnp.take(t_ty, tile_of_b),
+        jnp.take(t_tx, tile_of_b),
+        blk_count,
+        blk_init,
+        rast_rows,
+        attr_rows,
+        overflow.astype(jnp.int32),
+    )
 
 
 def bin_triangles(records: TriangleRecords, grid: TileGrid, k: int) -> TileBins:

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 
 from zenith_tpu.ops import blend as blend_ops
 from zenith_tpu.ops import geometry, shade
-from zenith_tpu.ops.binning import TileGrid, bin_triangles
-from zenith_tpu.ops.raster import K_BLOCK, raster_interp_pass
+from zenith_tpu.ops.binning import TileGrid, bin_segmented
+from zenith_tpu.ops.raster import raster_segmented
 from zenith_tpu.ops.runtime import round_up
 from zenith_tpu.rhi.pipeline import GraphicPipeline
 from zenith_tpu.rhi.shader import BoundResources
@@ -62,6 +62,7 @@ def draw_indexed(
     bin_capacity: int = DEFAULT_BIN_CAPACITY,
     interpret: Optional[bool] = None,
     viewport: "Optional[tuple]" = None,  # (x0, y0, full_w, full_h) for SPMD shards
+    entry_budget: Optional[int] = None,  # tile×record pair budget (see binning)
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
     """Trace one indexed draw; returns (colors', depth', stats)."""
     state = pipeline.desc.state
@@ -107,18 +108,18 @@ def draw_indexed(
     attr_layout.append(("__front", 1))
 
     # -- binning + raster ------------------------------------------------------
-    capacity = round_up(max(bin_capacity, K_BLOCK), K_BLOCK)
-    bins = bin_triangles(records, grid, capacity)
-    binned_attr = bins.gather_corner_data(corner_data)
+    # bin_capacity is interpreted as a per-draw entry budget multiplier for
+    # the segmented binner (legacy callers pass per-tile caps; the budget is
+    # never less than 4×records, so those remain valid hints).
+    bins = bin_segmented(records, corner_data, grid, entry_budget=entry_budget)
 
     if depth is not None:
         init_z = depth
     else:
         init_z = jnp.zeros((grid.height, grid.width), jnp.float32)
 
-    z_out, acc = raster_interp_pass(
+    z_out, acc = raster_segmented(
         bins,
-        binned_attr,
         grid,
         init_z,
         depth_test=ds.depth_test_enable,

@@ -121,7 +121,16 @@ def _lerp(a, b, t):
 def clip_near_w(
     corners: jnp.ndarray, obary: jnp.ndarray, w_eps: float = NEAR_W_EPS
 ) -> "tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
-    """Clip triangles against the w > w_eps plane with static 2× expansion.
+    """Clip triangles against the Vulkan near plane z_clip ≤ w_clip, with
+    static 2× expansion.
+
+    For the engine's infinite-reverse-Z perspective (z_clip ≡ near) this is
+    exactly the true near plane w ≥ near; for orthographic projections it is
+    a no-op inside the depth range. Clipping at the REAL near plane (rather
+    than w > ε) is a float32 requirement, not a nicety: ε-clipped vertices
+    land at ~1e7-pixel screen coordinates, and edge-equation coefficients at
+    that magnitude lose all sub-pixel precision — coverage survives but
+    barycentric attribute interpolation breaks badly.
 
     corners: (T, 3, 4) clip-space; obary: (T, 3, 3) barycentrics w.r.t. the
     original triangle (one-hot on entry). Returns (corners2, obary2, valid2)
@@ -129,8 +138,9 @@ def clip_near_w(
     input triangle. Winding is preserved (cyclic rotation + Sutherland-
     Hodgman ordering).
     """
-    w = corners[..., 3]  # (T, 3)
-    inside = w > w_eps
+    # Signed distance to the clip plane (positive = inside).
+    d = corners[..., 3] - corners[..., 2]  # (T, 3): w - z
+    inside = d > w_eps
     c = inside.sum(axis=1)  # (T,)
 
     # Rotate each triangle so the canonical pattern holds:
@@ -143,10 +153,12 @@ def clip_near_w(
     idx = (rot[:, None] + jnp.arange(3)[None, :]) % 3  # (T, 3)
     v = jnp.take_along_axis(corners, idx[:, :, None], axis=1)  # rotated corners
     b = jnp.take_along_axis(obary, idx[:, :, None], axis=1)
-    wv = v[..., 3]
+    dv = v[..., 3] - v[..., 2]
 
     def isect(i, j):
-        t = (w_eps - wv[:, i]) / (wv[:, j] - wv[:, i])
+        denom = dv[:, i] - dv[:, j]
+        denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+        t = (dv[:, i] - w_eps) / denom
         t = jnp.clip(t, 0.0, 1.0)[:, None]
         return _lerp(v[:, i], v[:, j], t), _lerp(b[:, i], b[:, j], t)
 

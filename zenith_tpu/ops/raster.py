@@ -289,6 +289,194 @@ def raster_interp_pass(
     return out_z, out_acc
 
 
+def _segmented_kernel(
+    # scalar prefetch
+    ty_ref,  # SMEM (B,)
+    tx_ref,  # SMEM (B,)
+    cnt_ref,  # SMEM (B,)
+    init_ref,  # SMEM (B,)
+    # streamed blocks
+    rast_ref,  # SMEM (CHUNK, 16 + D) — merged rast16 | corner data rows
+    initz_ref,  # VMEM (TH, TW)
+    z_alias_ref,  # ANY — aliased init buffer, untouched by the kernel
+    acc_alias_ref,  # ANY — aliased init buffer, untouched by the kernel
+    # outputs (revisited across a tile's consecutive blocks; aliased over the
+    # init buffers so tiles with no candidate blocks keep init content)
+    z_ref,  # VMEM (TH, TW)
+    acc_ref,  # VMEM (A+1, TH, TW)
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_attrs: int,
+    compare: Callable,
+    depth_write: bool,
+):
+    """Segmented forward-interpolating rasterizer: 1-D grid over entry
+    blocks; each block's tile routing (output block index, init flag, live
+    count) comes from scalar prefetch, so per-tile work is variable with no
+    capacity cap (see binning.bin_segmented)."""
+    del z_alias_ref, acc_alias_ref
+    b = pl.program_id(0)
+    a_n = num_attrs + 1
+
+    @pl.when(init_ref[b] == 1)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    count = cnt_ref[b]
+
+    @pl.when(count > 0)
+    def _process():
+        tx = tx_ref[b]
+        ty = ty_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
+        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+
+        sub = 8  # unrolled records per loop iteration
+
+        def body(s, carry):
+            z, *acc = carry
+            base = s * sub
+            for jj in range(sub):
+                i = base + jj
+                e01 = rast_ref[i, 0] * x + rast_ref[i, 1] * y + rast_ref[i, 2]
+                e12 = rast_ref[i, 3] * x + rast_ref[i, 4] * y + rast_ref[i, 5]
+                e20 = rast_ref[i, 6] * x + rast_ref[i, 7] * y + rast_ref[i, 8]
+                cov = (
+                    ((e01 > 0.0) | ((e01 == 0.0) & (rast_ref[i, 9] > 0.0)))
+                    & ((e12 > 0.0) | ((e12 == 0.0) & (rast_ref[i, 10] > 0.0)))
+                    & ((e20 > 0.0) | ((e20 == 0.0) & (rast_ref[i, 11] > 0.0)))
+                )
+                inv_det = rast_ref[i, 12]
+                w0 = e12 * inv_det
+                w1 = e20 * inv_det
+                w2 = e01 * inv_det
+                zpx = (
+                    w0 * rast_ref[i, 13]
+                    + w1 * rast_ref[i, 14]
+                    + w2 * rast_ref[i, 15]
+                )
+                cov &= i < count
+                cov &= (zpx >= 0.0) & (zpx <= 1.0)
+                passed = cov & compare(zpx, z)
+                if depth_write:
+                    z = jnp.where(passed, zpx, z)
+                new_acc = []
+                for a in range(a_n):
+                    plane = (
+                        w0 * rast_ref[i, 16 + a]
+                        + w1 * rast_ref[i, 16 + a_n + a]
+                        + w2 * rast_ref[i, 16 + 2 * a_n + a]
+                    )
+                    new_acc.append(jnp.where(passed, plane, acc[a]))
+                acc = new_acc
+            return (z, *acc)
+
+        n_sub = pl.cdiv(count, sub)
+        init_carry = (z_ref[:], *[acc_ref[a] for a in range(a_n)])
+        out = jax.lax.fori_loop(0, n_sub, body, init_carry)
+        z_ref[:] = out[0]
+        for a in range(a_n):
+            acc_ref[a] = out[1 + a]
+
+
+def raster_segmented(
+    bins,  # SegmentedBins
+    grid: TileGrid,
+    init_z: jnp.ndarray,
+    depth_test: bool = True,
+    depth_write: bool = True,
+    compare_op: CompareOp = CompareOp.GREATER,
+    interpret: Optional[bool] = None,
+) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Segmented-binning raster pass → (z (H, W), acc (A+1, H, W))."""
+    from zenith_tpu.ops.binning import ENTRY_CHUNK, SegmentedBins  # noqa: F401
+
+    if interpret is None:
+        interpret = pallas_interpret()
+    h, w = grid.height, grid.width
+    th, tw = grid.tile_h, grid.tile_w
+    b_max = bins.blk_count.shape[0]
+    chunk = ENTRY_CHUNK
+    d_total = bins.rast_pad.shape[-1]
+    d = d_total - 16
+    assert d % 3 == 0
+    a_n = d // 3
+    num_attrs = a_n - 1
+
+    effective_compare = compare_op if depth_test else CompareOp.ALWAYS
+    effective_write = depth_write and depth_test
+
+    kernel = functools.partial(
+        _segmented_kernel,
+        tile_h=th,
+        tile_w=tw,
+        num_attrs=num_attrs,
+        compare=_compare_fn(effective_compare),
+        depth_write=effective_write,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b_max,),
+        in_specs=[
+            pl.BlockSpec((chunk, d_total), lambda i, ty, tx, cnt, ini: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # z init (aliased → out 0)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # acc init (aliased → out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_n, th, tw),
+                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    init_z = init_z.astype(jnp.float32)
+    # Pad the logical surface to tile multiples: aliased buffers ARE the
+    # output buffers, whose padded regions the kernel may flush.
+    hp = grid.tiles_y * th
+    wp = grid.tiles_x * tw
+    z_seed = init_z
+    if (hp, wp) != (h, w):
+        z_seed = jnp.pad(init_z, ((0, hp - h), (0, wp - w)))
+    acc_seed = jnp.zeros((a_n, hp, wp), jnp.float32)
+
+    out_z, out_acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((a_n, hp, wp), jnp.float32),
+        ],
+        # args: 4 scalar-prefetch + [rows, initz, z_seed, acc_seed]; alias the
+        # seeds over the outputs so tiles with no candidates keep their init
+        # contents without dedicated init blocks.
+        input_output_aliases={6: 0, 7: 1},
+        interpret=interpret,
+    )(
+        bins.blk_tile_y,
+        bins.blk_tile_x,
+        bins.blk_count,
+        bins.blk_init,
+        bins.rast_pad,
+        z_seed,
+        z_seed,
+        acc_seed,
+    )
+    if (hp, wp) != (h, w):
+        out_z = out_z[:h, :w]
+        out_acc = out_acc[:, :h, :w]
+    return out_z, out_acc
+
+
 def visibility_pass(
     bins: TileBins,
     grid: TileGrid,

@@ -1,5 +1,27 @@
-"""Feature renderers (reference zenith-renderer/src/lib.rs:1-3)."""
+"""Feature renderers (reference zenith-renderer/src/lib.rs:1-3, widened to
+the BASELINE.md config ladder: triangle → mesh → shadow+forward → deferred
+PBR → post)."""
 
+from zenith_tpu.renderer.deferred import DeferredRenderer
+from zenith_tpu.renderer.forward import ForwardShadowRenderer
+from zenith_tpu.renderer.mesh import MeshRenderer
+from zenith_tpu.renderer.post import PostProcess
+from zenith_tpu.renderer.scene import (
+    DirectionalLight,
+    PointLight,
+    Scene,
+    SceneObject,
+)
 from zenith_tpu.renderer.triangle import TriangleRenderer
 
-__all__ = ["TriangleRenderer"]
+__all__ = [
+    "DeferredRenderer",
+    "DirectionalLight",
+    "ForwardShadowRenderer",
+    "MeshRenderer",
+    "PointLight",
+    "PostProcess",
+    "Scene",
+    "SceneObject",
+    "TriangleRenderer",
+]

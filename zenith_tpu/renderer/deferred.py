@@ -1,0 +1,343 @@
+"""Deferred shading — BASELINE.md config #4: "G-buffer + lighting with ~100
+point lights", with a Cook-Torrance GGX BRDF (the PBR of config #5).
+
+Node 1 (``gbuffer``, graphic, MRT): rasterizes the scene once into
+  - albedo+metallic   (RGBA32F: rgb albedo, a metallic)
+  - normal+roughness  (RGBA32F: xyz world normal, w roughness)
+  - world-pos+emissive-luma (RGBA32F)
+  plus reverse-Z depth.
+
+Node 2 (``lighting``, lambda): full-screen PBR resolve — sun (with optional
+PCF shadow) + N point lights accumulated with a fori_loop (compiler-friendly
+fixed trip count, no (H, W, L) materialization).
+
+Deferred shading is a natural fit here: the forward rasterizer already
+shades each pixel exactly once, but deferred keeps per-light work off the
+geometry pass and scales to hundreds of lights as pure elementwise math.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zenith_tpu.asset.render_types import Vertex as VERTEX_LAYOUT
+from zenith_tpu.core import mathtypes as m
+from zenith_tpu.core.camera import Camera
+from zenith_tpu.ops.sampling import sample_shadow_pcf
+from zenith_tpu.rendergraph import RenderGraphBuilder
+from zenith_tpu.rendergraph.resource import RenderGraphResource
+from zenith_tpu.renderer.forward import _SHADOW_SAMPLER, _shadow_vs, sun_view_projection
+from zenith_tpu.renderer.scene import DirectionalLight, Scene
+from zenith_tpu.rhi import (
+    ColorAttachmentDesc,
+    CullMode,
+    Format,
+    FrontFace,
+    GraphicShaderInput,
+    RasterizationState,
+    Shader,
+    TextureDesc,
+    uniform,
+)
+from zenith_tpu.rhi.state import CompareOp, DepthStencilDesc, GraphicPipelineState
+
+
+def _gbuffer_vs(attrs, res):
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    return {
+        "position": world @ res["ViewProj"].T,
+        "world_pos": world[:, :3],
+        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+        "uv": attrs["tex_coord"],
+    }
+
+
+def _gbuffer_fs(varyings, res, builtins):
+    n = varyings["normal"]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    n = jnp.where(builtins.front_facing[..., None], n, -n)
+    base = res["BaseColor"]
+    mat = res["MatParams"]  # (metallic, roughness, emissive_luma, _)
+    albedo_metal = jnp.concatenate(
+        [
+            jnp.broadcast_to(base[:3], n.shape),
+            jnp.broadcast_to(mat[0:1], n[..., :1].shape),
+        ],
+        axis=-1,
+    )
+    normal_rough = jnp.concatenate(
+        [n, jnp.broadcast_to(mat[1:2], n[..., :1].shape)], axis=-1
+    )
+    pos_emissive = jnp.concatenate(
+        [varyings["world_pos"], jnp.broadcast_to(mat[2:3], n[..., :1].shape)],
+        axis=-1,
+    )
+    # MRT outputs in attachment order (draw maps dict keys sorted).
+    return {
+        "0_albedo": albedo_metal,
+        "1_normal": normal_rough,
+        "2_pos": pos_emissive,
+    }
+
+
+def _ggx_brdf(n, v, l, albedo, metallic, roughness):
+    """Cook-Torrance GGX (Trowbridge-Reitz NDF, Smith-Schlick G, Schlick F)."""
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    ndl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+    ndv = jnp.maximum(jnp.sum(n * v, axis=-1, keepdims=True), 1e-4)
+    ndh = jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0)
+    vdh = jnp.maximum(jnp.sum(v * h, axis=-1, keepdims=True), 0.0)
+
+    a = jnp.maximum(roughness * roughness, 1e-3)
+    a2 = a * a
+    denom = ndh * ndh * (a2 - 1.0) + 1.0
+    d = a2 / jnp.maximum(np.pi * denom * denom, 1e-8)
+
+    k = (roughness + 1.0) ** 2 / 8.0
+    g = (ndv / (ndv * (1 - k) + k)) * (ndl / jnp.maximum(ndl * (1 - k) + k, 1e-8))
+
+    f0 = 0.04 * (1.0 - metallic) + albedo * metallic
+    f = f0 + (1.0 - f0) * jnp.power(1.0 - vdh, 5.0)
+
+    spec = d * g * f / jnp.maximum(4.0 * ndv * ndl, 1e-4)
+    kd = (1.0 - f) * (1.0 - metallic)
+    return (kd * albedo / np.pi + spec) * ndl
+
+
+class DeferredRenderer:
+    """G-buffer + PBR lighting over a Scene."""
+
+    def __init__(self, scene: Scene, shadows: bool = True):
+        self.scene = scene
+        self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
+        self.gbuffer_vs = Shader.vertex(
+            "gbuffer.vs", _gbuffer_vs, bindings=[uniform("Model"), uniform("ViewProj")]
+        )
+        self.gbuffer_fs = Shader.fragment(
+            "gbuffer.fs", _gbuffer_fs,
+            bindings=[uniform("BaseColor"), uniform("MatParams")],
+        )
+        from zenith_tpu.renderer.forward import ForwardShadowRenderer
+
+        self.shadow_vs = Shader.vertex(
+            "shadow.vs", _shadow_vs,
+            bindings=[uniform("Model"), uniform("LightViewProj")],
+        )
+
+    def render_to(
+        self,
+        builder: RenderGraphBuilder,
+        output: RenderGraphResource,
+        camera: Camera,
+        width: int,
+        height: int,
+        background=(0.02, 0.025, 0.035),
+    ) -> None:
+        scene = self.scene
+        sun = scene.sun
+        pl_pos, pl_col, pl_rad = scene.point_light_arrays()
+
+        builder.set_dynamic("def.view_proj", camera.render_view_projection)
+        builder.set_dynamic("def.camera_pos", camera.location)
+        builder.set_dynamic("def.ambient", np.asarray(scene.ambient, np.float32))
+        builder.set_dynamic("def.background", np.asarray(background, np.float32))
+        if pl_pos.shape[0]:
+            builder.set_dynamic("def.pl_pos", pl_pos)
+            builder.set_dynamic("def.pl_col", pl_col)
+            builder.set_dynamic("def.pl_rad", pl_rad)
+        if sun is not None:
+            builder.set_dynamic(
+                "def.sun_dir", m.normalize(np.asarray(sun.direction, np.float32))
+            )
+            builder.set_dynamic(
+                "def.sun_color", np.asarray(sun.color, np.float32) * sun.intensity
+            )
+        if self.shadows:
+            builder.set_dynamic("def.light_vp", sun_view_projection(sun))
+            builder.set_dynamic("def.shadow_bias", np.float32(sun.shadow_bias))
+            builder.set_dynamic(
+                "def.shadow_noffs", np.float32(sun.effective_normal_offset)
+            )
+        for obj in scene.objects:
+            builder.set_dynamic(f"def.model.{obj.name}", obj.model_matrix)
+            builder.set_dynamic(
+                f"def.base_color.{obj.name}", np.asarray(obj.base_color, np.float32)
+            )
+            lum = float(np.mean(np.asarray(obj.emissive)))
+            builder.set_dynamic(
+                f"def.mat.{obj.name}",
+                np.asarray([obj.metallic, obj.roughness, lum, 0.0], np.float32),
+            )
+
+        handles = [
+            (
+                builder.import_resource(o.vertex_buffer),
+                builder.import_resource(o.index_buffer),
+            )
+            for o in scene.objects
+        ]
+        objects = scene.objects
+
+        g_albedo = builder.create(TextureDesc.color("g.albedo", width, height))
+        g_normal = builder.create(TextureDesc.color("g.normal", width, height))
+        g_pos = builder.create(TextureDesc.color("g.pos", width, height))
+        g_depth = builder.create(TextureDesc.depth("g.depth", width, height))
+
+        # -- optional shadow node ------------------------------------------------
+        sm_handle = None
+        if self.shadows:
+            sm_handle = builder.create(
+                TextureDesc.depth("sun.shadow", sun.shadow_map_size, sun.shadow_map_size)
+            )
+            node = builder.add_graphic_node("shadow")
+            accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
+            sm = node.write(sm_handle)
+            with node.pipeline(
+                GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT),
+                GraphicPipelineState(
+                    rasterization=RasterizationState(
+                        cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
+                    )
+                ),
+            ) as binder:
+                binder.set_depth(
+                    sm,
+                    DepthStencilDesc(
+                        depth_test_enable=True,
+                        depth_write_enable=True,
+                        depth_compare_op=CompareOp.LESS,
+                        depth_clear_value=1.0,
+                    ),
+                )
+
+            def record_shadow(ctx):
+                ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
+                for obj, (vba, iba) in zip(objects, accesses):
+                    ctx.bind("Model", ctx.dynamic(f"def.model.{obj.name}"))
+                    ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
+                                 entry_budget=obj.entry_budget)
+
+            node.execute(record_shadow)
+
+        # -- node: G-buffer (MRT) -------------------------------------------------
+        node = builder.add_graphic_node("gbuffer")
+        accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
+        a_rt = node.write(g_albedo)
+        n_rt = node.write(g_normal)
+        p_rt = node.write(g_pos)
+        ds = node.write(g_depth)
+        with node.pipeline(
+            GraphicShaderInput(self.gbuffer_vs, self.gbuffer_fs, VERTEX_LAYOUT),
+            GraphicPipelineState(
+                rasterization=RasterizationState(
+                    cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
+                )
+            ),
+        ) as binder:
+            binder.push_color(a_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
+            binder.push_color(n_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 1)))
+            binder.push_color(p_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
+            binder.set_depth(ds, DepthStencilDesc().reverse_z())
+
+        def record_gbuffer(ctx):
+            ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+            for obj, (vba, iba) in zip(objects, accesses):
+                ctx.bind("Model", ctx.dynamic(f"def.model.{obj.name}"))
+                ctx.bind("BaseColor", ctx.dynamic(f"def.base_color.{obj.name}"))
+                ctx.bind("MatParams", ctx.dynamic(f"def.mat.{obj.name}"))
+                ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
+                                 entry_budget=obj.entry_budget)
+
+        node.execute(record_gbuffer)
+
+        # -- node: lighting resolve (lambda, full-screen) ---------------------------
+        node = builder.add_lambda_node("lighting")
+        a_in = node.read(g_albedo)
+        n_in = node.read(g_normal)
+        p_in = node.read(g_pos)
+        d_in = node.read(g_depth)
+        sm_in = node.read(sm_handle) if sm_handle is not None else None
+        out_w = node.write(output)
+        num_lights = pl_pos.shape[0]
+        shadows = self.shadows
+        has_sun = sun is not None
+
+        def record_lighting(ctx):
+            albedo_metal = ctx.get(a_in)
+            normal_rough = ctx.get(n_in)
+            pos_emi = ctx.get(p_in)
+            depth = ctx.get(d_in)
+
+            albedo = albedo_metal[..., :3]
+            metallic = albedo_metal[..., 3:4]
+            n = normal_rough[..., :3]
+            roughness = normal_rough[..., 3:4]
+            world = pos_emi[..., :3]
+            emissive = pos_emi[..., 3:4]
+            covered = (depth > 0.0)[..., None]
+
+            cam_pos = ctx.dynamic("def.camera_pos")
+            v = cam_pos - world
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+
+            color = ctx.dynamic("def.ambient") * albedo + emissive * albedo
+
+            if has_sun:
+                l = ctx.dynamic("def.sun_dir")
+                sun_c = ctx.dynamic("def.sun_color")
+                contrib = _ggx_brdf(n, v, jnp.broadcast_to(l, n.shape),
+                                    albedo, metallic, roughness) * sun_c
+                if shadows:
+                    sample_pos = world + n * ctx.dynamic("def.shadow_noffs")
+                    hom = jnp.concatenate(
+                        [sample_pos, jnp.ones_like(world[..., :1])], axis=-1
+                    )
+                    lclip = hom @ ctx.dynamic("def.light_vp").T
+                    uv = jnp.stack(
+                        [(lclip[..., 0] + 1) * 0.5, (lclip[..., 1] + 1) * 0.5], -1
+                    )
+                    ref = lclip[..., 2] - ctx.dynamic("def.shadow_bias")
+                    lit = sample_shadow_pcf(ctx.get(sm_in), uv, ref, _SHADOW_SAMPLER)
+                    inside = (
+                        (uv[..., 0] >= 0) & (uv[..., 0] <= 1)
+                        & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
+                    )
+                    contrib = contrib * jnp.where(inside, lit, 1.0)[..., None]
+                color = color + contrib
+
+            if num_lights:
+                pl_p = ctx.dynamic("def.pl_pos")  # (L, 3)
+                pl_c = ctx.dynamic("def.pl_col")
+                pl_r = ctx.dynamic("def.pl_rad")
+
+                def add_light(i, acc):
+                    lp = jax.lax.dynamic_slice(pl_p, (i, 0), (1, 3))[0]
+                    lc = jax.lax.dynamic_slice(pl_c, (i, 0), (1, 3))[0]
+                    lr = jax.lax.dynamic_slice(pl_r, (i,), (1,))[0]
+                    to_l = lp - world
+                    dist = jnp.maximum(
+                        jnp.linalg.norm(to_l, axis=-1, keepdims=True), 1e-4
+                    )
+                    l = to_l / dist
+                    # Inverse-square with a smooth radius cutoff.
+                    att = 1.0 / (dist * dist)
+                    win = jnp.clip(1.0 - (dist / lr) ** 4, 0.0, 1.0) ** 2
+                    contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness)
+                    return acc + contrib * lc * att * win
+
+                color = jax.lax.fori_loop(0, num_lights, add_light, color)
+
+            bg = jnp.broadcast_to(ctx.dynamic("def.background"), color.shape)
+            rgb = jnp.where(covered, color, bg)
+            out = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
+            ctx.set(out_w, out)
+
+        node.execute(record_lighting)

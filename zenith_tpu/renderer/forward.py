@@ -1,0 +1,264 @@
+"""Forward renderer with a shadow-map pass — BASELINE.md config #3:
+"Multi-pass rendergraph: shadow-map pass + forward lit pass".
+
+Two graph nodes:
+1. ``shadow``  — depth-only node (no color attachments) rendering every
+   scene object from the sun's orthographic camera. Regular-Z (near→0,
+   LESS), cleared to 1.0.
+2. ``forward`` — Blinn-Phong lit pass over the main camera with depth, each
+   fragment PCF-sampling the shadow map.
+
+In Vulkan the passes would be ordered by an image barrier on the shadow map
+(reference graph.rs:350-482); here node 2 simply consumes node 1's traced
+depth array — the dependency IS the schedule, and XLA may even overlap
+independent parts of both passes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from zenith_tpu.asset.render_types import Vertex as VERTEX_LAYOUT
+from zenith_tpu.core import mathtypes as m
+from zenith_tpu.core.camera import Camera
+from zenith_tpu.ops.sampling import sample_shadow_pcf
+from zenith_tpu.rendergraph import RenderGraphBuilder
+from zenith_tpu.rendergraph.resource import RenderGraphResource
+from zenith_tpu.renderer.scene import DirectionalLight, Scene
+from zenith_tpu.rhi import (
+    ColorAttachmentDesc,
+    CullMode,
+    FrontFace,
+    GraphicShaderInput,
+    RasterizationState,
+    Shader,
+    TextureDesc,
+    texture2d,
+    uniform,
+)
+from zenith_tpu.rhi.state import CompareOp, DepthStencilDesc, GraphicPipelineState
+
+
+def sun_view_projection(sun: DirectionalLight) -> np.ndarray:
+    """Orthographic light camera looking along -direction at the origin."""
+    d = m.normalize(np.asarray(sun.direction, np.float32))
+    eye = d * (0.5 * (sun.shadow_near + sun.shadow_far))
+    up = np.array([0, 0, 1], np.float32)
+    if abs(float(np.dot(d, up))) > 0.95:
+        up = np.array([0, 1, 0], np.float32)
+    view = m.look_to_rh(eye, -d, up)
+    e = sun.shadow_extent
+    proj = m.orthographic_rh(-e, e, -e, e, sun.shadow_near, sun.shadow_far)
+    # Same Vulkan Y flip as the main camera (render and sample agree).
+    return (m.VULKAN_Y_FLIP @ proj @ view).astype(np.float32)
+
+
+def _shadow_vs(attrs, res):
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    return {"position": world @ res["LightViewProj"].T}
+
+
+def _forward_vs(attrs, res):
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    return {
+        "position": world @ res["ViewProj"].T,
+        "world_pos": world[:, :3],
+        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+        "uv": attrs["tex_coord"],
+    }
+
+
+def _forward_fs(varyings, res, builtins):
+    n = varyings["normal"]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    n = jnp.where(builtins.front_facing[..., None], n, -n)
+    world = varyings["world_pos"]
+
+    l = res["LightDir"]
+    l = l / jnp.linalg.norm(l)
+    ndotl = jnp.maximum(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+
+    # Shadow test: project into the light's clip space, offsetting along the
+    # normal by ~a shadow texel (normal-offset sampling kills acne on faces
+    # steep in light space, where a constant depth bias cannot).
+    sample_pos = world + n * res["ShadowNormalOffset"]
+    hom = jnp.concatenate([sample_pos, jnp.ones_like(world[..., :1])], axis=-1)
+    light_clip = hom @ res["LightViewProj"].T  # ortho: w == 1
+    uv = jnp.stack(
+        [(light_clip[..., 0] + 1.0) * 0.5, (light_clip[..., 1] + 1.0) * 0.5],
+        axis=-1,
+    )
+    ref = light_clip[..., 2] - res["ShadowBias"]
+    lit = sample_shadow_pcf(res["ShadowMap"], uv, ref, _SHADOW_SAMPLER)
+    # Outside the shadow frustum → fully lit.
+    inside = (
+        (uv[..., 0] >= 0.0) & (uv[..., 0] <= 1.0)
+        & (uv[..., 1] >= 0.0) & (uv[..., 1] <= 1.0)
+    )
+    lit = jnp.where(inside, lit, 1.0)[..., None]
+
+    v = res["CameraPos"] - world
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
+    spec = jnp.power(jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0), 32.0)
+
+    albedo = jnp.broadcast_to(res["BaseColor"][:3], n.shape)
+    direct = res["LightColor"] * ndotl * lit
+    color = albedo * (res["Ambient"] + direct) + res["LightColor"] * spec * 0.25 * lit
+    return jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
+
+
+# PCF compare for regular-Z shadow maps: fragment lit when its light-depth
+# (minus bias) is ≤ the stored nearest-occluder depth.
+from zenith_tpu.rhi.sampler import AddressMode, BorderColor, SamplerConfig
+
+_SHADOW_SAMPLER = SamplerConfig(
+    address_mode_u=AddressMode.CLAMP_TO_EDGE,
+    address_mode_v=AddressMode.CLAMP_TO_EDGE,
+    compare_enable=True,
+    compare_op=CompareOp.LESS_OR_EQUAL,
+    border_color=BorderColor.OPAQUE_WHITE,
+)
+
+
+class ForwardShadowRenderer:
+    """Shadow pass + forward lit pass over a Scene."""
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        self.shadow_vs = Shader.vertex(
+            "shadow.vs", _shadow_vs,
+            bindings=[uniform("Model"), uniform("LightViewProj")],
+        )
+        self.forward_vs = Shader.vertex(
+            "forward.vs", _forward_vs,
+            bindings=[uniform("Model"), uniform("ViewProj")],
+        )
+        self.forward_fs = Shader.fragment(
+            "forward.fs", _forward_fs,
+            bindings=[
+                uniform("LightDir"), uniform("LightColor"), uniform("Ambient"),
+                uniform("CameraPos"), uniform("BaseColor"),
+                uniform("LightViewProj"), uniform("ShadowBias"),
+                uniform("ShadowNormalOffset"), texture2d("ShadowMap"),
+            ],
+        )
+
+    def render_to(
+        self,
+        builder: RenderGraphBuilder,
+        output: RenderGraphResource,
+        depth: RenderGraphResource,
+        camera: Camera,
+        clear_color=(0.05, 0.06, 0.08, 1.0),
+    ) -> None:
+        scene = self.scene
+        sun = scene.sun or DirectionalLight(cast_shadows=False)
+        light_vp = sun_view_projection(sun)
+        size = sun.shadow_map_size
+
+        builder.set_dynamic("fwd.view_proj", camera.render_view_projection)
+        builder.set_dynamic("fwd.camera_pos", camera.location)
+        builder.set_dynamic("fwd.light_vp", light_vp)
+        builder.set_dynamic("fwd.light_dir", m.normalize(np.asarray(sun.direction, np.float32)))
+        builder.set_dynamic(
+            "fwd.light_color",
+            np.asarray(sun.color, np.float32) * sun.intensity,
+        )
+        builder.set_dynamic("fwd.ambient", np.asarray(scene.ambient, np.float32))
+        builder.set_dynamic("fwd.shadow_bias", np.float32(sun.shadow_bias))
+        builder.set_dynamic(
+            "fwd.shadow_noffs", np.float32(sun.effective_normal_offset)
+        )
+        for obj in scene.objects:
+            builder.set_dynamic(f"fwd.model.{obj.name}", obj.model_matrix)
+            builder.set_dynamic(
+                f"fwd.base_color.{obj.name}", np.asarray(obj.base_color, np.float32)
+            )
+
+        # Import each object's buffers once.
+        handles = [
+            (
+                builder.import_resource(o.vertex_buffer),
+                builder.import_resource(o.index_buffer),
+            )
+            for o in scene.objects
+        ]
+
+        shadow_map = builder.create(TextureDesc.depth("sun.shadow", size, size))
+
+        # -- node 1: shadow (depth-only) --------------------------------------
+        node = builder.add_graphic_node("shadow")
+        accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
+        sm = node.write(shadow_map)
+        shader = GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT)
+        state = GraphicPipelineState(
+            rasterization=RasterizationState(
+                cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
+            )
+        )
+        with node.pipeline(shader, state) as binder:
+            binder.set_depth(
+                sm,
+                DepthStencilDesc(
+                    depth_test_enable=True,
+                    depth_write_enable=True,
+                    depth_compare_op=CompareOp.LESS,
+                    depth_clear_value=1.0,
+                ),
+            )
+
+        objects = scene.objects
+
+        def record_shadow(ctx):
+            ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
+            for obj, (vba, iba) in zip(objects, accesses):
+                ctx.bind("Model", ctx.dynamic(f"fwd.model.{obj.name}"))
+                ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
+                                 entry_budget=obj.entry_budget)
+
+        node.execute(record_shadow)
+
+        # -- node 2: forward lit ----------------------------------------------
+        node2 = builder.add_graphic_node("forward")
+        accesses2 = [(node2.read(vb), node2.read(ib)) for vb, ib in handles]
+        sm_read = node2.read(shadow_map)
+        rt = node2.write(output)
+        ds = node2.write(depth)
+        shader2 = GraphicShaderInput(self.forward_vs, self.forward_fs, VERTEX_LAYOUT)
+        state2 = GraphicPipelineState(
+            rasterization=RasterizationState(
+                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
+            )
+        )
+        with node2.pipeline(shader2, state2) as binder:
+            binder.push_color(rt, ColorAttachmentDesc(clear_value=tuple(clear_color)))
+            binder.set_depth(ds, DepthStencilDesc().reverse_z())
+
+        def record_forward(ctx):
+            ctx.bind("ViewProj", ctx.dynamic("fwd.view_proj"))
+            ctx.bind("CameraPos", ctx.dynamic("fwd.camera_pos"))
+            ctx.bind("LightDir", ctx.dynamic("fwd.light_dir"))
+            ctx.bind("LightColor", ctx.dynamic("fwd.light_color"))
+            ctx.bind("Ambient", ctx.dynamic("fwd.ambient"))
+            ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
+            ctx.bind("ShadowBias", ctx.dynamic("fwd.shadow_bias"))
+            ctx.bind("ShadowNormalOffset", ctx.dynamic("fwd.shadow_noffs"))
+            ctx.bind("ShadowMap", ctx.get(sm_read))
+            for obj, (vba, iba) in zip(objects, accesses2):
+                ctx.bind("Model", ctx.dynamic(f"fwd.model.{obj.name}"))
+                ctx.bind("BaseColor", ctx.dynamic(f"fwd.base_color.{obj.name}"))
+                ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
+                                 entry_budget=obj.entry_budget)
+
+        node2.execute(record_forward)

@@ -1,0 +1,115 @@
+"""Post-processing chain: bloom + tonemap (BASELINE.md config #5).
+
+Pure dense image ops — exactly what XLA eats for breakfast. Declared as one
+lambda node reading the HDR scene color and writing the LDR output:
+
+- bright-pass → 2× downsample → separable 9-tap gaussian (two 1-D convs —
+  MXU-friendly) → upsample → additive bloom;
+- ACES filmic tonemap (Narkowicz approximation) → linear LDR (the swapchain
+  present encode applies the sRGB transfer).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from zenith_tpu.rendergraph import RenderGraphBuilder
+from zenith_tpu.rendergraph.resource import RenderGraphResource
+
+_GAUSS9 = np.array(
+    [0.0162162, 0.0540541, 0.1216216, 0.1945946, 0.2270270,
+     0.1945946, 0.1216216, 0.0540541, 0.0162162],
+    np.float32,
+)
+
+
+def _blur_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """9-tap separable gaussian along one axis (edge-clamped)."""
+    out = jnp.zeros_like(img)
+    for i, w in enumerate(_GAUSS9):
+        shift = i - 4
+        rolled = jnp.roll(img, shift, axis=axis)
+        out = out + rolled * w
+    return out
+
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape[0] & ~1, img.shape[1] & ~1
+    x = img[:h, :w]
+    return x.reshape(h // 2, 2, w // 2, 2, -1).mean(axis=(1, 3))
+
+
+def _upsample2(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    up = jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+    return up[:h, :w]
+
+
+def aces_tonemap(x: jnp.ndarray) -> jnp.ndarray:
+    """Narkowicz ACES filmic approximation (linear HDR → linear LDR)."""
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def reinhard_tonemap(x: jnp.ndarray) -> jnp.ndarray:
+    return x / (1.0 + x)
+
+
+def tone_and_bloom(
+    hdr: jnp.ndarray,  # (H, W, 4) linear HDR
+    bloom_threshold: float = 1.0,
+    bloom_strength: float = 0.35,
+    tonemap: str = "aces",
+) -> jnp.ndarray:
+    rgb = hdr[..., :3]
+    h, w = rgb.shape[0], rgb.shape[1]
+
+    luma = jnp.sum(rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1,
+                   keepdims=True)
+    bright = rgb * jnp.maximum(luma - bloom_threshold, 0.0) / jnp.maximum(
+        luma, 1e-4
+    )
+    half = _downsample2(bright)
+    half = _blur_axis(_blur_axis(half, 0), 1)
+    half = _blur_axis(_blur_axis(half, 0), 1)  # wider kernel via 2 passes
+    bloom = _upsample2(half, h, w)
+
+    combined = rgb + bloom * bloom_strength
+    mapped = aces_tonemap(combined) if tonemap == "aces" else reinhard_tonemap(combined)
+    return jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1)
+
+
+class PostProcess:
+    """Declares the post node: HDR color in → LDR swapchain image out."""
+
+    def __init__(self, bloom_threshold: float = 1.0, bloom_strength: float = 0.35,
+                 tonemap: str = "aces"):
+        self.bloom_threshold = bloom_threshold
+        self.bloom_strength = bloom_strength
+        self.tonemap = tonemap
+
+    def render_to(
+        self,
+        builder: RenderGraphBuilder,
+        hdr_input: RenderGraphResource,
+        output: RenderGraphResource,
+    ) -> None:
+        node = builder.add_lambda_node("post")
+        src = node.read(hdr_input)
+        dst = node.write(output)
+        threshold = self.bloom_threshold
+        strength = self.bloom_strength
+        tonemap = self.tonemap
+
+        def record(ctx):
+            ctx.set(
+                dst,
+                tone_and_bloom(
+                    ctx.get(src),
+                    bloom_threshold=threshold,
+                    bloom_strength=strength,
+                    tonemap=tonemap,
+                ),
+            )
+
+        node.execute(record)

@@ -1,0 +1,135 @@
+"""Scene description shared by the feature renderers.
+
+The reference has no scene abstraction (TriangleRenderer is its only
+renderer); this is the minimal object/light model needed by BASELINE.md
+configs #3-#5 (shadow+forward, deferred with ~100 point lights, full PBR
+scene).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from zenith_tpu.asset.render_types import Mesh as MeshAsset
+from zenith_tpu.rhi import BufferUsage, Texture
+from zenith_tpu.rhi.device import RenderDevice
+from zenith_tpu.rhi.resource import Buffer
+
+
+@dataclass
+class SceneObject:
+    """One drawable: mesh buffers + transform + PBR material factors."""
+
+    name: str
+    vertex_buffer: Buffer
+    index_buffer: Buffer
+    model_matrix: np.ndarray
+    base_color: "tuple" = (1.0, 1.0, 1.0, 1.0)
+    metallic: float = 0.0
+    roughness: float = 0.6
+    emissive: "tuple" = (0.0, 0.0, 0.0)
+    base_color_texture: "Optional[Texture]" = None
+    bin_capacity: int = 1024
+    # tile×record pair budget for the segmented binner; None → 2×records.
+    # Raise when the frame-stats bin-overflow counter fires (close-ups bin
+    # each triangle into many tiles).
+    entry_budget: "Optional[int]" = None
+
+    @staticmethod
+    def from_mesh(device: RenderDevice, mesh: MeshAsset, name: str,
+                  model_matrix: "Optional[np.ndarray]" = None, **kwargs) -> "SceneObject":
+        return SceneObject(
+            name=name,
+            vertex_buffer=device.upload_buffer(f"{name}.vb", mesh.vertices, BufferUsage.VERTEX),
+            index_buffer=device.upload_buffer(f"{name}.ib", mesh.indices, BufferUsage.INDEX),
+            model_matrix=(np.asarray(model_matrix, np.float32)
+                          if model_matrix is not None else np.eye(4, dtype=np.float32)),
+            **kwargs,
+        )
+
+    @staticmethod
+    def quad(device: RenderDevice, name: str, size: float = 200.0,
+             z: float = 0.0, **kwargs) -> "SceneObject":
+        """A ground plane in the z-up world, facing +Z."""
+        s = size * 0.5
+        verts = np.array(
+            [
+                # position            normal       uv
+                [-s, -s, z, 0, 0, 1, 0, 0],
+                [s, -s, z, 0, 0, 1, 1, 0],
+                [s, s, z, 0, 0, 1, 1, 1],
+                [-s, s, z, 0, 0, 1, 0, 1],
+            ],
+            np.float32,
+        )
+        # Wound so the +Z face is front under the glTF pipeline state
+        # (COUNTER_CLOCKWISE fronts with the Vulkan Y flip baked into the
+        # camera matrices; this ordering is CCW seen from +Z in the y-up
+        # sense, which lands CCW on screen after the flip).
+        idx = np.array([0, 1, 2, 0, 2, 3], np.int32)
+        return SceneObject(
+            name=name,
+            vertex_buffer=device.upload_buffer(f"{name}.vb", verts, BufferUsage.VERTEX),
+            index_buffer=device.upload_buffer(f"{name}.ib", idx, BufferUsage.INDEX),
+            model_matrix=np.eye(4, dtype=np.float32),
+            bin_capacity=64,
+            **kwargs,
+        )
+
+
+@dataclass
+class DirectionalLight:
+    direction: "tuple" = (0.3, -0.5, 0.8)  # direction TOWARD the light
+    color: "tuple" = (1.0, 1.0, 1.0)
+    intensity: float = 3.0
+    cast_shadows: bool = True
+    shadow_map_size: int = 1024
+    shadow_extent: float = 120.0  # ortho half-extent in world units
+    shadow_near: float = 1.0
+    shadow_far: float = 400.0
+    shadow_bias: float = 2e-3
+    # Normal-offset shadow sampling: world-space offset along the surface
+    # normal before projecting into light space — the robust fix for acne on
+    # surfaces steep in light space. None → 1.5 shadow texels.
+    shadow_normal_offset: "float | None" = None
+
+    @property
+    def effective_normal_offset(self) -> float:
+        if self.shadow_normal_offset is not None:
+            return self.shadow_normal_offset
+        return 1.5 * (2.0 * self.shadow_extent) / self.shadow_map_size
+
+
+@dataclass
+class PointLight:
+    position: "tuple"
+    color: "tuple" = (1.0, 1.0, 1.0)
+    intensity: float = 100.0
+    radius: float = 50.0  # influence cutoff
+
+
+@dataclass
+class Scene:
+    objects: "list[SceneObject]" = field(default_factory=list)
+    sun: "Optional[DirectionalLight]" = None
+    point_lights: "list[PointLight]" = field(default_factory=list)
+    ambient: "tuple" = (0.03, 0.03, 0.04)
+
+    def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+        """(L, 3) positions, (L, 3) colors·intensity, (L,) radii."""
+        if not self.point_lights:
+            return (
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.float32),
+                np.zeros((0,), np.float32),
+            )
+        pos = np.array([pl.position for pl in self.point_lights], np.float32)
+        col = np.array(
+            [np.asarray(pl.color, np.float32) * pl.intensity for pl in self.point_lights],
+            np.float32,
+        )
+        rad = np.array([pl.radius for pl in self.point_lights], np.float32)
+        return pos, col, rad

@@ -142,6 +142,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         index_buffer: "RenderGraphResourceAccess | Any",
         resources: "Optional[Dict[str, Any]]" = None,
         bin_capacity: Optional[int] = None,
+        entry_budget: Optional[int] = None,
     ) -> None:
         """Record one indexed draw (the cmd_draw_indexed analog,
         triangle.rs:173)."""
@@ -167,6 +168,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             merged,
             self.grid,
             bin_capacity=bin_capacity or self._bin_capacity,
+            entry_budget=entry_budget,
         )
         self.stats.append(stats.bin_overflow)
 

@@ -1,0 +1,192 @@
+"""SceneApp — the full sandbox scene (BASELINE.md configs #3/#4/#5).
+
+cerberus + ground plane, sun with PCF shadows, ~100 point lights, rendered
+either forward (shadow + Blinn-Phong lit pass, config #3) or deferred
+(G-buffer + GGX PBR lighting, config #4) with a tonemap/bloom post chain
+(config #5) — all passes in ONE jitted frame program.
+
+Run:  python -m zenith_tpu.sandbox.scene -- --mode deferred --lights 100 \\
+          --frames 60 --out /tmp/scene.png
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+from typing import Optional
+
+import numpy as np
+
+from zenith_tpu.app import Args, RenderableApp, RenderContext
+from zenith_tpu.asset import AssetManager, AssetUrl, Mesh, registry
+from zenith_tpu.core.camera import Camera
+from zenith_tpu.core.mathtypes import Degree, Radians
+from zenith_tpu.renderer import (
+    DeferredRenderer,
+    DirectionalLight,
+    ForwardShadowRenderer,
+    PointLight,
+    PostProcess,
+    Scene,
+    SceneObject,
+)
+from zenith_tpu.rhi import Format, TextureDesc
+from zenith_tpu.sandbox.mesh import YUP_TO_ZUP, default_content_root
+from zenith_tpu.core import mathtypes as m
+
+
+def build_scene(render_device, num_lights: int, rng: np.random.Generator) -> Scene:
+    mgr = AssetManager(
+        root=default_content_root(),
+        cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
+    )
+    collection = mgr.request_load("mesh/cerberus/scene.gltf").get()
+    mesh = registry().get(AssetUrl(collection.mesh_urls[0]), Mesh)
+    bmin = mesh.vertices[:, :3].min(axis=0)
+    bmax = mesh.vertices[:, :3].max(axis=0)
+    center = 0.5 * (bmin + bmax)
+    model = YUP_TO_ZUP @ m.mat4_translation(-center)
+
+    # Ground sits just under the mesh's lowest point after the transform.
+    corners = np.stack(np.meshgrid(*zip(bmin, bmax), indexing="ij"), -1).reshape(-1, 3)
+    z_min = min(
+        float(m.transform_point(model, c)[2]) for c in corners
+    )
+
+    gun = SceneObject.from_mesh(
+        render_device, mesh, "cerberus", model_matrix=model,
+        base_color=(0.62, 0.57, 0.55, 1.0), metallic=0.85, roughness=0.45,
+        entry_budget=8 * mesh.num_triangles,
+    )
+    ground = SceneObject.quad(
+        render_device, "ground", size=400.0, z=z_min - 2.0,
+        base_color=(0.28, 0.3, 0.33, 1.0), metallic=0.0, roughness=0.9,
+    )
+
+    lights = []
+    radius_xy = float(np.linalg.norm(bmax - bmin)) * 0.7
+    for i in range(num_lights):
+        ang = 2 * math.pi * i / max(num_lights, 1)
+        r = radius_xy * (0.4 + 0.6 * rng.uniform())
+        hue = rng.uniform(0, 1)
+        col = np.array(
+            [abs(math.sin(hue * math.pi * 2)), abs(math.sin((hue + 1 / 3) * math.pi * 2)),
+             abs(math.sin((hue + 2 / 3) * math.pi * 2))],
+            np.float32,
+        )
+        lights.append(
+            PointLight(
+                position=(r * math.cos(ang), r * math.sin(ang),
+                          z_min + 4.0 + 20.0 * rng.uniform()),
+                color=tuple(col),
+                intensity=400.0 + 600.0 * rng.uniform(),
+                radius=60.0,
+            )
+        )
+
+    return Scene(
+        objects=[gun, ground],
+        sun=DirectionalLight(
+            direction=(0.35, -0.3, 0.88),
+            intensity=2.5,
+            shadow_map_size=1024,
+            shadow_extent=90.0,
+        ),
+        point_lights=lights,
+        ambient=(0.02, 0.02, 0.03),
+    )
+
+
+class SceneApp(RenderableApp):
+    def __init__(self, args: Args):
+        super().__init__(args)
+        parser = argparse.ArgumentParser("scene-app")
+        parser.add_argument("--mode", choices=["forward", "deferred"], default="deferred")
+        parser.add_argument("--lights", type=int, default=100)
+        parser.add_argument("--no-post", action="store_true")
+        ns, _ = parser.parse_known_args(args.app_args)
+        self.mode = ns.mode
+        self.num_lights = ns.lights if self.mode == "deferred" else 0
+        self.post_enabled = not ns.no_post
+        self.renderer = None
+        self.post: Optional[PostProcess] = None
+        self.camera: Optional[Camera] = None
+        self.orbit = 0.0
+        self._radius = 120.0
+        self._height = 20.0
+
+    def prepare(self, render_device, window) -> None:
+        rng = np.random.default_rng(42)
+        scene = build_scene(render_device, self.num_lights, rng)
+        if self.mode == "deferred":
+            self.renderer = DeferredRenderer(scene)
+        else:
+            self.renderer = ForwardShadowRenderer(scene)
+        self.post = PostProcess() if self.post_enabled else None
+        self.camera = Camera(
+            fov_y=Degree(35.0), aspect_ratio=window.width / max(window.height, 1)
+        )
+        self._radius = 170.0
+        self._height = 25.0
+        self._update_camera()
+
+    def tick(self, delta_time: float) -> None:
+        self.orbit += delta_time * float(os.environ.get("ZENITH_ORBIT_SPEED", "0.4"))
+        self._update_camera()
+
+    def _update_camera(self) -> None:
+        x = math.sin(self.orbit) * self._radius
+        y = -math.cos(self.orbit) * self._radius
+        self.camera.set_position(np.array([x, y, self._height], np.float32))
+        pitch = -math.atan2(self._height - 5.0, self._radius)
+        self.camera.set_yaw_pitch(Radians(self.orbit), Radians(pitch))
+
+    def render(self, context: RenderContext) -> None:
+        width, height = context.extent
+        if width == 0 or height == 0:
+            return
+        builder = context.builder()
+        out = builder.import_resource(context.swapchain_texture())
+
+        if self.post is not None:
+            hdr = builder.create(
+                TextureDesc.color("scene.hdr", width, height, Format.RGBA32F)
+            )
+            target = hdr
+        else:
+            target = out
+
+        if self.mode == "deferred":
+            self.renderer.render_to(builder, target, self.camera, width, height)
+        else:
+            depth = builder.create(TextureDesc.depth("scene.depth", width, height))
+            self.renderer.render_to(builder, target, depth, self.camera)
+
+        if self.post is not None:
+            self.post.render_to(builder, hdr, out)
+
+
+def main() -> None:
+    from zenith_tpu.launch import launch
+    from zenith_tpu.window import Window
+
+    parser = argparse.ArgumentParser("zenith-sandbox scene")
+    parser.add_argument("--frames", type=int, default=60)
+    parser.add_argument("--out", type=str, default=None)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=1080)
+    parser.add_argument("--readback-interval", type=int, default=1)
+    known, rest = parser.parse_known_args()
+    os.environ.setdefault("ZENITH_READBACK_INTERVAL", str(known.readback_interval))
+
+    window = Window(width=known.width, height=known.height, title="scene")
+    loop = launch(SceneApp, argv=rest, window=window, max_frames=known.frames)
+    if known.out and window.last_frame is not None:
+        window.write_png(known.out, window.last_frame)
+        print(f"wrote {known.out}")
+    print(f"rendered {loop.frames_rendered} frames")
+
+
+if __name__ == "__main__":
+    main()
