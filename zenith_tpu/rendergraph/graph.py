@@ -209,7 +209,21 @@ class RenderGraph:
         return out
 
     def _structure_key(self, options: CompileOptions) -> str:
-        h = hashlib.sha256()
+        # Per-frame host hot path: hash with the native 64-bit hasher when
+        # available (zenith_tpu.native), sha256 otherwise.
+        from zenith_tpu.core.collections import default_hasher
+
+        parts: "List[bytes]" = []
+
+        class _H:
+            def update(self, b: bytes) -> None:
+                parts.append(b)
+
+            def hexdigest(self) -> str:
+                blob = b"\x00".join(parts)
+                return f"{default_hasher(blob):016x}"
+
+        h = _H()
 
         def feed(*items):
             for it in items:

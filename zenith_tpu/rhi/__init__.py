@@ -6,6 +6,15 @@ jax: resources expose their `jax.Array`s directly, and upper layers may use
 jnp freely — the abstraction is deliberately leaky in the same way.
 """
 
+from zenith_tpu.rhi.command import (
+    CommandEncoder,
+    CommandPool,
+    DeferReleaseQueue,
+    ImmediateCommandEncoder,
+    LastFreedStats,
+    UploadPool,
+)
+from zenith_tpu.rhi.derive import float1, vec2, vec3, vec4, vertex_layout
 from zenith_tpu.rhi.device import (
     NUM_BACK_BUFFERS,
     FrameStats,

@@ -88,12 +88,12 @@ class Window:
 
     @staticmethod
     def write_png(path: "Union[str, Path]", image: np.ndarray) -> None:
-        from PIL import Image
+        from zenith_tpu.native import encode_png
 
         arr = np.asarray(image)
         if arr.shape[-1] == 4:
             # Host images arrive in the swapchain format's channel order;
             # BGRA → RGB for viewing.
             arr = arr[..., [2, 1, 0]]
-        Image.fromarray(arr, "RGB").save(str(path))
+        Path(path).write_bytes(encode_png(arr))
         logger.debug("wrote %s", path)
