@@ -426,3 +426,38 @@ class TestInterpolation:
         rows = np.where(m[:, W // 2])[0]
         midrow = rows[len(rows) // 2]
         assert mid[midrow] < 0.45
+
+
+class TestFusedSetup:
+    """setup_with_attrs (production) ≡ setup_triangles + corner_attributes."""
+
+    def test_equivalent_to_split_path(self, rng):
+        import jax.numpy as jnp
+        from zenith_tpu.ops import corner_attributes, setup_with_attrs
+
+        nv = 40
+        pos = rng.uniform(-1.3, 1.3, size=(nv, 2))
+        zz = rng.uniform(-0.2, 1.1, size=(nv, 1))  # some beyond depth range
+        ww = rng.uniform(0.5, 3.0, size=(nv, 1))
+        clip = np.concatenate([pos * ww, zz * ww, ww], axis=1).astype(np.float32)
+        # a vertex behind the near plane to exercise clipping
+        clip[0] = [0.1, 0.1, 2.0, 1.0]  # z > w → clipped
+        idx = rng.integers(0, nv, size=(25, 3)).astype(np.int32)
+        vary = rng.uniform(0, 1, size=(nv, 5)).astype(np.float32)
+
+        rec_old = setup_triangles(
+            jnp.asarray(clip), jnp.asarray(idx), W, H, cull_mode=CullMode.NONE
+        )
+        corner_old = corner_attributes(rec_old, jnp.asarray(idx), jnp.asarray(vary))
+        rec_new, corner_new = setup_with_attrs(
+            jnp.asarray(clip), jnp.asarray(idx), jnp.asarray(vary),
+            W, H, cull_mode=CullMode.NONE,
+        )
+        np.testing.assert_array_equal(np.asarray(rec_old.valid), np.asarray(rec_new.valid))
+        np.testing.assert_allclose(
+            np.asarray(rec_old.rast16), np.asarray(rec_new.rast16), atol=1e-4, rtol=1e-4
+        )
+        v = np.asarray(rec_new.valid)
+        np.testing.assert_allclose(
+            np.asarray(corner_old)[v], np.asarray(corner_new)[v], atol=1e-4, rtol=1e-3
+        )

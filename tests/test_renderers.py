@@ -213,3 +213,54 @@ class TestPost:
         near = img[H // 2 + 3, W // 2, :3].sum()
         far = img[4, 8, :3].sum()
         assert near > far + 1e-3
+
+
+class TestTexturedDeferred:
+    def test_checker_albedo_modulates(self, device):
+        """Textured G-buffer: a UV-checkered ground modulates albedo; texture
+        resources (mip tuples) flow through graph import → bind → sample."""
+        import jax.numpy as jnp
+        from zenith_tpu.rhi import Format, Texture
+
+        # 32×32-cell checker (cells small enough to alternate within the
+        # visible ground span), no mips.
+        n = 64
+        yy, xx = np.mgrid[0:n, 0:n]
+        cell = (((yy // 2) + (xx // 2)) % 2).astype(np.uint8)
+        px = np.zeros((n, n, 4), np.uint8)
+        px[..., :3] = (cell * 255)[..., None]
+        px[..., 3] = 255
+        checker = Texture.from_numpy("chk", px, Format.RGBA8_UNORM)
+        white = Texture.from_numpy(
+            "white", np.full((1, 1, 4), 255, np.uint8), Format.RGBA8_UNORM
+        )
+
+        cube = SceneObject.from_mesh(
+            device, make_cube(size=14.0, z0=8.0), "cube",
+            base_color=(1, 1, 1, 1), bin_capacity=64, base_color_texture=white,
+        )
+        ground = SceneObject.quad(
+            device, "ground", size=200.0, z=0.0,
+            base_color=(1, 1, 1, 1), base_color_texture=checker,
+        )
+        scene = Scene(
+            objects=[cube, ground],
+            sun=DirectionalLight(direction=(0.0, 0.0, 1.0), intensity=2.0,
+                                 cast_shadows=False),
+            ambient=(0.1, 0.1, 0.1),
+        )
+        renderer = DeferredRenderer(scene, shadows=False)
+        assert renderer.textured
+        cam = make_camera()
+
+        def build(builder):
+            color = builder.create(TextureDesc.color("rt", W, H))
+            renderer.render_to(builder, color, cam, W, H)
+            return color
+
+        img = run_graph(device, build)
+        # Ground rows must alternate bright/dark along x (checker), i.e. show
+        # big brightness variance vs the untextured cube face.
+        row = img[H - 6, :, :3].sum(-1)
+        ground_px = row[row > 0.01]
+        assert ground_px.std() > 0.2 * ground_px.mean()

@@ -24,6 +24,7 @@ from zenith_tpu.ops.geometry import (
     clip_near_w,
     corner_attributes,
     setup_triangles,
+    setup_with_attrs,
     transform_vertices,
 )
 from zenith_tpu.ops.raster import (

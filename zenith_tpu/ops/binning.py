@@ -116,12 +116,22 @@ def bin_segmented(
     t = grid.num_tiles
     tiles_x = grid.tiles_x
     chunk = ENTRY_CHUNK
+    rast16 = records.rast16
+    valid = records.valid
+    corner_flat = corner_data.reshape(r, -1)
+    # (A stable-argsort record-compaction pass was tried here and measured
+    # net-slower on TPU than binning the sparse valid mask directly.)
+    compact_overflow = jnp.int32(0)
+
     if entry_budget is None:
         # Real tri-tile pair counts hug 1.2×R for typical meshes; kernel grid
         # steps cost ~µs each, so the budget should hug reality. Overflow is
         # counted — callers raise the budget when it fires.
         entry_budget = max(2 * r, 8192)
-    b_max = cdiv(entry_budget, chunk)
+    # +T: every tile rounds its segment up to a whole block, so sparse
+    # coverage (a screen-filling quad: 1-2 entries in hundreds of tiles) can
+    # need up to one block per tile beyond the entry budget.
+    b_max = cdiv(entry_budget, chunk) + t
 
     xmin, ymin, xmax, ymax = (records.aabb[:, i] for i in range(4))
     tx0 = jnp.clip(jnp.floor(xmin / grid.tile_w), 0, grid.tiles_x - 1).astype(jnp.int32)
@@ -132,7 +142,6 @@ def bin_segmented(
     sy = ty1 - ty0 + 1
     span = sx * sy
 
-    valid = records.valid
     small = valid & (span <= span_cap)
     huge = valid & (span > span_cap)
 
@@ -229,16 +238,13 @@ def bin_segmented(
     # One merged (rast16 | corner-data) row per entry: a single SMEM stream
     # per kernel block (two separate streams doubled the unhidden DMA latency
     # that dominates per-block cost).
-    d = corner_data.shape[1] * corner_data.shape[2]
-    merged = jnp.concatenate(
-        [records.rast16, corner_data.reshape(r, d)], axis=1
-    )
+    merged = jnp.concatenate([rast16, corner_flat], axis=1)
     rows = jnp.take(merged, rec_idx, axis=0)
     rows = jnp.where(src_ok[:, None], rows, 0.0)
     rast_rows = rows  # (B*CHUNK, 16+D)
     attr_rows = jnp.zeros((0,), jnp.float32)  # folded into rast_rows
 
-    overflow = huge_dropped + block_overflow * chunk
+    overflow = huge_dropped + block_overflow * chunk + compact_overflow
     return SegmentedBins(
         jnp.take(t_ty, tile_of_b),
         jnp.take(t_tx, tile_of_b),

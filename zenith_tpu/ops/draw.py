@@ -82,19 +82,8 @@ def draw_indexed(
         f"vertex shader must return clip-space 'position' (N, 4), got {clip.shape}"
     )
 
-    # -- primitive assembly + setup ------------------------------------------
+    # -- primitive assembly + setup (fused with attribute gathering) ----------
     indices = index_buffer.reshape(-1, 3)
-    records = geometry.setup_triangles(
-        clip,
-        indices,
-        grid.width,
-        grid.height,
-        cull_mode=rast_state.cull_mode,
-        front_face=rast_state.front_face,
-        viewport=viewport,
-    )
-
-    # Flatten varyings (declaration order) for in-kernel interpolation.
     attr_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
                    for name, v in vs_out.items()]
     if vs_out:
@@ -104,7 +93,16 @@ def draw_indexed(
         )
     else:
         flat_vary = jnp.zeros((clip.shape[0], 0), jnp.float32)
-    corner_data = geometry.corner_attributes(records, indices, flat_vary)
+    records, corner_data = geometry.setup_with_attrs(
+        clip,
+        indices,
+        flat_vary,
+        grid.width,
+        grid.height,
+        cull_mode=rast_state.cull_mode,
+        front_face=rast_state.front_face,
+        viewport=viewport,
+    )
     attr_layout.append(("__front", 1))
 
     # -- binning + raster ------------------------------------------------------

@@ -65,6 +65,174 @@ class TriangleRecords(NamedTuple):
     aabb: jnp.ndarray  # (R, 4) f32: xmin, ymin, xmax, ymax (pixels)
 
 
+def setup_with_attrs(
+    clip_positions: jnp.ndarray,  # (Nv, 4)
+    indices: jnp.ndarray,  # (T, 3)
+    varyings: jnp.ndarray,  # (Nv, A) flattened vertex-stage outputs
+    width: int,
+    height: int,
+    cull_mode: CullMode = CullMode.BACK,
+    front_face: FrontFace = FrontFace.COUNTER_CLOCKWISE,
+    viewport: "tuple | None" = None,
+) -> "tuple[TriangleRecords, jnp.ndarray]":
+    """Fused triangle setup + corner-attribute production.
+
+    The production path: gathers (clip | varyings) per corner ONCE and
+    carries the full payload through the near clipper (lerping attributes
+    directly instead of barycentric bookkeeping), then builds both the
+    raster records and the (R, 3, A+2) corner-interpolation data
+    [attr·iw …, front·iw, iw] in one pass. Compared to setup_triangles +
+    corner_attributes this removes one gather per stage — gathers are the
+    dominant host-visible cost of geometry processing on TPU.
+    """
+    indices = indices.astype(jnp.int32)
+    t = indices.shape[0]
+    a = varyings.shape[1]
+    combined = jnp.concatenate(
+        [clip_positions.astype(jnp.float32), varyings.astype(jnp.float32)], axis=1
+    )
+    corners = jnp.take(combined, indices.reshape(-1), axis=0).reshape(t, 3, 4 + a)
+
+    corners2, valid = _clip_payload(corners)
+    tri_id = jnp.concatenate(
+        [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
+    )
+
+    records = _records_from_corners(
+        corners2[..., :4], valid, tri_id, width, height,
+        cull_mode, front_face, viewport,
+    )
+
+    # Corner interpolation data: [attr·iw…, front·iw, iw].
+    w = jnp.maximum(corners2[..., 3], NEAR_W_EPS)
+    iw = (1.0 / w)[..., None]  # (R, 3, 1)
+    attrs = corners2[..., 4:]
+    r2 = corners2.shape[0]
+    front = jnp.broadcast_to(
+        records.shade16[:, SHADE_FRONT][:, None, None], (r2, 3, 1)
+    )
+    corner_data = jnp.concatenate([attrs * iw, front * iw, iw], axis=-1)
+    return records, corner_data.astype(jnp.float32)
+
+
+def _clip_payload(corners: jnp.ndarray, w_eps: float = NEAR_W_EPS):
+    """clip_near_w generalized to an arbitrary per-corner payload
+    (xyzw | attrs…): lerp everything across the z ≤ w plane."""
+    d = corners[..., 3] - corners[..., 2]
+    inside = d > w_eps
+    c = inside.sum(axis=1)
+
+    rot1 = jnp.argmax(inside, axis=1)
+    rot2 = (jnp.argmin(inside, axis=1) + 1) % 3
+    rot = jnp.where(c == 1, rot1, jnp.where(c == 2, rot2, 0))
+    idx = (rot[:, None] + jnp.arange(3)[None, :]) % 3
+    v = jnp.take_along_axis(corners, idx[:, :, None], axis=1)
+    dv = v[..., 3] - v[..., 2]
+
+    def isect(i, j):
+        denom = dv[:, i] - dv[:, j]
+        denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+        tt = jnp.clip((dv[:, i] - w_eps) / denom, 0.0, 1.0)[:, None]
+        return v[:, i] + (v[:, j] - v[:, i]) * tt
+
+    p01 = isect(0, 1)
+    p12 = isect(1, 2)
+    p02 = isect(0, 2)
+
+    full = jnp.stack([v[:, 0], v[:, 1], v[:, 2]], 1)
+    one = jnp.stack([v[:, 0], p01, p02], 1)
+    two_a = jnp.stack([v[:, 0], v[:, 1], p12], 1)
+    two_b = jnp.stack([v[:, 0], p12, p02], 1)
+
+    c_ = c[:, None, None]
+    out1 = jnp.where(c_ == 3, full, jnp.where(c_ == 2, two_a, one))
+    corners2 = jnp.concatenate([out1, two_b], axis=0)
+    valid = jnp.concatenate([c >= 1, c == 2], axis=0)
+    return corners2, valid
+
+
+def _records_from_corners(
+    corners: jnp.ndarray,  # (R, 3, 4) clipped clip-space positions
+    valid: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_mode: CullMode,
+    front_face: FrontFace,
+    viewport: "tuple | None",
+) -> TriangleRecords:
+    """Viewport transform + edge setup shared by both setup paths."""
+    w = jnp.maximum(corners[..., 3], NEAR_W_EPS)
+    iw = 1.0 / w
+    ndc = corners[..., :3] * iw[..., None]
+    if viewport is not None:
+        vx0, vy0, full_w, full_h = viewport
+    else:
+        vx0, vy0, full_w, full_h = 0, 0, width, height
+    sx = (ndc[..., 0] + 1.0) * (0.5 * full_w) - vx0
+    sy = (ndc[..., 1] + 1.0) * (0.5 * full_h) - vy0
+    sz = ndc[..., 2]
+
+    x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
+    y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
+
+    det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
+    is_cw = det > 0.0
+    front = is_cw if front_face == FrontFace.CLOCKWISE else ~is_cw
+
+    valid = valid & (det != 0.0)
+    if cull_mode == CullMode.BACK:
+        valid = valid & front
+    elif cull_mode == CullMode.FRONT:
+        valid = valid & ~front
+
+    s = jnp.where(is_cw, 1.0, -1.0).astype(jnp.float32)
+
+    def edge(xi, yi, xj, yj):
+        aa = (yi - yj) * s
+        bb = (xj - xi) * s
+        cc = -(aa * xi + bb * yi)
+        dx = (xj - xi) * s
+        dy = (yj - yi) * s
+        tl = (dy < 0.0) | ((dy == 0.0) & (dx > 0.0))
+        return aa, bb, cc, tl.astype(jnp.float32)
+
+    a01, b01, c01, tl01 = edge(x0, y0, x1, y1)
+    a12, b12, c12, tl12 = edge(x1, y1, x2, y2)
+    a20, b20, c20, tl20 = edge(x2, y2, x0, y0)
+
+    abs_det = jnp.abs(det)
+    inv_det = jnp.where(abs_det > 0.0, 1.0 / jnp.where(abs_det > 0, abs_det, 1.0), 0.0)
+
+    rast16 = jnp.stack(
+        [a01, b01, c01, a12, b12, c12, a20, b20, c20,
+         tl01, tl12, tl20, inv_det, sz[:, 0], sz[:, 1], sz[:, 2]],
+        axis=1,
+    ).astype(jnp.float32)
+
+    zeros = jnp.zeros_like(det)
+    shade16 = jnp.stack(
+        [iw[:, 0], iw[:, 1], iw[:, 2],
+         jnp.ones_like(det), zeros, zeros, jnp.ones_like(det), zeros, zeros,
+         front.astype(jnp.float32),
+         zeros, zeros, zeros, zeros, zeros, zeros],
+        axis=1,
+    ).astype(jnp.float32)
+
+    xmin = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmax = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
+    valid = valid & (xmax > 0) & (xmin < width) & (ymax > 0) & (ymin < height)
+    zmin = jnp.minimum(jnp.minimum(sz[:, 0], sz[:, 1]), sz[:, 2])
+    zmax = jnp.maximum(jnp.maximum(sz[:, 0], sz[:, 1]), sz[:, 2])
+    valid = valid & (zmax >= 0.0) & (zmin <= 1.0)
+
+    aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=1).astype(jnp.float32)
+    rast16 = jnp.where(valid[:, None], rast16, 0.0)
+    return TriangleRecords(rast16, shade16, tri_id, valid, aabb)
+
+
 def corner_attributes(
     records: "TriangleRecords",
     indices: jnp.ndarray,  # (T, 3) i32 original index buffer

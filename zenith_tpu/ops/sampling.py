@@ -185,6 +185,29 @@ def sample_2d_lod(
     return s0 * (1 - frac) + s1 * frac
 
 
+def sample_texture(
+    tex,  # (H, W, C) array | tuple of mip arrays (graph import of a mipped Texture)
+    uv: jnp.ndarray,  # (H, W, 2) dense UV image (fragment-stage varying)
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Sample a bound texture resource inside a fragment shader.
+
+    Accepts what ``ctx.get`` yields for an imported texture: a plain array
+    (single level) or a tuple of mip arrays — mipped textures use trilinear
+    filtering with screen-space-derivative LOD (the GPU's implicit-LOD
+    sample), which requires the dense (H, W, 2) UV image fragment shaders
+    receive.
+    """
+    if isinstance(tex, (tuple, list)):
+        if len(tex) == 1 or sampler.mipmap_mode is None:
+            return sample_2d(tex[0], uv, sampler)
+        packed = pack_mips(list(tex))
+        h0, w0 = tex[0].shape[0], tex[0].shape[1]
+        lod = screen_space_lod(uv, w0, h0)
+        return sample_2d_lod(packed, uv, lod, sampler)
+    return sample_2d(tex, uv, sampler)
+
+
 def sample_shadow_pcf(
     shadow_depth: jnp.ndarray,  # (H, W) depth map (reverse-Z)
     uv: jnp.ndarray,  # (..., 2)

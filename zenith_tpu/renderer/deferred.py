@@ -59,32 +59,40 @@ def _gbuffer_vs(attrs, res):
     }
 
 
-def _gbuffer_fs(varyings, res, builtins):
-    n = varyings["normal"]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
-    n = jnp.where(builtins.front_facing[..., None], n, -n)
-    base = res["BaseColor"]
-    mat = res["MatParams"]  # (metallic, roughness, emissive_luma, _)
-    albedo_metal = jnp.concatenate(
-        [
-            jnp.broadcast_to(base[:3], n.shape),
-            jnp.broadcast_to(mat[0:1], n[..., :1].shape),
-        ],
-        axis=-1,
-    )
-    normal_rough = jnp.concatenate(
-        [n, jnp.broadcast_to(mat[1:2], n[..., :1].shape)], axis=-1
-    )
-    pos_emissive = jnp.concatenate(
-        [varyings["world_pos"], jnp.broadcast_to(mat[2:3], n[..., :1].shape)],
-        axis=-1,
-    )
-    # MRT outputs in attachment order (draw maps dict keys sorted).
-    return {
-        "0_albedo": albedo_metal,
-        "1_normal": normal_rough,
-        "2_pos": pos_emissive,
-    }
+def _make_gbuffer_fs(textured: bool):
+    def _gbuffer_fs(varyings, res, builtins):
+        n = varyings["normal"]
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+        n = jnp.where(builtins.front_facing[..., None], n, -n)
+        base = res["BaseColor"]
+        mat = res["MatParams"]  # (metallic, roughness, emissive_luma, _)
+        albedo = jnp.broadcast_to(base[:3], n.shape)
+        if textured:
+            from zenith_tpu.ops.sampling import sample_texture
+            from zenith_tpu.rhi.sampler import SamplerConfig
+
+            albedo = albedo * sample_texture(
+                res["BaseColorTex"], varyings["uv"], SamplerConfig.linear()
+            )[..., :3]
+        albedo_metal = jnp.concatenate(
+            [albedo, jnp.broadcast_to(mat[0:1], n[..., :1].shape)],
+            axis=-1,
+        )
+        normal_rough = jnp.concatenate(
+            [n, jnp.broadcast_to(mat[1:2], n[..., :1].shape)], axis=-1
+        )
+        pos_emissive = jnp.concatenate(
+            [varyings["world_pos"], jnp.broadcast_to(mat[2:3], n[..., :1].shape)],
+            axis=-1,
+        )
+        # MRT outputs in attachment order (draw maps dict keys sorted).
+        return {
+            "0_albedo": albedo_metal,
+            "1_normal": normal_rough,
+            "2_pos": pos_emissive,
+        }
+
+    return _gbuffer_fs
 
 
 def _ggx_brdf(n, v, l, albedo, metallic, roughness):
@@ -118,12 +126,25 @@ class DeferredRenderer:
     def __init__(self, scene: Scene, shadows: bool = True):
         self.scene = scene
         self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
+        # Textured mode: every object must carry a base-color texture (bind a
+        # 1x1 white texture for plain objects — the standard bindless trick).
+        self.textured = any(o.base_color_texture is not None for o in scene.objects)
+        if self.textured:
+            missing = [o.name for o in scene.objects if o.base_color_texture is None]
+            assert not missing, (
+                f"textured scene: objects without base_color_texture: {missing} "
+                f"(bind a 1x1 white texture)"
+            )
+        from zenith_tpu.rhi import texture2d
+
+        fs_bindings = [uniform("BaseColor"), uniform("MatParams")]
+        if self.textured:
+            fs_bindings.append(texture2d("BaseColorTex"))
         self.gbuffer_vs = Shader.vertex(
             "gbuffer.vs", _gbuffer_vs, bindings=[uniform("Model"), uniform("ViewProj")]
         )
         self.gbuffer_fs = Shader.fragment(
-            "gbuffer.fs", _gbuffer_fs,
-            bindings=[uniform("BaseColor"), uniform("MatParams")],
+            "gbuffer.fs", _make_gbuffer_fs(self.textured), bindings=fs_bindings
         )
         from zenith_tpu.renderer.forward import ForwardShadowRenderer
 
@@ -184,6 +205,10 @@ class DeferredRenderer:
             )
             for o in scene.objects
         ]
+        tex_handles = [
+            builder.import_resource(o.base_color_texture) if self.textured else None
+            for o in scene.objects
+        ]
         objects = scene.objects
 
         g_albedo = builder.create(TextureDesc.color("g.albedo", width, height))
@@ -230,6 +255,7 @@ class DeferredRenderer:
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
         accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
+        tex_accesses = [node.read(th) if th is not None else None for th in tex_handles]
         a_rt = node.write(g_albedo)
         n_rt = node.write(g_normal)
         p_rt = node.write(g_pos)
@@ -247,12 +273,16 @@ class DeferredRenderer:
             binder.push_color(p_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
             binder.set_depth(ds, DepthStencilDesc().reverse_z())
 
+        textured = self.textured
+
         def record_gbuffer(ctx):
             ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
-            for obj, (vba, iba) in zip(objects, accesses):
+            for obj, (vba, iba), texa in zip(objects, accesses, tex_accesses):
                 ctx.bind("Model", ctx.dynamic(f"def.model.{obj.name}"))
                 ctx.bind("BaseColor", ctx.dynamic(f"def.base_color.{obj.name}"))
                 ctx.bind("MatParams", ctx.dynamic(f"def.mat.{obj.name}"))
+                if textured:
+                    ctx.bind("BaseColorTex", ctx.get(texa))
                 ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
                                  entry_budget=obj.entry_budget)
 

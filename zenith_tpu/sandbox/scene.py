@@ -31,12 +31,37 @@ from zenith_tpu.renderer import (
     Scene,
     SceneObject,
 )
-from zenith_tpu.rhi import Format, TextureDesc
+from zenith_tpu.rhi import Format, Texture, TextureDesc
 from zenith_tpu.sandbox.mesh import YUP_TO_ZUP, default_content_root
 from zenith_tpu.core import mathtypes as m
 
 
-def build_scene(render_device, num_lights: int, rng: np.random.Generator) -> Scene:
+def checker_texture(size: int = 512, cells: int = 16,
+                    a=(200, 202, 208), b=(90, 94, 104)) -> Texture:
+    """Procedural sRGB checker with a full mip chain (the cerberus PNGs are
+    stripped from the reference checkout, .MISSING_LARGE_BLOBS)."""
+    yy, xx = np.mgrid[0:size, 0:size]
+    cell = ((yy // (size // cells) + xx // (size // cells)) % 2).astype(np.uint8)
+    px = np.empty((size, size, 4), np.uint8)
+    for c in range(3):
+        px[..., c] = np.where(cell == 0, a[c], b[c])
+    px[..., 3] = 255
+    return Texture.from_numpy("checker", px, Format.RGBA8_SRGB, generate_mips=True)
+
+
+def brushed_texture(size: int = 256, rng=None) -> Texture:
+    """Procedural brushed-metal stripes (subtle horizontal noise bands)."""
+    rng = rng or np.random.default_rng(7)
+    rows = rng.uniform(0.75, 1.0, size=(size, 1)).astype(np.float32)
+    field = np.repeat(rows, size, axis=1)
+    field += rng.uniform(-0.03, 0.03, size=(size, size)).astype(np.float32)
+    val = np.clip(field * 255, 0, 255).astype(np.uint8)
+    px = np.stack([val, val, val, np.full_like(val, 255)], axis=-1)
+    return Texture.from_numpy("brushed", px, Format.RGBA8_SRGB, generate_mips=True)
+
+
+def build_scene(render_device, num_lights: int, rng: np.random.Generator,
+                textured: bool = False) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -57,11 +82,14 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator) -> Sce
     gun = SceneObject.from_mesh(
         render_device, mesh, "cerberus", model_matrix=model,
         base_color=(0.62, 0.57, 0.55, 1.0), metallic=0.85, roughness=0.45,
-        entry_budget=8 * mesh.num_triangles,
+        entry_budget=16 * mesh.num_triangles,
+        base_color_texture=brushed_texture(rng=rng) if textured else None,
     )
     ground = SceneObject.quad(
         render_device, "ground", size=400.0, z=z_min - 2.0,
-        base_color=(0.28, 0.3, 0.33, 1.0), metallic=0.0, roughness=0.9,
+        base_color=(0.9, 0.9, 0.95, 1.0) if textured else (0.28, 0.3, 0.33, 1.0),
+        metallic=0.0, roughness=0.9,
+        base_color_texture=checker_texture() if textured else None,
     )
 
     lights = []
@@ -105,7 +133,9 @@ class SceneApp(RenderableApp):
         parser.add_argument("--mode", choices=["forward", "deferred"], default="deferred")
         parser.add_argument("--lights", type=int, default=100)
         parser.add_argument("--no-post", action="store_true")
+        parser.add_argument("--textured", action="store_true")
         ns, _ = parser.parse_known_args(args.app_args)
+        self.textured = ns.textured
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
         self.post_enabled = not ns.no_post
@@ -118,7 +148,8 @@ class SceneApp(RenderableApp):
 
     def prepare(self, render_device, window) -> None:
         rng = np.random.default_rng(42)
-        scene = build_scene(render_device, self.num_lights, rng)
+        scene = build_scene(render_device, self.num_lights, rng,
+                            textured=self.textured and self.mode == "deferred")
         if self.mode == "deferred":
             self.renderer = DeferredRenderer(scene)
         else:
