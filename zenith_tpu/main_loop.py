@@ -37,7 +37,12 @@ class EngineLoop:
         self.engine = Engine(self.window)
         self.app.prepare(self.engine.render_device, self.window)
 
-    def run(self, max_frames: Optional[int] = None) -> None:
+    def run(self, max_frames: Optional[int] = None,
+            frame_callback=None) -> None:
+        """Run until close / max_frames. ``frame_callback(frame, window)``,
+        if given, runs before each frame's event pump — the hook scripted
+        front-ends use to feed input events (a human-at-the-controls
+        stand-in)."""
         if self.engine is None:
             self._resumed()
         self._last_tick = time.perf_counter()
@@ -45,6 +50,8 @@ class EngineLoop:
         while not self.window.closed:
             if max_frames is not None and self.frames_rendered >= max_frames:
                 break
+            if frame_callback is not None:
+                frame_callback(self.frames_rendered, self.window)
             self._pump_events()
             if self.window.closed:
                 break
