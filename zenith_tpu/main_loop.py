@@ -97,6 +97,13 @@ class EngineLoop:
                 self.engine.frame_program_count,
                 overflow,
             )
+            if overflow > 0:
+                # Perf/correctness hazard, like the reference's ALL_COMMANDS
+                # barrier warning (graph.rs:383-385): triangles were dropped.
+                logger.warning(
+                    "bin overflow: %d entries dropped last frame — raise the "
+                    "draw's entry_budget (SceneObject.entry_budget)", overflow
+                )
             self._stats_window_start = now
             self._stats_frames = 0
         self.engine.tick(dt)

@@ -295,7 +295,10 @@ class RenderGraph:
             for rid, st in enumerate(self.resources)
             if st.is_imported
         }
-        dynamics = {k: jnp.asarray(v) for k, v in self.dynamics.items()}
+        # One batched host→device transfer for all per-frame dynamics
+        # (camera matrices, light params, time): N tiny device_puts per frame
+        # each pay relay latency; a single pytree transfer pays it once.
+        dynamics = jax.device_put(self.dynamics) if self.dynamics else {}
         return CompiledRenderGraph(self, cached, imports, dynamics, key)
 
     def _build_frame_fn(self, active_nodes: List[GraphNode], options: CompileOptions):
