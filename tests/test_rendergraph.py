@@ -350,3 +350,44 @@ class TestValidation:
         node.execute(record)
         with pytest.raises(KeyError, match="missing"):
             builder.build().compile(device, pcache, OPTS).execute(device)
+
+
+class TestCacheKeyCaptures:
+    def test_different_closure_constants_do_not_alias(self, device, pcache):
+        """Two graphs with identical structure but different captured
+        trace-shaping constants (entry_budget here) must compile to distinct
+        frame programs — closure captures are part of the structure key."""
+        clear_frame_program_cache()
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+
+        def build(budget):
+            builder = RenderGraphBuilder()
+            vbr = builder.import_resource(vb)
+            ibr = builder.import_resource(ib)
+            out = builder.import_resource(tex)
+            builder.set_dynamic("time", 0.0)
+            node = builder.add_graphic_node("triangle")
+            vba, iba = node.read(vbr), node.read(ibr)
+            rt = node.write(out)
+            shader = GraphicShaderInput(TRI_VS, TRI_FS, TRI_LAYOUT)
+            state = GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE)
+            )
+            with node.pipeline(shader, state) as binder:
+                binder.push_color(rt, ColorAttachmentDesc())
+
+            def record(ctx):
+                ctx.bind("Time", ctx.dynamic("time"))
+                ctx.draw_indexed(vba, iba, entry_budget=budget)
+
+            node.execute(record)
+            return builder.build()
+
+        build(8192).compile(device, pcache, OPTS).execute(device)
+        assert frame_program_cache_size() == 1
+        build(16384).compile(device, pcache, OPTS).execute(device)
+        assert frame_program_cache_size() == 2  # no alias
+        build(8192).compile(device, pcache, OPTS).execute(device)
+        assert frame_program_cache_size() == 2  # still cached

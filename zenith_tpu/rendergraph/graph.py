@@ -257,6 +257,24 @@ class RenderGraph:
                 code = node.job.__code__
                 feed(code.co_filename, code.co_firstlineno)
                 h.update(code.co_code)
+                # Closures may capture trace-shaping constants (bin budgets,
+                # attachment sizes, object lists) — two closures with the
+                # same code but different captures must not share a program.
+                for cell in node.job.__closure__ or ():
+                    try:
+                        v = cell.cell_contents
+                    except ValueError:
+                        feed("<empty-cell>")
+                        continue
+                    if isinstance(v, (int, float, str, bool, bytes, tuple,
+                                      frozenset, type(None))):
+                        feed("cell", v)
+                    elif hasattr(v, "shape") and hasattr(v, "dtype"):
+                        feed("cell-array", tuple(v.shape), str(v.dtype))
+                    elif isinstance(v, (list, dict)):
+                        feed("cell-container", type(v).__name__, len(v))
+                    else:
+                        feed("cell-obj", type(v).__qualname__)
         for name in sorted(self.dynamics):
             v = self.dynamics[name]
             feed(name, getattr(v, "shape", ()), str(getattr(v, "dtype", "f32")))
