@@ -90,3 +90,19 @@ class TestVertexDerive:
             @vertex_layout
             class Bad:
                 weird: str
+
+
+class TestDoctests:
+    def test_module_doctests(self):
+        """The reference's only tests are two doctests (SURVEY §4); run ours
+        (AssetUrl example + the vertex_layout derive example, which also
+        pins PEP-563 string-annotation handling)."""
+        import doctest
+
+        import zenith_tpu.asset as asset_mod
+        import zenith_tpu.rhi.derive as derive_mod
+
+        for mod in (asset_mod, derive_mod):
+            result = doctest.testmod(mod)
+            assert result.failed == 0, f"doctest failures in {mod.__name__}"
+        assert result.attempted > 0

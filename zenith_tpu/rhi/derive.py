@@ -49,8 +49,14 @@ def vertex_layout(cls):
     #[repr(C)] requirement (lib.rs:68-75) maps to the tightly-packed (N,
     stride) float32 array layout enforced by ``pack``.
     """
+    # Under `from __future__ import annotations` (PEP 563) annotations are
+    # strings — resolve the known names.
+    _by_name = {"float1": float1, "vec2": vec2, "vec3": vec3, "vec4": vec4,
+                "float": float, "f32": float}
     fields = []
     for name, ann in cls.__annotations__.items():
+        if isinstance(ann, str):
+            ann = _by_name.get(ann.strip(), ann)
         if isinstance(ann, _Vec):
             comps = ann.components
         elif ann in _SCALARS:
