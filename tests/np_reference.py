@@ -27,6 +27,27 @@ _COMPARES = {
 }
 
 
+def _stencil_apply(op: str, s: np.ndarray, reference: int) -> np.ndarray:
+    """One VkStencilOp over a uint stencil plane (8-bit semantics)."""
+    if op == "keep":
+        return s
+    if op == "zero":
+        return np.zeros_like(s)
+    if op == "replace":
+        return np.full_like(s, reference & 0xFF)
+    if op == "increment_and_clamp":
+        return np.minimum(s + 1, 255)
+    if op == "decrement_and_clamp":
+        return np.maximum(s - 1, 0)
+    if op == "invert":
+        return ~s & 0xFF
+    if op == "increment_and_wrap":
+        return (s + 1) & 0xFF
+    if op == "decrement_and_wrap":
+        return (s - 1) & 0xFF
+    raise ValueError(op)
+
+
 def render_reference(
     clip: np.ndarray,  # (Nv, 4) clip-space positions
     indices: np.ndarray,  # (T, 3)
@@ -39,13 +60,27 @@ def render_reference(
     compare: str = "greater",
     depth_clear: float = 0.0,
     varyings: "dict[str, np.ndarray] | None" = None,  # name → (Nv, C)
+    stencil: "dict | None" = None,
+    # stencil = {"front": face, "back": face, "init": (H,W) int or scalar}
+    # face = {"compare": str, "reference": int, "compare_mask": int,
+    #         "write_mask": int, "fail_op"/"pass_op"/"depth_fail_op": str}
 ):
     """Returns dict with 'z' (H,W), 'tri' (H,W) int32 (-1 background), and
-    perspective-correct interpolated varyings (H,W,C)."""
+    perspective-correct interpolated varyings (H,W,C); plus 'stencil' (H,W)
+    int32 when stencil is enabled (Vulkan order: stencil test → depth test;
+    sfail/dpfail/dppass ops per face, masked writes)."""
     varyings = varyings or {}
     clip = np.asarray(clip, np.float64)
     z_buf = np.full((height, width), depth_clear, np.float64)
     tri_buf = np.full((height, width), -1, np.int32)
+    s_buf = None
+    if stencil is not None:
+        init = stencil.get("init", 0)
+        s_buf = (
+            np.array(init, np.int32).copy()
+            if isinstance(init, np.ndarray)
+            else np.full((height, width), int(init), np.int32)
+        )
     vary_buf = {
         k: np.zeros((height, width, v.shape[1]), np.float64) for k, v in varyings.items()
     }
@@ -100,7 +135,30 @@ def render_reference(
         z = w0 * sz[0] + w1 * sz[1] + w2 * sz[2]
         cov &= (z >= 0.0) & (z <= 1.0)
 
-        passed = cov & cmp_fn(z, z_buf)
+        if s_buf is not None:
+            face = stencil["front"] if front else stencil["back"]
+            cmask = face.get("compare_mask", 0xFF)
+            wmask = face.get("write_mask", 0xFF)
+            ref = face.get("reference", 0)
+            scmp = _COMPARES[face.get("compare", "never")]
+            ref_m = np.full_like(s_buf, ref & cmask)
+            spass = cov & scmp(ref_m, s_buf & cmask)
+            passed = spass & cmp_fn(z, z_buf)
+            snew = s_buf.copy()
+            sfail_px = cov & ~spass
+            dfail_px = spass & ~passed
+            snew[sfail_px] = _stencil_apply(
+                face.get("fail_op", "keep"), s_buf, ref
+            )[sfail_px]
+            snew[dfail_px] = _stencil_apply(
+                face.get("depth_fail_op", "keep"), s_buf, ref
+            )[dfail_px]
+            snew[passed] = _stencil_apply(
+                face.get("pass_op", "keep"), s_buf, ref
+            )[passed]
+            s_buf = (s_buf & ~wmask) | (snew & wmask)
+        else:
+            passed = cov & cmp_fn(z, z_buf)
         if do_write:
             z_buf[passed] = z[passed]
         tri_buf[passed] = t
@@ -123,6 +181,8 @@ def render_reference(
                 vary_buf[k][passed] = val[passed]
 
     out = {"z": z_buf.astype(np.float32), "tri": tri_buf}
+    if s_buf is not None:
+        out["stencil"] = s_buf.astype(np.int32)
     for k, v in vary_buf.items():
         out[k] = v.astype(np.float32)
     return out

@@ -28,6 +28,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Dict, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from zenith_tpu.ops import blend as blend_ops
@@ -37,18 +38,69 @@ from zenith_tpu.ops.raster import raster_segmented
 from zenith_tpu.ops.runtime import round_up
 from zenith_tpu.rhi.pipeline import GraphicPipeline
 from zenith_tpu.rhi.shader import BoundResources
-from zenith_tpu.rhi.state import ColorAttachmentDesc
+from zenith_tpu.rhi.state import (
+    ColorAttachmentDesc,
+    InputAssemblyState,
+    PrimitiveTopology,
+)
 
 # Default per-tile candidate capacity; renderers override per scene.
 DEFAULT_BIN_CAPACITY = 256
 
 
+def assemble_triangles(index_buffer, ia: "InputAssemblyState"):
+    """Primitive assembly: index buffer → (T, 3) triangle list
+    (reference InputAssemblyState, pipeline.rs:483-506).
+
+    TRIANGLE_STRIP decodes per the Vulkan rule — triangle i is
+    (v_i, v_{i+1}, v_{i+2}), with the first two corners swapped for odd i so
+    winding stays consistent. With ``primitive_restart``, the restart index
+    (all-ones) splits strips: triangles touching it collapse to degenerate
+    (0,0,0) — zero-area, culled by setup — and the odd/even parity restarts
+    at each cut, as a new strip would.
+    """
+    if ia.topology == PrimitiveTopology.TRIANGLE_LIST:
+        return index_buffer.reshape(-1, 3)
+
+    flat = index_buffer.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    assert n >= 3, f"triangle strip needs >= 3 indices, got {n}"
+    i0, i1, i2 = flat[:-2], flat[1:-1], flat[2:]
+    pos = jnp.arange(n - 2, dtype=jnp.int32)
+
+    if ia.primitive_restart:
+        # Restart index is 0xFFFFFFFF == -1 as int32.
+        restart = jnp.int32(-1)
+        is_restart = flat == restart
+        # Segment start for each strip position: 1 + position of the most
+        # recent restart at-or-before it (cummax; -1 when none yet).
+        seg_start = (
+            jax.lax.cummax(
+                jnp.where(is_restart, jnp.arange(n, dtype=jnp.int32), -1)
+            )
+            + 1
+        )
+        parity = (pos - seg_start[: n - 2]) & 1
+        bad = is_restart[:-2] | is_restart[1:-1] | is_restart[2:]
+    else:
+        parity = pos & 1
+        bad = jnp.zeros((n - 2,), bool)
+
+    odd = parity == 1
+    a = jnp.where(odd, i1, i0)
+    b = jnp.where(odd, i0, i1)
+    tris = jnp.stack([a, b, i2], axis=1)
+    return jnp.where(bad[:, None], 0, tris)
+
+
 @dataclass
 class DrawStats:
     """Per-draw counters folded into frame stats (binning overflow is the
-    analog of the reference's perf-hazard warnings, graph.rs:383-385)."""
+    analog of the reference's perf-hazard warnings, graph.rs:383-385),
+    plus the updated stencil plane when the pipeline enables stencil."""
 
     bin_overflow: Any = None  # traced scalar
+    stencil: Any = None  # (H, W) i32 or None
 
 
 def draw_indexed(
@@ -63,8 +115,11 @@ def draw_indexed(
     interpret: Optional[bool] = None,
     viewport: "Optional[tuple]" = None,  # (x0, y0, full_w, full_h) for SPMD shards
     entry_budget: Optional[int] = None,  # tile×record pair budget (see binning)
+    stencil: Optional[jnp.ndarray] = None,  # current (H, W) i32 stencil plane
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
-    """Trace one indexed draw; returns (colors', depth', stats)."""
+    """Trace one indexed draw; returns (colors', depth', stats); when the
+    pipeline enables the stencil test, ``stats.stencil`` carries the updated
+    plane (pass ``stencil=`` the current one)."""
     state = pipeline.desc.state
     rast_state = state.rasterization
     ds = state.depth_stencil
@@ -83,7 +138,7 @@ def draw_indexed(
     )
 
     # -- primitive assembly + setup (fused with attribute gathering) ----------
-    indices = index_buffer.reshape(-1, 3)
+    indices = assemble_triangles(index_buffer, state.input_assembly)
     attr_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
                    for name, v in vs_out.items()]
     if vs_out:
@@ -93,6 +148,9 @@ def draw_indexed(
         )
     else:
         flat_vary = jnp.zeros((clip.shape[0], 0), jnp.float32)
+    depth_bias = None
+    if rast_state.depth_bias_enable:
+        depth_bias = (rast_state.depth_bias_constant, rast_state.depth_bias_slope)
     records, corner_data = geometry.setup_with_attrs(
         clip,
         indices,
@@ -102,6 +160,8 @@ def draw_indexed(
         cull_mode=rast_state.cull_mode,
         front_face=rast_state.front_face,
         viewport=viewport,
+        depth_bias=depth_bias,
+        depth_clamp=rast_state.depth_clamp,
     )
     attr_layout.append(("__front", 1))
 
@@ -116,15 +176,38 @@ def draw_indexed(
     else:
         init_z = jnp.zeros((grid.height, grid.width), jnp.float32)
 
-    z_out, acc = raster_segmented(
-        bins,
-        grid,
-        init_z,
-        depth_test=ds.depth_test_enable,
-        depth_write=ds.depth_write_enable,
-        compare_op=ds.depth_compare_op,
-        interpret=interpret,
-    )
+    stencil_out = None
+    if ds.stencil_test_enable:
+        init_s = (
+            stencil
+            if stencil is not None
+            else jnp.full((grid.height, grid.width),
+                          ds.stencil_clear_value & 0xFF, jnp.int32)
+        )
+        z_out, acc, stencil_out = raster_segmented(
+            bins,
+            grid,
+            init_z,
+            depth_test=ds.depth_test_enable,
+            depth_write=ds.depth_write_enable,
+            compare_op=ds.depth_compare_op,
+            depth_clamp=rast_state.depth_clamp,
+            init_stencil=init_s,
+            stencil_front=ds.stencil_front,
+            stencil_back=ds.stencil_back,
+            interpret=interpret,
+        )
+    else:
+        z_out, acc = raster_segmented(
+            bins,
+            grid,
+            init_z,
+            depth_test=ds.depth_test_enable,
+            depth_write=ds.depth_write_enable,
+            compare_op=ds.depth_compare_op,
+            depth_clamp=rast_state.depth_clamp,
+            interpret=interpret,
+        )
 
     # -- varying finalize + fragment stage -------------------------------------
     varyings, mask, builtins = shade.finalize_attrs(z_out, acc, attr_layout)
@@ -154,4 +237,6 @@ def draw_indexed(
             )
 
     new_depth = z_out if depth is not None else None
-    return new_colors, new_depth, DrawStats(bin_overflow=bins.overflow)
+    return new_colors, new_depth, DrawStats(
+        bin_overflow=bins.overflow, stencil=stencil_out
+    )

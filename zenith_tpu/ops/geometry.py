@@ -74,6 +74,8 @@ def setup_with_attrs(
     cull_mode: CullMode = CullMode.BACK,
     front_face: FrontFace = FrontFace.COUNTER_CLOCKWISE,
     viewport: "tuple | None" = None,
+    depth_bias: "tuple[float, float] | None" = None,  # (constant, slope)
+    depth_clamp: bool = False,
 ) -> "tuple[TriangleRecords, jnp.ndarray]":
     """Fused triangle setup + corner-attribute production.
 
@@ -93,7 +95,10 @@ def setup_with_attrs(
     )
     corners = jnp.take(combined, indices.reshape(-1), axis=0).reshape(t, 3, 4 + a)
 
-    corners2, valid = _clip_payload(corners)
+    # depth_clamp disables near/far z clipping (Vulkan 27.4: primitives are
+    # not clipped against the z planes when depthClampEnable is set); only
+    # the w > 0 clip remains, which keeps screen coordinates finite.
+    corners2, valid = _clip_payload(corners, clamp_z=depth_clamp)
     tri_id = jnp.concatenate(
         [jnp.arange(t, dtype=jnp.int32), jnp.arange(t, dtype=jnp.int32)]
     )
@@ -101,6 +106,7 @@ def setup_with_attrs(
     records = _records_from_corners(
         corners2[..., :4], valid, tri_id, width, height,
         cull_mode, front_face, viewport,
+        depth_bias=depth_bias, depth_clamp=depth_clamp,
     )
 
     # Corner interpolation data: [attr·iw…, front·iw, iw].
@@ -115,10 +121,15 @@ def setup_with_attrs(
     return records, corner_data.astype(jnp.float32)
 
 
-def _clip_payload(corners: jnp.ndarray, w_eps: float = NEAR_W_EPS):
+def _clip_payload(corners: jnp.ndarray, w_eps: float = NEAR_W_EPS,
+                  clamp_z: bool = False):
     """clip_near_w generalized to an arbitrary per-corner payload
-    (xyzw | attrs…): lerp everything across the z ≤ w plane."""
-    d = corners[..., 3] - corners[..., 2]
+    (xyzw | attrs…): lerp everything across the z ≤ w plane (or, with
+    ``clamp_z``, across w > 0 only — depth clamp disables z clipping)."""
+    if clamp_z:
+        d = corners[..., 3]
+    else:
+        d = corners[..., 3] - corners[..., 2]
     inside = d > w_eps
     c = inside.sum(axis=1)
 
@@ -127,7 +138,7 @@ def _clip_payload(corners: jnp.ndarray, w_eps: float = NEAR_W_EPS):
     rot = jnp.where(c == 1, rot1, jnp.where(c == 2, rot2, 0))
     idx = (rot[:, None] + jnp.arange(3)[None, :]) % 3
     v = jnp.take_along_axis(corners, idx[:, :, None], axis=1)
-    dv = v[..., 3] - v[..., 2]
+    dv = v[..., 3] if clamp_z else v[..., 3] - v[..., 2]
 
     def isect(i, j):
         denom = dv[:, i] - dv[:, j]
@@ -160,8 +171,18 @@ def _records_from_corners(
     cull_mode: CullMode,
     front_face: FrontFace,
     viewport: "tuple | None",
+    depth_bias: "tuple[float, float] | None" = None,
+    depth_clamp: bool = False,
 ) -> TriangleRecords:
-    """Viewport transform + edge setup shared by both setup paths."""
+    """Viewport transform + edge setup shared by both setup paths.
+
+    ``depth_bias`` = (constant, slope) applies the fixed-function polygon
+    offset (reference RasterizationState, pipeline.rs:520-523; Vulkan spec
+    27.7.3): o = constant·r + slope·m, with m = max(|dz/dx|, |dz/dy|) from
+    the triangle's z plane and r = one ULP at the triangle's depth range
+    (float depth buffer). ``depth_clamp`` disables the whole-triangle
+    depth-range cull (the per-fragment clamp happens in the raster kernel).
+    """
     w = jnp.maximum(corners[..., 3], NEAR_W_EPS)
     iw = 1.0 / w
     ndc = corners[..., :3] * iw[..., None]
@@ -204,6 +225,20 @@ def _records_from_corners(
     abs_det = jnp.abs(det)
     inv_det = jnp.where(abs_det > 0.0, 1.0 / jnp.where(abs_det > 0, abs_det, 1.0), 0.0)
 
+    if depth_bias is not None and (depth_bias[0] or depth_bias[1]):
+        bias_c, bias_s = float(depth_bias[0]), float(depth_bias[1])
+        # z-plane gradient from the edge equations (w_i are affine in x, y):
+        # dz/dx = inv_det·(a12·z0 + a20·z1 + a01·z2), likewise dz/dy with b.
+        dzdx = inv_det * (a12 * sz[:, 0] + a20 * sz[:, 1] + a01 * sz[:, 2])
+        dzdy = inv_det * (b12 * sz[:, 0] + b20 * sz[:, 1] + b01 * sz[:, 2])
+        m = jnp.maximum(jnp.abs(dzdx), jnp.abs(dzdy))
+        # r = one float32 ULP at the triangle's max |z| (Vulkan 27.7.3 for
+        # floating-point depth: 2^(e-23) with e the max depth exponent).
+        zmax_abs = jnp.max(jnp.abs(sz), axis=1)
+        r = jnp.exp2(jnp.floor(jnp.log2(jnp.maximum(zmax_abs, 1e-30))) - 23.0)
+        o = bias_c * r + bias_s * m
+        sz = sz + o[:, None]
+
     rast16 = jnp.stack(
         [a01, b01, c01, a12, b12, c12, a20, b20, c20,
          tl01, tl12, tl20, inv_det, sz[:, 0], sz[:, 1], sz[:, 2]],
@@ -224,9 +259,10 @@ def _records_from_corners(
     ymin = jnp.minimum(jnp.minimum(y0, y1), y2)
     ymax = jnp.maximum(jnp.maximum(y0, y1), y2)
     valid = valid & (xmax > 0) & (xmin < width) & (ymax > 0) & (ymin < height)
-    zmin = jnp.minimum(jnp.minimum(sz[:, 0], sz[:, 1]), sz[:, 2])
-    zmax = jnp.maximum(jnp.maximum(sz[:, 0], sz[:, 1]), sz[:, 2])
-    valid = valid & (zmax >= 0.0) & (zmin <= 1.0)
+    if not depth_clamp:
+        zmin = jnp.minimum(jnp.minimum(sz[:, 0], sz[:, 1]), sz[:, 2])
+        zmax = jnp.maximum(jnp.maximum(sz[:, 0], sz[:, 1]), sz[:, 2])
+        valid = valid & (zmax >= 0.0) & (zmin <= 1.0)
 
     aabb = jnp.stack([xmin, ymin, xmax, ymax], axis=1).astype(jnp.float32)
     rast16 = jnp.where(valid[:, None], rast16, 0.0)

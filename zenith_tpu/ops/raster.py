@@ -61,6 +61,7 @@ def _visibility_kernel(
     tile_w: int,
     compare: Callable,
     depth_write: bool,
+    depth_clamp: bool = False,
 ):
     tx = pl.program_id(1)
     ty = pl.program_id(0)
@@ -121,8 +122,12 @@ def _visibility_kernel(
 
             cov &= base + j < count
             # Per-pixel near/far clip (z outside [0,1] discarded — the
-            # geometric near clip guarantees finite coords, this finishes it).
-            cov &= (zpx >= 0.0) & (zpx <= 1.0)
+            # geometric near clip guarantees finite coords, this finishes
+            # it); with depth_clamp the fragment z clamps instead (27.7.3).
+            if depth_clamp:
+                zpx = jnp.clip(zpx, 0.0, 1.0)
+            else:
+                cov &= (zpx >= 0.0) & (zpx <= 1.0)
 
             passed = cov & compare(zpx, z)
             if depth_write:
@@ -148,6 +153,7 @@ def _interp_kernel(
     num_attrs: int,  # A
     compare: Callable,
     depth_write: bool,
+    depth_clamp: bool = False,
 ):
     """Forward-interpolating rasterizer: resolves visibility AND accumulates
     perspective-correct attribute/w planes in one pass, so the shading pass
@@ -194,7 +200,10 @@ def _interp_kernel(
                 + w2 * rast_ref[0, j, 15]
             )
             cov &= base + j < count
-            cov &= (zpx >= 0.0) & (zpx <= 1.0)
+            if depth_clamp:
+                zpx = jnp.clip(zpx, 0.0, 1.0)
+            else:
+                cov &= (zpx >= 0.0) & (zpx <= 1.0)
             passed = cov & compare(zpx, z)
             if depth_write:
                 z = jnp.where(passed, zpx, z)
@@ -310,6 +319,7 @@ def _segmented_kernel(
     num_attrs: int,
     compare: Callable,
     depth_write: bool,
+    depth_clamp: bool = False,
 ):
     """Segmented forward-interpolating rasterizer: 1-D grid over entry
     blocks; each block's tile routing (output block index, init flag, live
@@ -360,7 +370,10 @@ def _segmented_kernel(
                     + w2 * rast_ref[i, 15]
                 )
                 cov &= i < count
-                cov &= (zpx >= 0.0) & (zpx <= 1.0)
+                if depth_clamp:
+                    zpx = jnp.clip(zpx, 0.0, 1.0)
+                else:
+                    cov &= (zpx >= 0.0) & (zpx <= 1.0)
                 passed = cov & compare(zpx, z)
                 if depth_write:
                     z = jnp.where(passed, zpx, z)
@@ -383,6 +396,177 @@ def _segmented_kernel(
             acc_ref[a] = out[1 + a]
 
 
+def _stencil_apply(op, s: jnp.ndarray, reference: int) -> jnp.ndarray:
+    """One VkStencilOp over an int32 stencil plane (8-bit semantics)."""
+    from zenith_tpu.rhi.state import StencilOp
+
+    if op == StencilOp.KEEP:
+        return s
+    if op == StencilOp.ZERO:
+        return jnp.zeros_like(s)
+    if op == StencilOp.REPLACE:
+        return jnp.full_like(s, reference & 0xFF)
+    if op == StencilOp.INCREMENT_AND_CLAMP:
+        return jnp.minimum(s + 1, 255)
+    if op == StencilOp.DECREMENT_AND_CLAMP:
+        return jnp.maximum(s - 1, 0)
+    if op == StencilOp.INVERT:
+        return ~s & 0xFF
+    if op == StencilOp.INCREMENT_AND_WRAP:
+        return (s + 1) & 0xFF
+    if op == StencilOp.DECREMENT_AND_WRAP:
+        return (s - 1) & 0xFF
+    raise ValueError(op)
+
+
+def _stencil_face_update(face, cov, spass, dpass, s):
+    """Post-test stencil write for one face state (Vulkan 27.19):
+    sfail → fail_op, depth-fail → depth_fail_op, pass → pass_op, each
+    masked by write_mask."""
+    ref = face.reference
+    out = s
+    out = jnp.where(cov & ~spass, _stencil_apply(face.fail_op, s, ref), out)
+    out = jnp.where(spass & ~dpass,
+                    _stencil_apply(face.depth_fail_op, s, ref), out)
+    out = jnp.where(dpass, _stencil_apply(face.pass_op, s, ref), out)
+    wmask = face.write_mask & 0xFF
+    if wmask == 0xFF:
+        return out
+    return (s & ~wmask) | (out & wmask)
+
+
+def _segmented_stencil_kernel(
+    # scalar prefetch
+    ty_ref, tx_ref, cnt_ref, init_ref,
+    # streamed blocks
+    rast_ref,  # SMEM (CHUNK, 16 + D)
+    initz_ref,  # VMEM (TH, TW)
+    inits_ref,  # VMEM (TH, TW) i32 — stencil init
+    z_alias_ref, acc_alias_ref, s_alias_ref,  # ANY (aliased seeds)
+    # outputs
+    z_ref, acc_ref, s_ref,
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_attrs: int,
+    compare: Callable,
+    depth_write: bool,
+    depth_clamp: bool,
+    front_face_state,  # StencilOpState
+    back_face_state,  # StencilOpState
+):
+    """The segmented kernel with a stencil plane in the carry.
+
+    Per-fragment order (Vulkan 27.18-27.19): coverage → stencil test →
+    depth test; stencil ops fire on their respective outcomes even for
+    fragments that never write color/depth. Per-record facing selects the
+    front/back face state via the record's front·iw channel (a per-record
+    scalar; both faces are computed and scalar-selected only when the two
+    states differ).
+    """
+    del z_alias_ref, acc_alias_ref, s_alias_ref
+    b = pl.program_id(0)
+    a_n = num_attrs + 1
+    same_faces = front_face_state == back_face_state
+
+    @pl.when(init_ref[b] == 1)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        s_ref[:] = inits_ref[:]
+
+    count = cnt_ref[b]
+
+    @pl.when(count > 0)
+    def _process():
+        tx = tx_ref[b]
+        ty = ty_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
+        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+
+        sub = 8
+
+        def face_test(face, cov, sten):
+            ref_m = (face.reference & face.compare_mask) & 0xFF
+            s_m = sten & (face.compare_mask & 0xFF)
+            return cov & _compare_fn(face.compare_op)(
+                jnp.full_like(s_m, ref_m), s_m
+            )
+
+        def body(i_s, carry):
+            z, sten, *acc = carry
+            base = i_s * sub
+            for jj in range(sub):
+                i = base + jj
+                e01 = rast_ref[i, 0] * x + rast_ref[i, 1] * y + rast_ref[i, 2]
+                e12 = rast_ref[i, 3] * x + rast_ref[i, 4] * y + rast_ref[i, 5]
+                e20 = rast_ref[i, 6] * x + rast_ref[i, 7] * y + rast_ref[i, 8]
+                cov = (
+                    ((e01 > 0.0) | ((e01 == 0.0) & (rast_ref[i, 9] > 0.0)))
+                    & ((e12 > 0.0) | ((e12 == 0.0) & (rast_ref[i, 10] > 0.0)))
+                    & ((e20 > 0.0) | ((e20 == 0.0) & (rast_ref[i, 11] > 0.0)))
+                )
+                inv_det = rast_ref[i, 12]
+                w0 = e12 * inv_det
+                w1 = e20 * inv_det
+                w2 = e01 * inv_det
+                zpx = (
+                    w0 * rast_ref[i, 13]
+                    + w1 * rast_ref[i, 14]
+                    + w2 * rast_ref[i, 15]
+                )
+                cov &= i < count
+                if depth_clamp:
+                    zpx = jnp.clip(zpx, 0.0, 1.0)
+                else:
+                    cov &= (zpx >= 0.0) & (zpx <= 1.0)
+
+                if same_faces:
+                    spass = face_test(front_face_state, cov, sten)
+                    dpass = spass & compare(zpx, z)
+                    snew = _stencil_face_update(
+                        front_face_state, cov, spass, dpass, sten
+                    )
+                else:
+                    # front flag rides the second-to-last attr channel
+                    # (front·iw at corner 0; iw > 0 always).
+                    is_front = rast_ref[i, 16 + a_n - 2] > 0.0
+                    spass_f = face_test(front_face_state, cov, sten)
+                    spass_b = face_test(back_face_state, cov, sten)
+                    spass = jnp.where(is_front, spass_f, spass_b)
+                    dpass = spass & compare(zpx, z)
+                    snew_f = _stencil_face_update(
+                        front_face_state, cov, spass_f, dpass, sten
+                    )
+                    snew_b = _stencil_face_update(
+                        back_face_state, cov, spass_b, dpass, sten
+                    )
+                    snew = jnp.where(is_front, snew_f, snew_b)
+                sten = snew
+                if depth_write:
+                    z = jnp.where(dpass, zpx, z)
+                new_acc = []
+                for a in range(a_n):
+                    plane = (
+                        w0 * rast_ref[i, 16 + a]
+                        + w1 * rast_ref[i, 16 + a_n + a]
+                        + w2 * rast_ref[i, 16 + 2 * a_n + a]
+                    )
+                    new_acc.append(jnp.where(dpass, plane, acc[a]))
+                acc = new_acc
+            return (z, sten, *acc)
+
+        n_sub = pl.cdiv(count, sub)
+        init_carry = (z_ref[:], s_ref[:], *[acc_ref[a] for a in range(a_n)])
+        out = jax.lax.fori_loop(0, n_sub, body, init_carry)
+        z_ref[:] = out[0]
+        s_ref[:] = out[1]
+        for a in range(a_n):
+            acc_ref[a] = out[2 + a]
+
+
 def raster_segmented(
     bins,  # SegmentedBins
     grid: TileGrid,
@@ -390,8 +574,12 @@ def raster_segmented(
     depth_test: bool = True,
     depth_write: bool = True,
     compare_op: CompareOp = CompareOp.GREATER,
+    depth_clamp: bool = False,
+    init_stencil: Optional[jnp.ndarray] = None,  # (H, W) i32
+    stencil_front=None,  # StencilOpState when stencil test enabled
+    stencil_back=None,
     interpret: Optional[bool] = None,
-) -> "tuple[jnp.ndarray, jnp.ndarray]":
+) -> "tuple[jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
     """Segmented-binning raster pass → (z (H, W), acc (A+1, H, W))."""
     from zenith_tpu.ops.binning import ENTRY_CHUNK, SegmentedBins  # noqa: F401
 
@@ -409,35 +597,7 @@ def raster_segmented(
 
     effective_compare = compare_op if depth_test else CompareOp.ALWAYS
     effective_write = depth_write and depth_test
-
-    kernel = functools.partial(
-        _segmented_kernel,
-        tile_h=th,
-        tile_w=tw,
-        num_attrs=num_attrs,
-        compare=_compare_fn(effective_compare),
-        depth_write=effective_write,
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b_max,),
-        in_specs=[
-            pl.BlockSpec((chunk, d_total), lambda i, ty, tx, cnt, ini: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # z init (aliased → out 0)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # acc init (aliased → out 1)
-        ],
-        out_specs=[
-            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((a_n, th, tw),
-                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
+    with_stencil = stencil_front is not None
 
     init_z = init_z.astype(jnp.float32)
     # Pad the logical surface to tile multiples: aliased buffers ARE the
@@ -449,17 +609,121 @@ def raster_segmented(
         z_seed = jnp.pad(init_z, ((0, hp - h), (0, wp - w)))
     acc_seed = jnp.zeros((a_n, hp, wp), jnp.float32)
 
-    out_z, out_acc = pl.pallas_call(
+    if not with_stencil:
+        kernel = functools.partial(
+            _segmented_kernel,
+            tile_h=th,
+            tile_w=tw,
+            num_attrs=num_attrs,
+            compare=_compare_fn(effective_compare),
+            depth_write=effective_write,
+            depth_clamp=depth_clamp,
+        )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b_max,),
+            in_specs=[
+                pl.BlockSpec((chunk, d_total), lambda i, ty, tx, cnt, ini: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # z init (aliased → out 0)
+                pl.BlockSpec(memory_space=pltpu.ANY),  # acc init (aliased → out 1)
+            ],
+            out_specs=[
+                pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((a_n, th, tw),
+                             lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+
+        out_z, out_acc = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((a_n, hp, wp), jnp.float32),
+            ],
+            # args: 4 scalar-prefetch + [rows, initz, z_seed, acc_seed]; alias
+            # the seeds over the outputs so tiles with no candidates keep
+            # their init contents without dedicated init blocks.
+            input_output_aliases={6: 0, 7: 1},
+            interpret=interpret,
+        )(
+            bins.blk_tile_y,
+            bins.blk_tile_x,
+            bins.blk_count,
+            bins.blk_init,
+            bins.rast_pad,
+            z_seed,
+            z_seed,
+            acc_seed,
+        )
+        if (hp, wp) != (h, w):
+            out_z = out_z[:h, :w]
+            out_acc = out_acc[:, :h, :w]
+        return out_z, out_acc
+
+    # -- stencil variant -------------------------------------------------------
+    if stencil_back is None:
+        stencil_back = stencil_front
+    if init_stencil is None:
+        init_stencil = jnp.zeros((h, w), jnp.int32)
+    init_stencil = init_stencil.astype(jnp.int32)
+    s_seed = init_stencil
+    if (hp, wp) != (h, w):
+        s_seed = jnp.pad(init_stencil, ((0, hp - h), (0, wp - w)))
+
+    kernel = functools.partial(
+        _segmented_stencil_kernel,
+        tile_h=th,
+        tile_w=tw,
+        num_attrs=num_attrs,
+        compare=_compare_fn(effective_compare),
+        depth_write=effective_write,
+        depth_clamp=depth_clamp,
+        front_face_state=stencil_front,
+        back_face_state=stencil_back,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b_max,),
+        in_specs=[
+            pl.BlockSpec((chunk, d_total), lambda i, ty, tx, cnt, ini: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # z seed (aliased → out 0)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # acc seed (aliased → out 1)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stencil seed (→ out 2)
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((a_n, th, tw),
+                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    out_z, out_acc, out_s = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((hp, wp), jnp.float32),
             jax.ShapeDtypeStruct((a_n, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
         ],
-        # args: 4 scalar-prefetch + [rows, initz, z_seed, acc_seed]; alias the
-        # seeds over the outputs so tiles with no candidates keep their init
-        # contents without dedicated init blocks.
-        input_output_aliases={6: 0, 7: 1},
+        # args: 4 prefetch + [rows, initz, inits, z_seed, acc_seed, s_seed].
+        input_output_aliases={7: 0, 8: 1, 9: 2},
         interpret=interpret,
     )(
         bins.blk_tile_y,
@@ -468,13 +732,16 @@ def raster_segmented(
         bins.blk_init,
         bins.rast_pad,
         z_seed,
+        s_seed,
         z_seed,
         acc_seed,
+        s_seed,
     )
     if (hp, wp) != (h, w):
         out_z = out_z[:h, :w]
         out_acc = out_acc[:, :h, :w]
-    return out_z, out_acc
+        out_s = out_s[:h, :w]
+    return out_z, out_acc, out_s
 
 
 def visibility_pass(

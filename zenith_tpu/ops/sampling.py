@@ -185,6 +185,43 @@ def sample_2d_lod(
     return s0 * (1 - frac) + s1 * frac
 
 
+def sample_2d_aniso(
+    packed: PackedMips,
+    uv: jnp.ndarray,  # (H, W, 2) dense UV image (derivatives required)
+    sampler: SamplerConfig,
+    tex_w: int,
+    tex_h: int,
+) -> jnp.ndarray:
+    """Anisotropic filtering (sampler.rs:19-20,39-40): N trilinear probes
+    spread along the major axis of the pixel's UV footprint — the standard
+    hardware approximation of the EWA ellipse. LOD is taken from the minor
+    axis (rho_major / ratio), so oblique surfaces keep detail that isotropic
+    trilinear would blur away.
+    """
+    scale = jnp.asarray([tex_w, tex_h], jnp.float32)
+    ddx = uv - jnp.roll(uv, 1, axis=1)  # UV change per screen-x step
+    ddy = uv - jnp.roll(uv, 1, axis=0)
+    px = jnp.linalg.norm(ddx * scale, axis=-1)
+    py = jnp.linalg.norm(ddy * scale, axis=-1)
+    major_is_x = px >= py
+    vmaj = jnp.where(major_is_x[..., None], ddx, ddy)  # UV-space major axis
+    rho_maj = jnp.maximum(jnp.maximum(px, py), 1e-8)
+    rho_min = jnp.maximum(jnp.minimum(px, py), 1e-8)
+    ratio = jnp.clip(rho_maj / rho_min, 1.0, float(sampler.max_anisotropy))
+    lod = jnp.log2(jnp.maximum(rho_maj / ratio, 1e-8))
+
+    # Static probe count = max_anisotropy; probes bunch together (toward
+    # plain trilinear) as the per-pixel ratio shrinks below the cap.
+    s = max(2, int(round(float(sampler.max_anisotropy))))
+    spread = (1.0 - 1.0 / ratio)[..., None]  # total extent the probes cover
+    acc = None
+    for i in range(s):
+        t = (i + 0.5) / s - 0.5
+        tap = sample_2d_lod(packed, uv + vmaj * (t * spread), lod, sampler)
+        acc = tap if acc is None else acc + tap
+    return acc / s
+
+
 def sample_texture(
     tex,  # (H, W, C) array | tuple of mip arrays (graph import of a mipped Texture)
     uv: jnp.ndarray,  # (H, W, 2) dense UV image (fragment-stage varying)
@@ -196,16 +233,20 @@ def sample_texture(
     (single level) or a tuple of mip arrays — mipped textures use trilinear
     filtering with screen-space-derivative LOD (the GPU's implicit-LOD
     sample), which requires the dense (H, W, 2) UV image fragment shaders
-    receive.
+    receive. Samplers with ``anisotropy_enable`` take the multi-probe
+    anisotropic path (requires the dense UV image for derivatives).
     """
     if isinstance(tex, (tuple, list)):
-        if len(tex) == 1 or sampler.mipmap_mode is None:
-            return sample_2d(tex[0], uv, sampler)
-        packed = pack_mips(list(tex))
-        h0, w0 = tex[0].shape[0], tex[0].shape[1]
-        lod = screen_space_lod(uv, w0, h0)
-        return sample_2d_lod(packed, uv, lod, sampler)
-    return sample_2d(tex, uv, sampler)
+        levels = list(tex)
+    else:
+        levels = [tex]
+    h0, w0 = levels[0].shape[0], levels[0].shape[1]
+    if sampler.anisotropy_enable and uv.ndim == 3:
+        return sample_2d_aniso(pack_mips(levels), uv, sampler, w0, h0)
+    if len(levels) == 1 or sampler.mipmap_mode is None:
+        return sample_2d(levels[0], uv, sampler)
+    lod = screen_space_lod(uv, w0, h0)
+    return sample_2d_lod(pack_mips(levels), uv, lod, sampler)
 
 
 def sample_shadow_pcf(

@@ -19,6 +19,7 @@ import numpy as np
 class FormatAspect(enum.Enum):
     COLOR = "color"
     DEPTH = "depth"
+    STENCIL = "stencil"
 
 
 @dataclass(frozen=True)
@@ -45,6 +46,7 @@ class Format(enum.Enum):
     RG32F = "rg32f"
     RGBA32F = "rgba32f"
     D32F = "d32f"
+    S8 = "s8"  # stencil plane (reference stencil_format, pipeline.rs:27,61)
 
     @property
     def info(self) -> FormatInfo:
@@ -63,9 +65,15 @@ class Format(enum.Enum):
         return self.info.aspect == FormatAspect.DEPTH
 
     @property
+    def is_stencil(self) -> bool:
+        return self.info.aspect == FormatAspect.STENCIL
+
+    @property
     def compute_dtype(self) -> jnp.dtype:
-        """Dtype used for on-device render work (always float32 for depth,
-        float32 for color; intermediate precision is a pipeline decision)."""
+        """Dtype used for on-device render work (float32 for color/depth;
+        int32 for stencil — 8-bit semantics on a 32-bit plane)."""
+        if self.is_stencil:
+            return jnp.int32
         return jnp.float32
 
 
@@ -81,6 +89,7 @@ _FORMAT_INFO = {
     Format.RG32F: FormatInfo(2, "float32", False, FormatAspect.COLOR),
     Format.RGBA32F: FormatInfo(4, "float32", False, FormatAspect.COLOR),
     Format.D32F: FormatInfo(1, "float32", False, FormatAspect.DEPTH),
+    Format.S8: FormatInfo(1, "uint8", False, FormatAspect.STENCIL),
 }
 
 

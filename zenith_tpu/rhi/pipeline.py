@@ -103,6 +103,20 @@ class GraphicPipeline:
             raise ValueError(
                 "depth test enabled but pipeline has no depth attachment format"
             )
+        if ds.stencil_test_enable and self.desc.attachments.stencil_format is None:
+            raise ValueError(
+                "stencil test enabled but pipeline has no stencil attachment "
+                "format (set GraphicPipelineAttachments.stencil_format)"
+            )
+        # Declared-but-unimplemented state must raise, not silently no-op
+        # (the depth-test-without-format check above sets the precedent).
+        ms = self.desc.state.multisample
+        if ms.samples != 1:
+            raise NotImplementedError(
+                f"multisampling (samples={ms.samples}) is not implemented; "
+                f"the rasterizer is single-sample (reference default is also "
+                f"1 sample, pipeline.rs:589-615)"
+            )
 
     @property
     def vertex_shader(self) -> Shader:

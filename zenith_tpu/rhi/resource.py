@@ -152,20 +152,31 @@ class TextureDesc:
         return TextureDesc(name, width, height, Format.D32F,
                            TextureUsage.DEPTH_ATTACHMENT | TextureUsage.SAMPLED)
 
+    @staticmethod
+    def stencil(name: str, width: int, height: int) -> "TextureDesc":
+        """A standalone stencil plane (the reference's stencil_format rides
+        beside depth_format, pipeline.rs:23-28; here it is its own plane)."""
+        return TextureDesc(name, width, height, Format.S8,
+                           TextureUsage.DEPTH_ATTACHMENT | TextureUsage.SAMPLED)
+
     @property
     def extent(self) -> Tuple[int, int]:
         return (self.width, self.height)
 
     def device_shape(self) -> Tuple[int, ...]:
-        """On-device linear-float layout: (H, W, C) [row 0 = top, matching
-        Vulkan framebuffer coords], mips stored separately."""
+        """On-device layout: (H, W, C) [row 0 = top, matching Vulkan
+        framebuffer coords], mips stored separately. Stencil is a bare
+        (H, W) int32 plane."""
+        if self.format.is_stencil:
+            return (self.height, self.width)
         c = self.format.channels
         if self.array_layers > 1:
             return (self.array_layers, self.height, self.width, c)
         return (self.height, self.width, c)
 
     def shape_dtype(self) -> jax.ShapeDtypeStruct:
-        return jax.ShapeDtypeStruct(self.device_shape(), jnp.float32)
+        return jax.ShapeDtypeStruct(self.device_shape(),
+                                    self.format.compute_dtype)
 
 
 class Texture:
@@ -178,7 +189,8 @@ class Texture:
     def __init__(self, desc: TextureDesc, array: Optional[jax.Array] = None,
                  mips: "Optional[list[jax.Array]]" = None):
         if array is None:
-            array = jnp.zeros(desc.device_shape(), dtype=jnp.float32)
+            array = jnp.zeros(desc.device_shape(),
+                              dtype=desc.format.compute_dtype)
         self.desc = desc
         self.array = array
         self.mips = mips  # mips[0] is `array` when present

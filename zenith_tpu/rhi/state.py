@@ -132,22 +132,71 @@ class ColorAttachmentDesc:
         )
 
 
+class StencilOp(enum.Enum):
+    """(VkStencilOp, consumed via reference pipeline.rs:426-433)"""
+
+    KEEP = "keep"
+    ZERO = "zero"
+    REPLACE = "replace"
+    INCREMENT_AND_CLAMP = "increment_and_clamp"
+    DECREMENT_AND_CLAMP = "decrement_and_clamp"
+    INVERT = "invert"
+    INCREMENT_AND_WRAP = "increment_and_wrap"
+    DECREMENT_AND_WRAP = "decrement_and_wrap"
+
+
+@dataclass(frozen=True)
+class StencilOpState:
+    """Per-face stencil state (vk::StencilOpState; referenced by
+    DepthStencilDesc.stencil_front/back, pipeline.rs:427-428).
+
+    The test is ``compare_op(reference & compare_mask,
+    stored & compare_mask)``; writes are masked by ``write_mask``.
+    """
+
+    fail_op: StencilOp = StencilOp.KEEP
+    pass_op: StencilOp = StencilOp.KEEP
+    depth_fail_op: StencilOp = StencilOp.KEEP
+    compare_op: CompareOp = CompareOp.NEVER
+    compare_mask: int = 0xFF
+    write_mask: int = 0xFF
+    reference: int = 0
+
+    def writes(self) -> bool:
+        """Whether this face state can modify the stencil buffer."""
+        return self.write_mask != 0 and not (
+            self.fail_op == StencilOp.KEEP
+            and self.pass_op == StencilOp.KEEP
+            and self.depth_fail_op == StencilOp.KEEP
+        )
+
+
 @dataclass(frozen=True)
 class DepthStencilDesc:
-    """Depth test/write state (reference pipeline.rs:414-480; defaults at
-    pipeline.rs:436-453). Note the reference defaults to CompareOp::LESS —
-    with the reverse-Z camera, passes that want depth enable GREATER."""
+    """Depth + stencil test/write state (reference pipeline.rs:414-480;
+    defaults at pipeline.rs:436-453). Note the reference defaults to
+    CompareOp::LESS — with the reverse-Z camera, passes that want depth
+    enable GREATER."""
 
     depth_test_enable: bool = False
     depth_write_enable: bool = False
     depth_compare_op: CompareOp = CompareOp.LESS
+    depth_bounds_test_enable: bool = False
     depth_load_op: LoadOp = LoadOp.CLEAR
     depth_store_op: StoreOp = StoreOp.STORE
     depth_clear_value: float = 1.0
 
+    stencil_test_enable: bool = False
+    stencil_front: StencilOpState = field(default_factory=StencilOpState)
+    stencil_back: StencilOpState = field(default_factory=StencilOpState)
+    stencil_load_op: LoadOp = LoadOp.DONT_CARE
+    stencil_store_op: StoreOp = StoreOp.DONT_CARE
+    stencil_clear_value: int = 0
+
     @property
     def test_enabled(self) -> bool:
-        return self.depth_test_enable
+        # (pipeline.rs:462-464)
+        return self.depth_test_enable or self.stencil_test_enable
 
     def reverse_z(self) -> "DepthStencilDesc":
         """Preset for the engine's infinite-reverse-Z convention: test+write
@@ -158,6 +207,38 @@ class DepthStencilDesc:
             depth_write_enable=True,
             depth_compare_op=CompareOp.GREATER,
             depth_clear_value=0.0,
+        )
+
+    def stencil_write(self, reference: int = 1) -> "DepthStencilDesc":
+        """Preset: unconditionally mark covered pixels with ``reference``
+        (both faces: ALWAYS pass, REPLACE on pass)."""
+        op = StencilOpState(
+            pass_op=StencilOp.REPLACE,
+            compare_op=CompareOp.ALWAYS,
+            reference=reference,
+        )
+        return replace(
+            self,
+            stencil_test_enable=True,
+            stencil_front=op,
+            stencil_back=op,
+            stencil_load_op=LoadOp.CLEAR,
+            stencil_store_op=StoreOp.STORE,
+        )
+
+    def stencil_mask(
+        self, reference: int = 1, compare_op: CompareOp = CompareOp.EQUAL
+    ) -> "DepthStencilDesc":
+        """Preset: draw only where stored stencil compares against
+        ``reference`` (both faces; stencil buffer unmodified)."""
+        op = StencilOpState(compare_op=compare_op, reference=reference)
+        return replace(
+            self,
+            stencil_test_enable=True,
+            stencil_front=op,
+            stencil_back=op,
+            stencil_load_op=LoadOp.LOAD,
+            stencil_store_op=StoreOp.STORE,
         )
 
 
@@ -177,7 +258,8 @@ class RasterizationState:
     cull_mode: CullMode = CullMode.BACK
     front_face: FrontFace = FrontFace.COUNTER_CLOCKWISE
     depth_clamp: bool = False
-    depth_bias: float = 0.0
+    depth_bias_enable: bool = False
+    depth_bias_constant: float = 0.0
     depth_bias_slope: float = 0.0
     line_width: float = 1.0
 
@@ -216,6 +298,7 @@ class GraphicPipelineAttachments:
 
     color_formats: Tuple[Format, ...] = ()
     depth_format: Optional[Format] = None
+    stencil_format: Optional[Format] = None
 
 
 @dataclass(frozen=True)
