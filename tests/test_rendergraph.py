@@ -391,3 +391,67 @@ class TestCacheKeyCaptures:
         assert frame_program_cache_size() == 2  # no alias
         build(8192).compile(device, pcache, OPTS).execute(device)
         assert frame_program_cache_size() == 2  # still cached
+
+    def test_container_captures_hash_contents(self, device, pcache):
+        """Two same-length captured containers with different VALUES must
+        produce different frame programs (round-1 hole: containers were
+        hashed by len only, aliasing e.g. two scenes with equal object
+        counts but different per-object budgets)."""
+        clear_frame_program_cache()
+        tex = Texture(TextureDesc.color("swap", W, H))
+
+        def build(cfg):
+            builder = RenderGraphBuilder()
+            out = builder.import_resource(tex)
+            node = builder.add_lambda_node("fill")
+            oa = node.write(out)
+
+            def record(ctx):
+                # cfg values shape the traced constants.
+                v = sum(c["gain"] for c in cfg)
+                ctx.set(oa, jnp.full((H, W, 4), float(v), jnp.float32))
+
+            node.execute(record)
+            return builder.build()
+
+        cfg_a = [{"gain": 1.0}, {"gain": 2.0}]
+        cfg_b = [{"gain": 1.0}, {"gain": 5.0}]  # same len, different content
+        ca = build(cfg_a).compile(device, pcache, OPTS)
+        ca.execute(device)
+        assert frame_program_cache_size() == 1
+        cb = build(cfg_b).compile(device, pcache, OPTS)
+        cb.execute(device)
+        assert frame_program_cache_size() == 2, (
+            "same-length containers with different contents aliased to one "
+            "frame program"
+        )
+        build(cfg_a).compile(device, pcache, OPTS).execute(device)
+        assert frame_program_cache_size() == 2  # revisit hits the cache
+
+    def test_nested_and_np_captures(self, device, pcache):
+        """Nested containers and small host numpy arrays hash by content."""
+        import numpy as np
+
+        clear_frame_program_cache()
+        tex = Texture(TextureDesc.color("swap", W, H))
+
+        def build(nested):
+            builder = RenderGraphBuilder()
+            out = builder.import_resource(tex)
+            node = builder.add_lambda_node("fill")
+            oa = node.write(out)
+
+            def record(ctx):
+                v = float(np.sum(nested["lights"][0]["pos"]))
+                ctx.set(oa, jnp.full((H, W, 4), v, jnp.float32))
+
+            node.execute(record)
+            return builder.build()
+
+        a = {"lights": [{"pos": np.array([1.0, 2.0, 3.0])}]}
+        b = {"lights": [{"pos": np.array([1.0, 2.0, 4.0])}]}
+        build(a).compile(device, pcache, OPTS).execute(device)
+        build(b).compile(device, pcache, OPTS).execute(device)
+        assert frame_program_cache_size() == 2
+        build(a).compile(device, pcache, OPTS).execute(device)
+        assert frame_program_cache_size() == 2

@@ -65,6 +65,7 @@ class GraphNode:
     pipeline_desc: Optional[GraphicPipelineDesc] = None
     color_attachments: List[Tuple[int, ColorAttachmentDesc]] = field(default_factory=list)
     depth_attachment: Optional[Tuple[int, DepthStencilDesc]] = None
+    stencil_attachment: Optional[int] = None  # resource id of the S8 plane
     # The record callback, run at trace time with an execution context.
     job: Optional[Callable[[Any], Any]] = None
 
@@ -141,6 +142,15 @@ class AttachmentBinder:
         self._node.depth_attachment = (access.id, desc)
         return self
 
+    def set_stencil(
+        self, access: RenderGraphResourceAccess
+    ) -> "AttachmentBinder":
+        """Bind the stencil plane (reference binds stencil_format beside
+        depth_format, pipeline.rs:23-28,60-61). Stencil test/op state lives
+        in the depth attachment's DepthStencilDesc (set_depth)."""
+        self._node.stencil_attachment = access.id
+        return self
+
     def finish(self) -> None:
         if self._finished:
             return
@@ -151,7 +161,14 @@ class AttachmentBinder:
             assert tdesc is not None, "color attachment must be a texture"
             color_formats.append(tdesc.format)
         depth_format = None
+        stencil_format = None
         state = self._state
+        if self._node.stencil_attachment is not None:
+            tdesc = self._builder.resources[self._node.stencil_attachment].texture_desc()
+            assert tdesc is not None and tdesc.format.is_stencil, (
+                "stencil attachment must be an S8-format texture"
+            )
+            stencil_format = tdesc.format
         if self._node.depth_attachment is not None:
             rid, ddesc = self._node.depth_attachment
             tdesc = self._builder.resources[rid].texture_desc()
@@ -168,7 +185,9 @@ class AttachmentBinder:
             shader_input=self._shader_input,
             state=state,
             attachments=GraphicPipelineAttachments(
-                color_formats=tuple(color_formats), depth_format=depth_format
+                color_formats=tuple(color_formats),
+                depth_format=depth_format,
+                stencil_format=stencil_format,
             ),
             color_attachment_descs=tuple(d for _, d in self._node.color_attachments),
             depth_attachment_desc=(
