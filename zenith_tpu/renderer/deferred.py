@@ -126,14 +126,17 @@ class DeferredRenderer:
     def __init__(self, scene: Scene, shadows: bool = True):
         self.scene = scene
         self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
-        # Textured mode: every object must carry a base-color texture (bind a
-        # 1x1 white texture for plain objects — the standard bindless trick).
+        # Textured mode: objects without a base-color texture get a shared
+        # 1×1 white fallback (the standard bindless trick), so mixed
+        # textured/plain scenes share one pipeline.
         self.textured = any(o.base_color_texture is not None for o in scene.objects)
-        if self.textured:
-            missing = [o.name for o in scene.objects if o.base_color_texture is None]
-            assert not missing, (
-                f"textured scene: objects without base_color_texture: {missing} "
-                f"(bind a 1x1 white texture)"
+        self._white_tex = None
+        if self.textured and any(o.base_color_texture is None for o in scene.objects):
+            from zenith_tpu.rhi.formats import Format as _F
+            from zenith_tpu.rhi.resource import Texture as _Tex
+
+            self._white_tex = _Tex.from_numpy(
+                "white1x1", np.ones((1, 1, 4), np.float32), _F.RGBA32F
             )
         from zenith_tpu.rhi import texture2d
 
@@ -206,7 +209,9 @@ class DeferredRenderer:
             for o in scene.objects
         ]
         tex_handles = [
-            builder.import_resource(o.base_color_texture) if self.textured else None
+            builder.import_resource(o.base_color_texture or self._white_tex)
+            if self.textured
+            else None
             for o in scene.objects
         ]
         objects = scene.objects
