@@ -97,20 +97,30 @@ def bin_segmented(
     records: TriangleRecords,
     corner_data: jnp.ndarray,  # (R, 3, A+1) from geometry.corner_attributes
     grid: TileGrid,
-    span_cap: int = 32,
+    span_cap: int = 4,
+    mid_cap: int = 4096,
+    mid_span: int = 32,
     huge_cap: int = 256,
     entry_budget: "int | None" = None,
 ) -> SegmentedBins:
-    """Exact, uncapped-per-tile binning.
+    """Exact, uncapped-per-tile binning, in three span tiers.
 
-    - records spanning ≤ span_cap tiles emit static per-record entries;
+    - records spanning ≤ span_cap tiles (the overwhelming majority: a
+      typical mesh triangle covers 1-2 tiles) emit static per-record
+      entries at width span_cap;
+    - up to mid_cap records spanning ≤ mid_span tiles are COMPACTED
+      (top_k) before a width-mid_span expansion — paying wide expansion
+      only for records that need it. A flat width-32 expansion for every
+      record made the (tile, record) sort input 96% padding at cerberus
+      scale: 2.1M slots for ~80k live entries;
     - up to huge_cap larger records (full-screen floors, skyboxes) take a
       dense per-tile mask path;
-    - both merge in one lexicographic (tile, record) sort, preserving
+    - all tiers merge in one lexicographic (tile, record) sort, preserving
       submission order within every tile (Vulkan primitive-order semantics).
 
     ``entry_budget`` bounds total (tile, record) pairs per draw (default
-    4×R, min 16384); overflow is counted, not silently ignored.
+    2×R, min 8192); overflow — including mid/huge tier drops — is counted,
+    never silently ignored.
     """
     r = records.rast16.shape[0]
     t = grid.num_tiles
@@ -143,19 +153,46 @@ def bin_segmented(
     span = sx * sy
 
     small = valid & (span <= span_cap)
-    huge = valid & (span > span_cap)
+    mid = valid & (span > span_cap) & (span <= mid_span)
+    huge = valid & (span > mid_span)
 
-    # Small records → per-record entry expansion (R, span_cap).
-    j = jnp.arange(span_cap, dtype=jnp.int32)[None, :]
-    ty_e = ty0[:, None] + j // sx[:, None]
-    tx_e = tx0[:, None] + j % sx[:, None]
-    tile_small = ty_e * tiles_x + tx_e
-    ev_small = small[:, None] & (j < span[:, None])
+    def expand(tx0_, ty0_, sx_, span_, live, width):
+        """(K, width) tile/valid expansion of per-record tile rectangles.
+        dy = j // sx via f32 division: TPU integer division by a vector is
+        very slow; f32 divide-then-floor is exact for j < 1024, sx ≤ 256
+        (exhaustively verified — correctly-rounded division of small ints
+        cannot cross an integer boundary). NOT valid for reciprocal-multiply
+        (1/41 rounds low: 41·rcp(41) floors to 0)."""
+        jj = jnp.arange(width, dtype=jnp.int32)[None, :]
+        jf = jnp.arange(width, dtype=jnp.float32)[None, :]
+        dy = jnp.floor(jf / sx_[:, None].astype(jnp.float32)).astype(jnp.int32)
+        ty_e = ty0_[:, None] + dy
+        tx_e = tx0_[:, None] + (jj - dy * sx_[:, None])
+        tile_e = ty_e * tiles_x + tx_e
+        ev = live[:, None] & (jj < span_[:, None])
+        return tile_e, ev
+
+    # Tier 1: every record, narrow width.
+    tile_small, ev_small = expand(tx0, ty0, sx, span, small, span_cap)
     rec_small = jnp.broadcast_to(
         jnp.arange(r, dtype=jnp.int32)[:, None], (r, span_cap)
     )
 
-    # Huge records → dense per-tile mask over the top-huge_cap by span.
+    # Tier 2: compact mid-span records (top_k keeps any mid_cap of them;
+    # order restored by the global sort), then expand wide.
+    k_mid = min(mid_cap, r)
+    _, midx = jax.lax.top_k(jnp.where(mid, span, 0), k_mid)
+    mvalid = jnp.take(mid, midx)
+    mid_dropped = mid.sum() - mvalid.sum()
+    tile_mid, ev_mid = expand(
+        jnp.take(tx0, midx), jnp.take(ty0, midx), jnp.take(sx, midx),
+        jnp.take(span, midx), mvalid, mid_span,
+    )
+    rec_mid = jnp.broadcast_to(
+        midx.astype(jnp.int32)[:, None], (k_mid, mid_span)
+    )
+
+    # Tier 3: huge records → dense per-tile mask over the top-huge_cap.
     huge_score = jnp.where(huge, span, 0)
     _, hidx = jax.lax.top_k(huge_score, min(huge_cap, r))
     hvalid = jnp.take(huge, hidx)
@@ -178,10 +215,13 @@ def bin_segmented(
     tiles_all = jnp.concatenate(
         [
             jnp.where(ev_small, tile_small, t).reshape(-1),
+            jnp.where(ev_mid, tile_mid, t).reshape(-1),
             jnp.where(hmask, tile_huge, t).reshape(-1),
         ]
     )
-    recs_all = jnp.concatenate([rec_small.reshape(-1), rec_huge.reshape(-1)])
+    recs_all = jnp.concatenate(
+        [rec_small.reshape(-1), rec_mid.reshape(-1), rec_huge.reshape(-1)]
+    )
     tiles_sorted, recs_sorted = jax.lax.sort(
         (tiles_all, recs_all), num_keys=2
     )
@@ -224,12 +264,14 @@ def bin_segmented(
         jnp.int32
     )
 
-    # Block-aligned entry gather: record index per padded row.
-    row = jnp.arange(b_max * chunk, dtype=jnp.int32)
-    bb = row // chunk
-    k_in_tile = jnp.take(j_b, bb) * chunk + row % chunk
-    src = jnp.take(seg_off, jnp.take(tile_of_b, bb)) + k_in_tile
-    src_ok = (row % chunk) < jnp.take(blk_count, bb)
+    # Block-aligned entry gather: record index per padded row. Per-BLOCK
+    # values broadcast against the in-block lane index — the row-major
+    # equivalents (take(x, row // chunk) over B·CHUNK rows) are gathers with
+    # 128× repeated indices, pure waste on this backend.
+    lane = jnp.arange(chunk, dtype=jnp.int32)[None, :]  # (1, CHUNK)
+    src_b = (jnp.take(seg_off, tile_of_b) + j_b * chunk)[:, None] + lane
+    src_ok = (lane < blk_count[:, None]).reshape(-1)
+    src = src_b.reshape(-1)
     n_sorted = recs_sorted.shape[0]
     rec_idx = jnp.where(
         src_ok, jnp.take(recs_sorted, jnp.clip(src, 0, n_sorted - 1)), 0
@@ -244,7 +286,9 @@ def bin_segmented(
     rast_rows = rows  # (B*CHUNK, 16+D)
     attr_rows = jnp.zeros((0,), jnp.float32)  # folded into rast_rows
 
-    overflow = huge_dropped + block_overflow * chunk + compact_overflow
+    overflow = (
+        huge_dropped + mid_dropped + block_overflow * chunk + compact_overflow
+    )
     return SegmentedBins(
         jnp.take(t_ty, tile_of_b),
         jnp.take(t_tx, tile_of_b),
