@@ -22,6 +22,7 @@ Mirrors zenith-rendergraph/src/graph.rs re-based on XLA:
 
 from __future__ import annotations
 
+import enum
 import hashlib
 import types as _types
 from dataclasses import dataclass, field
@@ -43,6 +44,7 @@ from zenith_tpu.rendergraph.resource import (
 )
 from zenith_tpu.rhi.device import RenderDevice
 from zenith_tpu.rhi.pipeline import GraphicPipeline, PipelineCache
+from zenith_tpu.rhi.shader import Shader as _Shader
 from zenith_tpu.rhi.resource import Buffer, Texture, TextureDesc
 from zenith_tpu.rhi.state import LoadOp
 
@@ -74,6 +76,9 @@ def _desc_key(desc):
     return ("buf", desc.shape, desc.dtype, desc.usage)
 
 
+_SCALAR_TYPES = (int, float, str, bool, bytes, type(None))
+
+
 def _capture_key(v, depth: int = 0):
     """Key a closure capture by CONTENT (recursively, capped) as a hashable
     tuple.
@@ -86,11 +91,17 @@ def _capture_key(v, depth: int = 0):
     key by shape/dtype only: content-hashing them would force a device sync
     per frame — route per-frame array values through set_dynamic or import
     instead.
+
+    This runs per frame, so framework objects short-circuit: Shaders key by
+    identity (their documented cache semantics), Buffers/Textures by desc,
+    devices/caches by type — descending into their internals was both slow
+    (hundreds of recursive calls per frame) and wrong (per-frame stats
+    counters inside RenderDevice would force a recompile every frame).
     """
+    if isinstance(v, _SCALAR_TYPES):
+        return v
     if depth > 4:
         return ("cap-deep", type(v).__name__)
-    if isinstance(v, (int, float, str, bool, bytes, type(None))):
-        return v
     if isinstance(v, _np.ndarray):
         # Host arrays are cheap to fingerprint when small (uniform values
         # like light params often ride in captured np arrays).
@@ -98,6 +109,14 @@ def _capture_key(v, depth: int = 0):
             return ("cap-np", v.shape, str(v.dtype),
                     _np.ascontiguousarray(v).tobytes())
         return ("cap-np-big", v.shape, str(v.dtype))
+    if isinstance(v, _Shader):
+        return ("cap-shader", id(v))
+    if isinstance(v, (Buffer, Texture)):
+        return ("cap-rhires", _desc_key(v.desc))
+    if isinstance(v, (RenderDevice, PipelineCache)):
+        return ("cap-runtime", type(v).__name__)
+    if isinstance(v, (RenderGraphResource, RenderGraphResourceAccess)):
+        return ("cap-handle", v.id if hasattr(v, "id") else v.resource_id)
     if isinstance(getattr(v, "shape", None), tuple) and hasattr(v, "dtype"):
         return ("cap-array", tuple(v.shape), str(v.dtype))
     if isinstance(v, (list, tuple)):
@@ -114,12 +133,22 @@ def _capture_key(v, depth: int = 0):
     if isinstance(v, dict):
         return (
             "cap-dict", len(v),
-            tuple((k if isinstance(k, (int, float, str, bool, bytes)) else repr(k),
+            tuple((k if isinstance(k, _SCALAR_TYPES) else repr(k),
                    _capture_key(v[k], depth + 1))
                   for k in sorted(v, key=repr)[:64]),
         )
     if isinstance(v, _types.ModuleType):
         return ("cap-module", v.__name__)
+    if isinstance(v, enum.Enum):
+        return ("cap-enum", type(v).__qualname__, v.name)
+    try:
+        # Frozen-dataclass state descs and other hashable value types key
+        # by their own hash/eq (cheap, C-speed for dataclasses).
+        hash(v)
+        if getattr(v, "__dataclass_fields__", None) is not None:
+            return v
+    except TypeError:
+        pass
     if callable(v) and isinstance(getattr(v, "__code__", None), _types.CodeType):
         code = v.__code__
         cl = getattr(v, "__closure__", None)
