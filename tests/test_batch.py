@@ -1,0 +1,172 @@
+"""draw_indexed_batch ⇔ sequential draw_indexed equivalence.
+
+Batching N opaque draws into one binning+raster+shade pass must reproduce
+the sequential result exactly: records concatenate in submission order and
+the (tile, record) sort preserves cross-draw ordering, so the depth winner
+per pixel is identical; per-draw uniforms ride as constant varyings whose
+perspective division reproduces them bit-cleanly.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenith_tpu.ops import TileGrid, clear_color, clear_depth
+from zenith_tpu.ops.draw import draw_indexed, draw_indexed_batch
+from zenith_tpu.rhi.pipeline import (
+    GraphicPipeline,
+    GraphicPipelineDesc,
+    GraphicShaderInput,
+)
+from zenith_tpu.rhi.formats import Format
+from zenith_tpu.rhi.shader import Shader, uniform
+from zenith_tpu.rhi.state import (
+    ColorAttachmentDesc,
+    CullMode,
+    DepthStencilDesc,
+    GraphicPipelineAttachments,
+    GraphicPipelineState,
+    RasterizationState,
+    VertexLayout,
+)
+
+W, H = 128, 32
+GRID = TileGrid(width=W, height=H, tile_h=8, tile_w=128)
+
+
+def _vs(attrs, res):
+    pos = attrs["position"]
+    offs = res["Offset"]  # (4,) xyzw offset per draw
+    return {"position": pos + offs[None, :], "color": attrs["color"]}
+
+
+def _fs(varyings, res, builtins):
+    tint = res["Tint"]
+    # Shape-generic: (4,) when drawn individually, (H, W, 4) batched plane.
+    return varyings["color"] * jnp.broadcast_to(
+        tint, varyings["color"].shape
+    ) if tint.ndim == 1 else varyings["color"] * tint
+
+
+def _pipeline(blend=False):
+    vs = Shader.vertex("batch.vs", _vs, bindings=[uniform("Offset")])
+    fs = Shader.fragment("batch.fs", _fs, bindings=[uniform("Tint")])
+    layout = VertexLayout.from_fields(("position", 4), ("color", 4))
+    cdesc = ColorAttachmentDesc()
+    if blend:
+        cdesc = cdesc.translucent()
+    return GraphicPipeline(
+        GraphicPipelineDesc(
+            shader_input=GraphicShaderInput(vs, fs, layout),
+            state=GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE),
+                depth_stencil=DepthStencilDesc().reverse_z(),
+            ),
+            attachments=GraphicPipelineAttachments(
+                color_formats=(Format.RGBA32F,), depth_format=Format.D32F
+            ),
+            color_attachment_descs=(cdesc,),
+        )
+    )
+
+
+def _tri(cx, cy, z, rgba):
+    v = np.array(
+        [
+            [cx, cy - 0.5, z, 1.0, *rgba],
+            [cx + 0.45, cy + 0.4, z, 1.0, *rgba],
+            [cx - 0.45, cy + 0.4, z, 1.0, *rgba],
+        ],
+        np.float32,
+    )
+    return jnp.asarray(v), jnp.asarray([[0, 1, 2]], jnp.int32)
+
+
+@pytest.fixture
+def draws(rng):
+    out = []
+    for i in range(3):
+        vb, ib = _tri(
+            -0.5 + 0.45 * i, 0.0, 0.3 + 0.2 * i,
+            (1.0 if i == 0 else 0.2, 1.0 if i == 1 else 0.2,
+             1.0 if i == 2 else 0.2, 1.0),
+        )
+        res = {
+            "Offset": jnp.asarray([0.05 * i, 0.02 * i, 0.0, 0.0], jnp.float32),
+            "Tint": jnp.asarray([1.0, 0.9, 0.8, 1.0], jnp.float32)
+            * (0.5 + 0.25 * i),
+        }
+        out.append((vb, ib, res))
+    return out
+
+
+class TestBatchEquivalence:
+    def test_batched_equals_sequential(self, draws):
+        pipeline = _pipeline()
+
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        for vb, ib, res in draws:
+            colors, depth, _ = draw_indexed(
+                colors, depth, pipeline, vb, ib, res, GRID
+            )
+        seq_img, seq_z = np.asarray(colors[0]), np.asarray(depth)
+
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        colors, depth, stats = draw_indexed_batch(
+            colors, depth, pipeline, draws, GRID,
+            per_draw_uniforms=("Tint",),
+        )
+        bat_img, bat_z = np.asarray(colors[0]), np.asarray(depth)
+
+        assert np.asarray(stats.bin_overflow) == 0
+        np.testing.assert_array_equal(bat_z, seq_z)
+        np.testing.assert_allclose(bat_img, seq_img, atol=2e-6)
+        assert (bat_img[..., :3].max(axis=(0, 1)) > 0.1).all()  # all drawn
+
+    def test_overlap_depth_order_preserved(self):
+        """Overlapping triangles at distinct depths: the batched depth
+        winner matches sequential submission, including the later-equal-z
+        loser under GREATER."""
+        pipeline = _pipeline()
+        a = _tri(0.0, 0.0, 0.5, (1, 0, 0, 1))
+        b = _tri(0.1, 0.0, 0.5, (0, 1, 0, 1))  # same z, later → loses ties
+        res = {
+            "Offset": jnp.zeros((4,), jnp.float32),
+            "Tint": jnp.ones((4,), jnp.float32),
+        }
+        draws = [(a[0], a[1], res), (b[0], b[1], res)]
+
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        for vb, ib, r in draws:
+            colors, depth, _ = draw_indexed(colors, depth, pipeline, vb, ib, r, GRID)
+        seq_img = np.asarray(colors[0])
+
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        colors, depth, _ = draw_indexed_batch(
+            colors, depth, pipeline, draws, GRID, per_draw_uniforms=("Tint",)
+        )
+        np.testing.assert_allclose(np.asarray(colors[0]), seq_img, atol=2e-6)
+
+    def test_blend_rejected(self, draws):
+        pipeline = _pipeline(blend=True)
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        with pytest.raises(ValueError, match="blend"):
+            draw_indexed_batch(
+                colors, depth, pipeline, draws, GRID,
+                per_draw_uniforms=("Tint",),
+            )
+
+    def test_single_draw_batch_ok(self, draws):
+        pipeline = _pipeline()
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        colors, depth, _ = draw_indexed_batch(
+            colors, depth, pipeline, draws[:1], GRID,
+            per_draw_uniforms=("Tint",),
+        )
+        assert np.asarray(colors[0])[..., 0].max() > 0.2

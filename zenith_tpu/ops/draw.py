@@ -48,6 +48,13 @@ from zenith_tpu.rhi.state import (
 DEFAULT_BIN_CAPACITY = 256
 
 
+class PerDraw(tuple):
+    """Marker for a fragment-shader resource whose value differs per draw in
+    a batched draw (one element per draw). Fragment shaders select with
+    ``builtins.draw_id``; plain tuples stay what they always were (mip
+    chains)."""
+
+
 def assemble_triangles(index_buffer, ia: "InputAssemblyState"):
     """Primitive assembly: index buffer → (T, 3) triangle list
     (reference InputAssemblyState, pipeline.rs:483-506).
@@ -230,6 +237,193 @@ def draw_indexed(
             f"fragment shader wrote {len(frag_list)} outputs for "
             f"{len(new_colors)} color attachments"
         )
+        for i, (dst, src) in enumerate(zip(new_colors, frag_list)):
+            desc = descs[i] if descs[i] is not None else ColorAttachmentDesc()
+            new_colors[i] = blend_ops.apply_color_output(
+                dst, src, mask, desc, state.color_blend.blend_constants
+            )
+
+    new_depth = z_out if depth is not None else None
+    return new_colors, new_depth, DrawStats(
+        bin_overflow=bins.overflow, stencil=stencil_out
+    )
+
+
+def draw_indexed_batch(
+    colors: "Sequence[jnp.ndarray]",
+    depth: Optional[jnp.ndarray],
+    pipeline: GraphicPipeline,
+    draws: "Sequence[tuple]",  # (vb, ib, resources) per draw
+    grid: TileGrid,
+    per_draw_uniforms: "Sequence[str]" = (),
+    interpret: Optional[bool] = None,
+    viewport: "Optional[tuple]" = None,
+    entry_budget: Optional[int] = None,
+    stencil: Optional[jnp.ndarray] = None,
+) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
+    """Trace N draws through ONE binning + raster + fragment + blend pass.
+
+    The reference records one vkCmdDrawIndexed per object; its GPU
+    rasterizes them back-to-back with zero per-draw fixed cost. Here each
+    draw previously paid a full segmented raster plus a full-screen shade +
+    blend; batching restores the hardware behavior: per-draw vertex stages,
+    records concatenated in submission order (binning's (tile, record) sort
+    preserves cross-draw ordering), then one raster, one fragment pass, one
+    output merge.
+
+    Per-draw fragment uniforms (``per_draw_uniforms`` names) are attached as
+    extra varying channels — constant per record, so perspective division
+    reproduces them exactly per pixel — and handed to the fragment shader as
+    dense (H, W, C) planes under the same binding names (write shaders with
+    shape-generic indexing, e.g. ``res["BaseColor"][..., :3]``). A
+    ``__draw_id`` plane rides along for per-draw texture selection; fragment
+    bindings that differ across draws and are not listed become tuples.
+
+    Blending across overlapping draws is ORDER-dependent; batching resolves
+    one depth winner per pixel, so blend_enable with multiple draws is
+    rejected.
+    """
+    state = pipeline.desc.state
+    rast_state = state.rasterization
+    ds = state.depth_stencil
+    n_draws = len(draws)
+    assert n_draws >= 1
+
+    if n_draws > 1:
+        for desc in pipeline.desc.color_attachment_descs or ():
+            if desc.blend_enable:
+                raise ValueError(
+                    "draw_indexed_batch: blending is order-dependent across "
+                    "overlapping draws; submit blended draws individually"
+                )
+
+    layout = pipeline.vertex_layout
+    depth_bias = None
+    if rast_state.depth_bias_enable:
+        depth_bias = (rast_state.depth_bias_constant, rast_state.depth_bias_slope)
+
+    rec_parts = []
+    corner_parts = []
+    attr_layout = None
+    budget_total = 0
+    for di, (vb, ib, res) in enumerate(draws):
+        attrs = layout.unpack(vb) if layout is not None else {"position": vb}
+        vs_res = BoundResources(pipeline.vertex_shader.reflection, res)
+        vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+        clip = vs_out.pop("position")
+        nv = clip.shape[0]
+
+        this_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
+                       for name, v in vs_out.items()]
+        vary_cols = [v.reshape(nv, -1).astype(jnp.float32)
+                     for v in vs_out.values()]
+        # Per-draw fragment uniforms ride as constant varyings.
+        for uname in per_draw_uniforms:
+            uval = jnp.asarray(res[uname], jnp.float32).reshape(-1)
+            this_layout.append((uname, int(uval.shape[0])))
+            vary_cols.append(jnp.broadcast_to(uval[None, :], (nv, uval.shape[0])))
+        this_layout.append(("__draw_id", 1))
+        vary_cols.append(jnp.full((nv, 1), float(di), jnp.float32))
+
+        if attr_layout is None:
+            attr_layout = this_layout
+        else:
+            assert attr_layout == this_layout, (
+                f"draw {di}: varying layout {this_layout} differs from "
+                f"draw 0's {attr_layout} — batched draws share one pipeline"
+            )
+        flat_vary = (
+            jnp.concatenate(vary_cols, axis=1)
+            if vary_cols
+            else jnp.zeros((nv, 0), jnp.float32)
+        )
+        indices = assemble_triangles(ib, state.input_assembly)
+        records, corner = geometry.setup_with_attrs(
+            clip, indices, flat_vary, grid.width, grid.height,
+            cull_mode=rast_state.cull_mode,
+            front_face=rast_state.front_face,
+            viewport=viewport,
+            depth_bias=depth_bias,
+            depth_clamp=rast_state.depth_clamp,
+        )
+        rec_parts.append(records)
+        corner_parts.append(corner)
+        budget_total += max(2 * records.rast16.shape[0], 8192)
+    attr_layout.append(("__front", 1))
+
+    records = geometry.TriangleRecords(
+        rast16=jnp.concatenate([r.rast16 for r in rec_parts]),
+        shade16=jnp.concatenate([r.shade16 for r in rec_parts]),
+        tri_id=jnp.concatenate([r.tri_id for r in rec_parts]),
+        valid=jnp.concatenate([r.valid for r in rec_parts]),
+        aabb=jnp.concatenate([r.aabb for r in rec_parts]),
+    )
+    corner_data = jnp.concatenate(corner_parts)
+
+    bins = bin_segmented(
+        records, corner_data, grid,
+        entry_budget=entry_budget or budget_total,
+    )
+    init_z = depth if depth is not None else jnp.zeros(
+        (grid.height, grid.width), jnp.float32
+    )
+
+    stencil_out = None
+    if ds.stencil_test_enable:
+        init_s = (
+            stencil if stencil is not None
+            else jnp.full((grid.height, grid.width),
+                          ds.stencil_clear_value & 0xFF, jnp.int32)
+        )
+        z_out, acc, stencil_out = raster_segmented(
+            bins, grid, init_z,
+            depth_test=ds.depth_test_enable, depth_write=ds.depth_write_enable,
+            compare_op=ds.depth_compare_op, depth_clamp=rast_state.depth_clamp,
+            init_stencil=init_s, stencil_front=ds.stencil_front,
+            stencil_back=ds.stencil_back, interpret=interpret,
+        )
+    else:
+        z_out, acc = raster_segmented(
+            bins, grid, init_z,
+            depth_test=ds.depth_test_enable, depth_write=ds.depth_write_enable,
+            compare_op=ds.depth_compare_op, depth_clamp=rast_state.depth_clamp,
+            interpret=interpret,
+        )
+
+    varyings, mask, builtins = shade.finalize_attrs(z_out, acc, attr_layout)
+    draw_id = varyings.pop("__draw_id", None)
+
+    fs = pipeline.fragment_shader
+    new_colors = list(colors)
+    if fs is not None:
+        # Per-draw uniform planes + resource tuples for everything else.
+        fs_resources: Dict[str, Any] = {}
+        shared = draws[0][2]
+        for name in fs.reflection.binding_names():
+            if name in per_draw_uniforms:
+                fs_resources[name] = varyings.pop(name)
+            else:
+                vals = [res.get(name) for _, _, res in draws]
+                if all(v is vals[0] for v in vals):
+                    fs_resources[name] = vals[0]
+                else:
+                    fs_resources[name] = PerDraw(vals)
+        fs_res = BoundResources(fs.reflection, fs_resources)
+        if draw_id is not None:
+            from dataclasses import replace as _dc_replace
+
+            builtins = _dc_replace(builtins, draw_id=draw_id[..., 0])
+        frag_out = fs.fn(varyings, fs_res, builtins)
+        if isinstance(frag_out, (list, tuple)):
+            frag_list = list(frag_out)
+        elif isinstance(frag_out, dict):
+            frag_list = [frag_out[k] for k in sorted(frag_out)]
+        else:
+            frag_list = [frag_out]
+        descs = pipeline.desc.color_attachment_descs or tuple(
+            None for _ in new_colors
+        )
+        assert len(frag_list) == len(new_colors)
         for i, (dst, src) in enumerate(zip(new_colors, frag_list)):
             desc = descs[i] if descs[i] is not None else ColorAttachmentDesc()
             new_colors[i] = blend_ops.apply_color_output(

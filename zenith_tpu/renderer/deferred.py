@@ -64,25 +64,45 @@ def _make_gbuffer_fs(textured: bool):
         n = varyings["normal"]
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
         n = jnp.where(builtins.front_facing[..., None], n, -n)
+        # Shape-generic uniform access: (4,) per-draw vectors when drawn
+        # individually, dense (H, W, 4) planes under draw_indexed_batch.
         base = res["BaseColor"]
         mat = res["MatParams"]  # (metallic, roughness, emissive_luma, _)
-        albedo = jnp.broadcast_to(base[:3], n.shape)
+        albedo = jnp.broadcast_to(base[..., :3], n.shape)
         if textured:
+            from zenith_tpu.ops.draw import PerDraw
             from zenith_tpu.ops.sampling import sample_texture
             from zenith_tpu.rhi.sampler import SamplerConfig
 
-            albedo = albedo * sample_texture(
-                res["BaseColorTex"], varyings["uv"], SamplerConfig.linear()
-            )[..., :3]
+            tex = res["BaseColorTex"]
+            if isinstance(tex, PerDraw):
+                # Per-draw textures in a batched draw: sample each, select
+                # by the fragment's draw id.
+                did = builtins.draw_id
+                sampled = None
+                for i, t in enumerate(tex):
+                    s_i = sample_texture(
+                        t, varyings["uv"], SamplerConfig.linear()
+                    )[..., :3]
+                    if sampled is None:
+                        sampled = s_i
+                    else:
+                        sel = (jnp.abs(did - i) < 0.5)[..., None]
+                        sampled = jnp.where(sel, s_i, sampled)
+                albedo = albedo * sampled
+            else:
+                albedo = albedo * sample_texture(
+                    tex, varyings["uv"], SamplerConfig.linear()
+                )[..., :3]
         albedo_metal = jnp.concatenate(
-            [albedo, jnp.broadcast_to(mat[0:1], n[..., :1].shape)],
+            [albedo, jnp.broadcast_to(mat[..., 0:1], n[..., :1].shape)],
             axis=-1,
         )
         normal_rough = jnp.concatenate(
-            [n, jnp.broadcast_to(mat[1:2], n[..., :1].shape)], axis=-1
+            [n, jnp.broadcast_to(mat[..., 1:2], n[..., :1].shape)], axis=-1
         )
         pos_emissive = jnp.concatenate(
-            [varyings["world_pos"], jnp.broadcast_to(mat[2:3], n[..., :1].shape)],
+            [varyings["world_pos"], jnp.broadcast_to(mat[..., 2:3], n[..., :1].shape)],
             axis=-1,
         )
         # MRT outputs in attachment order (draw maps dict keys sorted).
@@ -250,10 +270,10 @@ class DeferredRenderer:
 
             def record_shadow(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
-                for obj, (vba, iba) in zip(objects, accesses):
-                    ctx.bind("Model", ctx.dynamic(f"def.model.{obj.name}"))
-                    ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
-                                 entry_budget=obj.entry_budget)
+                ctx.draw_indexed_batch([
+                    (vba, iba, {"Model": ctx.dynamic(f"def.model.{obj.name}")})
+                    for obj, (vba, iba) in zip(objects, accesses)
+                ])
 
             node.execute(record_shadow)
 
@@ -282,14 +302,19 @@ class DeferredRenderer:
 
         def record_gbuffer(ctx):
             ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+            draws = []
             for obj, (vba, iba), texa in zip(objects, accesses, tex_accesses):
-                ctx.bind("Model", ctx.dynamic(f"def.model.{obj.name}"))
-                ctx.bind("BaseColor", ctx.dynamic(f"def.base_color.{obj.name}"))
-                ctx.bind("MatParams", ctx.dynamic(f"def.mat.{obj.name}"))
+                res = {
+                    "Model": ctx.dynamic(f"def.model.{obj.name}"),
+                    "BaseColor": ctx.dynamic(f"def.base_color.{obj.name}"),
+                    "MatParams": ctx.dynamic(f"def.mat.{obj.name}"),
+                }
                 if textured:
-                    ctx.bind("BaseColorTex", ctx.get(texa))
-                ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
-                                 entry_budget=obj.entry_budget)
+                    res["BaseColorTex"] = ctx.get(texa)
+                draws.append((vba, iba, res))
+            ctx.draw_indexed_batch(
+                draws, per_draw_uniforms=("BaseColor", "MatParams")
+            )
 
         node.execute(record_gbuffer)
 

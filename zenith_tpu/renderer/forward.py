@@ -112,7 +112,7 @@ def _forward_fs(varyings, res, builtins):
     h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-8)
     spec = jnp.power(jnp.maximum(jnp.sum(n * h, axis=-1, keepdims=True), 0.0), 32.0)
 
-    albedo = jnp.broadcast_to(res["BaseColor"][:3], n.shape)
+    albedo = jnp.broadcast_to(res["BaseColor"][..., :3], n.shape)
     direct = res["LightColor"] * ndotl * lit
     color = albedo * (res["Ambient"] + direct) + res["LightColor"] * spec * 0.25 * lit
     return jnp.concatenate([color, jnp.ones_like(color[..., :1])], axis=-1)
@@ -222,10 +222,10 @@ class ForwardShadowRenderer:
 
         def record_shadow(ctx):
             ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
-            for obj, (vba, iba) in zip(objects, accesses):
-                ctx.bind("Model", ctx.dynamic(f"fwd.model.{obj.name}"))
-                ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
-                                 entry_budget=obj.entry_budget)
+            ctx.draw_indexed_batch([
+                (vba, iba, {"Model": ctx.dynamic(f"fwd.model.{obj.name}")})
+                for obj, (vba, iba) in zip(objects, accesses)
+            ])
 
         node.execute(record_shadow)
 
@@ -255,10 +255,15 @@ class ForwardShadowRenderer:
             ctx.bind("ShadowBias", ctx.dynamic("fwd.shadow_bias"))
             ctx.bind("ShadowNormalOffset", ctx.dynamic("fwd.shadow_noffs"))
             ctx.bind("ShadowMap", ctx.get(sm_read))
-            for obj, (vba, iba) in zip(objects, accesses2):
-                ctx.bind("Model", ctx.dynamic(f"fwd.model.{obj.name}"))
-                ctx.bind("BaseColor", ctx.dynamic(f"fwd.base_color.{obj.name}"))
-                ctx.draw_indexed(vba, iba, bin_capacity=obj.bin_capacity,
-                                 entry_budget=obj.entry_budget)
+            ctx.draw_indexed_batch(
+                [
+                    (vba, iba, {
+                        "Model": ctx.dynamic(f"fwd.model.{obj.name}"),
+                        "BaseColor": ctx.dynamic(f"fwd.base_color.{obj.name}"),
+                    })
+                    for obj, (vba, iba) in zip(objects, accesses2)
+                ],
+                per_draw_uniforms=("BaseColor",),
+            )
 
         node2.execute(record_forward)

@@ -284,6 +284,48 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             self._stencil = stats.stencil
         self.stats.append(stats.bin_overflow)
 
+    def draw_indexed_batch(
+        self,
+        draws: "List[tuple]",  # (vb access/array, ib access/array, resources)
+        per_draw_uniforms: "Tuple[str, ...] | list" = (),
+        entry_budget: Optional[int] = None,
+    ) -> None:
+        """Record N draws as ONE binning+raster+shade pass (the multi-draw
+        batching the reference gets for free from GPU hardware). Per-draw
+        fragment uniforms named in ``per_draw_uniforms`` reach the fragment
+        shader as dense (H, W, C) planes; see ops.draw.draw_indexed_batch."""
+        from zenith_tpu.ops.draw import draw_indexed_batch
+
+        resolved = []
+        for vb, ib, res in draws:
+            vb_v = (
+                self.get(vb)
+                if isinstance(vb, RenderGraphResourceAccess)
+                else vb
+            )
+            ib_v = (
+                self.get(ib)
+                if isinstance(ib, RenderGraphResourceAccess)
+                else ib
+            )
+            merged = dict(self._bindings)
+            if res:
+                merged.update(res)
+            resolved.append((vb_v, ib_v, merged))
+        self._colors, self._depth, stats = draw_indexed_batch(
+            self._colors,
+            self._depth,
+            self.pipeline,
+            resolved,
+            self.grid,
+            per_draw_uniforms=tuple(per_draw_uniforms),
+            entry_budget=entry_budget,
+            stencil=self._stencil,
+        )
+        if stats.stencil is not None:
+            self._stencil = stats.stencil
+        self.stats.append(stats.bin_overflow)
+
 
 @dataclass
 class FrameStatsOutput:

@@ -73,6 +73,9 @@ class ShaderReflection:
     bindings: Tuple[ShaderBinding, ...] = ()
     stages: ShaderStage = ShaderStage.VERTEX
 
+    def binding_names(self) -> "tuple[str, ...]":
+        return tuple(b.name for b in self.bindings)
+
     def find(self, name: str) -> Optional[ShaderBinding]:
         for b in self.bindings:
             if b.name == name:
@@ -141,6 +144,7 @@ class FragmentBuiltins:
     depth: Any  # (...,) interpolated NDC depth (reverse-Z)
     front_facing: Any  # (...,) bool
     resolution: Tuple[int, int] = (0, 0)  # (width, height)
+    draw_id: Any = None  # (...,) f32 draw index inside a batched draw
 
 
 class Shader:
