@@ -151,6 +151,51 @@ class TestForwardShadow:
 
 
 class TestDeferred:
+    def test_skybox_background_cube_sampled(self, device):
+        """Background pixels sample the scene's cube map by view ray
+        (texture.rs:94-105 proven through the full deferred graph)."""
+        from zenith_tpu.ops.sampling import sample_cube
+        from zenith_tpu.rhi import Texture
+
+        # Distinct constant color per face.
+        faces = np.zeros((6, 8, 8, 4), np.float32)
+        for f in range(6):
+            faces[f, :, :, :3] = (f + 1) / 6.0 * np.array(
+                [1.0, 0.5, 0.25], np.float32
+            )
+            faces[f, :, :, f % 3] = 1.0
+        sky = Texture.from_numpy_layers("sky", faces, Format.RGBA32F, cube=True)
+
+        scene = build_test_scene(device, sun_intensity=0.0)
+        scene.skybox = sky
+        renderer = DeferredRenderer(scene, shadows=False)
+        cam = make_camera()
+
+        def build(builder):
+            color = builder.create(TextureDesc.color("rt", W, H))
+            renderer.render_to(builder, color, cam, W, H)
+            return color
+
+        img = run_graph(device, build)
+        # A known sky pixel (top-left corner, far above the ground plane):
+        # compute its view ray and compare with a direct cube sample.
+        inv_vp = np.linalg.inv(
+            np.asarray(cam.render_view_projection, np.float64)
+        )
+        px, py = 2, 2
+        ndc = np.array(
+            [(px + 0.5) / W * 2 - 1, (py + 0.5) / H * 2 - 1, 0.5, 1.0]
+        )
+        p = inv_vp @ ndc
+        d = (p[:3] / p[3]) - np.asarray(cam.location, np.float64)
+        expected = np.asarray(
+            sample_cube(
+                jnp.asarray(faces), jnp.asarray(d[None, :], jnp.float32)
+            )
+        )[0]
+        # The resolve writes alpha=1 unconditionally; compare RGB.
+        np.testing.assert_allclose(img[py, px, :3], expected[:3], atol=1e-4)
+
     def test_point_lights_add_energy(self, device):
         cam = make_camera()
 

@@ -249,6 +249,138 @@ def sample_texture(
     return sample_2d_lod(pack_mips(levels), uv, lod, sampler)
 
 
+def sample_2d_array(
+    tex: jnp.ndarray,  # (L, H, W, C)
+    uv: jnp.ndarray,  # (..., 2)
+    layer: jnp.ndarray,  # (...,) float or int layer index
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Layered-2D sample (reference texture.rs:107-114): the layer index is
+    rounded and clamped (Vulkan array-layer selection), then filtered in-plane
+    like a plain 2D sample."""
+    layers, h, w, c = tex.shape
+    li = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, layers - 1)
+    # Fold the layer into the row index of a (L*H, W, C) sheet: all wrap
+    # modes operate on the in-layer coords first, so row = li*h + iy.
+    sheet = tex.reshape(layers * h, w, c)
+    u = uv[..., 0] * w
+    v = uv[..., 1] * h
+    if sampler.mag_filter == Filter.NEAREST:
+        ix = jnp.floor(u).astype(jnp.int32)
+        iy = jnp.floor(v).astype(jnp.int32)
+        jx, okx = _wrap_indices(ix, w, sampler.address_mode_u)
+        jy, oky = _wrap_indices(iy, h, sampler.address_mode_v)
+        out = _fetch_rows(sheet, li * h + jy, jx)
+        border = jnp.asarray(sampler.border_color.value[:c], jnp.float32)
+        return jnp.where((okx & oky)[..., None], out, border)
+    x = u - 0.5
+    y = v - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    border = jnp.asarray(sampler.border_color.value[:c], jnp.float32)
+
+    def tap(ix, iy):
+        jx, okx = _wrap_indices(ix, w, sampler.address_mode_u)
+        jy, oky = _wrap_indices(iy, h, sampler.address_mode_v)
+        t = _fetch_rows(sheet, li * h + jy, jx)
+        return jnp.where((okx & oky)[..., None], t, border)
+
+    t00, t10 = tap(x0, y0), tap(x0 + 1, y0)
+    t01, t11 = tap(x0, y0 + 1), tap(x0 + 1, y0 + 1)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _fetch_rows(sheet: jnp.ndarray, row: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:
+    """Gather texels from a (Rows, W, C) sheet at precomputed indices."""
+    w = sheet.shape[1]
+    flat = (row * w + col).reshape(-1)
+    t = jnp.take(sheet.reshape(-1, sheet.shape[-1]), flat, axis=0)
+    return t.reshape(row.shape + (sheet.shape[-1],))
+
+
+def cube_direction_to_face_uv(d: jnp.ndarray) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Direction (..., 3) → (face (...,) i32, uv (..., 2)) per the Vulkan
+    cube-map face selection rules (face order +X -X +Y -Y +Z -Z)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+
+    x_major = (ax >= ay) & (ax >= az)
+    y_major = (~x_major) & (ay >= az)
+    face = jnp.where(
+        x_major, jnp.where(x > 0, 0, 1),
+        jnp.where(y_major, jnp.where(y > 0, 2, 3), jnp.where(z > 0, 4, 5)),
+    ).astype(jnp.int32)
+
+    ma = jnp.where(x_major, ax, jnp.where(y_major, ay, az))
+    ma = jnp.maximum(ma, 1e-20)
+    # Per-face (sc, tc) numerators (Vulkan 16.5.4 table).
+    sc = jnp.where(
+        x_major, jnp.where(x > 0, -z, z),
+        jnp.where(y_major, x, jnp.where(z > 0, x, -x)),
+    )
+    tc = jnp.where(
+        x_major, -y, jnp.where(y_major, jnp.where(y > 0, z, -z), -y)
+    )
+    u = 0.5 * (sc / ma + 1.0)
+    v = 0.5 * (tc / ma + 1.0)
+    return face, jnp.stack([u, v], axis=-1)
+
+
+def sample_cube(
+    tex: jnp.ndarray,  # (6, S, S, C), faces +X -X +Y -Y +Z -Z
+    directions: jnp.ndarray,  # (..., 3), need not be normalized
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Cube-map sample by direction (reference texture.rs:94-105). Faces are
+    filtered independently with clamp-to-edge at the seams (the standard
+    software simplification of seamless filtering)."""
+    face, uv = cube_direction_to_face_uv(directions)
+    clamped = SamplerConfig(
+        mag_filter=sampler.mag_filter,
+        min_filter=sampler.min_filter,
+        mipmap_mode=sampler.mipmap_mode,
+        address_mode_u=AddressMode.CLAMP_TO_EDGE,
+        address_mode_v=AddressMode.CLAMP_TO_EDGE,
+        border_color=sampler.border_color,
+    )
+    return sample_2d_array(tex, uv, face, clamped)
+
+
+def sample_3d(
+    tex: jnp.ndarray,  # (D, H, W, C)
+    uvw: jnp.ndarray,  # (..., 3)
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Volume sample (reference texture.rs:81-92): trilinear across the two
+    nearest depth slices (or nearest slice + in-plane filter for NEAREST)."""
+    d = tex.shape[0]
+    zc = uvw[..., 2] * d
+    if sampler.mag_filter == Filter.NEAREST:
+        iz = jnp.floor(zc).astype(jnp.int32)
+        if sampler.address_mode_w == AddressMode.REPEAT:
+            iz = jnp.mod(iz, d)
+        else:
+            iz = jnp.clip(iz, 0, d - 1)
+        return sample_2d_array(tex, uvw[..., :2], iz, sampler)
+    z = zc - 0.5
+    z0 = jnp.floor(z)
+    fz = (z - z0)[..., None]
+    z0 = z0.astype(jnp.int32)
+    if sampler.address_mode_w == AddressMode.REPEAT:
+        za, zb = jnp.mod(z0, d), jnp.mod(z0 + 1, d)
+    else:
+        za, zb = jnp.clip(z0, 0, d - 1), jnp.clip(z0 + 1, 0, d - 1)
+    s0 = sample_2d_array(tex, uvw[..., :2], za, sampler)
+    s1 = sample_2d_array(tex, uvw[..., :2], zb, sampler)
+    return s0 * (1 - fz) + s1 * fz
+
+
 def sample_shadow_pcf(
     shadow_depth: jnp.ndarray,  # (H, W) depth map (reverse-Z)
     uv: jnp.ndarray,  # (..., 2)

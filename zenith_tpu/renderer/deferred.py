@@ -191,6 +191,13 @@ class DeferredRenderer:
 
         builder.set_dynamic("def.view_proj", camera.render_view_projection)
         builder.set_dynamic("def.camera_pos", camera.location)
+        if scene.skybox is not None:
+            builder.set_dynamic(
+                "def.inv_vp",
+                np.linalg.inv(
+                    np.asarray(camera.render_view_projection, np.float64)
+                ).astype(np.float32),
+            )
         builder.set_dynamic("def.ambient", np.asarray(scene.ambient, np.float32))
         builder.set_dynamic("def.background", np.asarray(background, np.float32))
         if pl_pos.shape[0]:
@@ -319,12 +326,18 @@ class DeferredRenderer:
         node.execute(record_gbuffer)
 
         # -- node: lighting resolve (lambda, full-screen) ---------------------------
+        sky_handle = (
+            builder.import_resource(scene.skybox)
+            if scene.skybox is not None
+            else None
+        )
         node = builder.add_lambda_node("lighting")
         a_in = node.read(g_albedo)
         n_in = node.read(g_normal)
         p_in = node.read(g_pos)
         d_in = node.read(g_depth)
         sm_in = node.read(sm_handle) if sm_handle is not None else None
+        sky_in = node.read(sky_handle) if sky_handle is not None else None
         out_w = node.write(output)
         num_lights = pl_pos.shape[0]
         shadows = self.shadows
@@ -374,28 +387,41 @@ class DeferredRenderer:
                 color = color + contrib
 
             if num_lights:
-                pl_p = ctx.dynamic("def.pl_pos")  # (L, 3)
-                pl_c = ctx.dynamic("def.pl_col")
-                pl_r = ctx.dynamic("def.pl_rad")
+                # Tiled light culling (ops.lighting): per-tile world AABB +
+                # scalar sphere tests skip the ~40-op BRDF for lights that
+                # cannot touch the tile — the L-dense fori_loop version this
+                # replaces dominated the whole frame at 100 lights.
+                from zenith_tpu.ops.lighting import accumulate_point_lights
 
-                def add_light(i, acc):
-                    lp = jax.lax.dynamic_slice(pl_p, (i, 0), (1, 3))[0]
-                    lc = jax.lax.dynamic_slice(pl_c, (i, 0), (1, 3))[0]
-                    lr = jax.lax.dynamic_slice(pl_r, (i,), (1,))[0]
-                    to_l = lp - world
-                    dist = jnp.maximum(
-                        jnp.linalg.norm(to_l, axis=-1, keepdims=True), 1e-4
-                    )
-                    l = to_l / dist
-                    # Inverse-square with a smooth radius cutoff.
-                    att = 1.0 / (dist * dist)
-                    win = jnp.clip(1.0 - (dist / lr) ** 4, 0.0, 1.0) ** 2
-                    contrib = _ggx_brdf(n, v, l, albedo, metallic, roughness)
-                    return acc + contrib * lc * att * win
+                color = color + accumulate_point_lights(
+                    albedo_metal,
+                    normal_rough,
+                    pos_emi,
+                    depth,
+                    cam_pos,
+                    ctx.dynamic("def.pl_pos"),
+                    ctx.dynamic("def.pl_col"),
+                    ctx.dynamic("def.pl_rad"),
+                )
 
-                color = jax.lax.fori_loop(0, num_lights, add_light, color)
+            if sky_in is not None:
+                # Skybox: cube-sample the per-pixel view ray for background
+                # pixels (proves the cube path end-to-end; texture.rs:94-105).
+                from zenith_tpu.ops.sampling import sample_cube
 
-            bg = jnp.broadcast_to(ctx.dynamic("def.background"), color.shape)
+                hh, ww = depth.shape
+                ndc_x = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww * 2 - 1
+                ndc_y = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh * 2 - 1
+                px = jnp.broadcast_to(ndc_x[None, :], (hh, ww))
+                py = jnp.broadcast_to(ndc_y[:, None], (hh, ww))
+                ndc = jnp.stack(
+                    [px, py, jnp.full_like(px, 0.5), jnp.ones_like(px)], -1
+                )
+                p = ndc @ ctx.dynamic("def.inv_vp").T
+                dirs = p[..., :3] / p[..., 3:4] - cam_pos
+                bg = sample_cube(ctx.get(sky_in), dirs)[..., :3]
+            else:
+                bg = jnp.broadcast_to(ctx.dynamic("def.background"), color.shape)
             rgb = jnp.where(covered, color, bg)
             out = jnp.concatenate([rgb, jnp.ones_like(rgb[..., :1])], axis=-1)
             ctx.set(out_w, out)

@@ -117,6 +117,7 @@ class Scene:
     sun: "Optional[DirectionalLight]" = None
     point_lights: "list[PointLight]" = field(default_factory=list)
     ambient: "tuple" = (0.03, 0.03, 0.04)
+    skybox: "Optional[object]" = None  # cube-map Texture (6, S, S, C)
 
     def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
         """(L, 3) positions, (L, 3) colors·intensity, (L,) radii."""

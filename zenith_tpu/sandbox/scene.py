@@ -60,8 +60,47 @@ def brushed_texture(size: int = 256, rng=None) -> Texture:
     return Texture.from_numpy("brushed", px, Format.RGBA8_SRGB, generate_mips=True)
 
 
+def sky_cube_texture(size: int = 64):
+    """Procedural gradient sky cube (6, S, S, 4): zenith→horizon gradient
+    with a warm sun glow — exercises the cube-map sampling path end-to-end
+    (reference texture.rs:94-105)."""
+    from zenith_tpu.rhi import Format, Texture
+
+    u = (np.arange(size, dtype=np.float32) + 0.5) / size * 2 - 1
+    uu, vv = np.meshgrid(u, u)
+    ones = np.ones_like(uu)
+    # Direction per texel per face (+X -X +Y -Y +Z -Z, Vulkan 16.5.4).
+    face_dirs = [
+        np.stack([ones, -vv, -uu], -1),
+        np.stack([-ones, -vv, uu], -1),
+        np.stack([uu, ones, vv], -1),
+        np.stack([uu, -ones, -vv], -1),
+        np.stack([uu, -vv, ones], -1),
+        np.stack([-uu, -vv, -ones], -1),
+    ]
+    sun_dir = np.array([0.35, -0.3, 0.88], np.float32)
+    sun_dir /= np.linalg.norm(sun_dir)
+    zenith = np.array([0.18, 0.32, 0.62], np.float32)
+    horizon = np.array([0.55, 0.62, 0.75], np.float32)
+    below = np.array([0.12, 0.11, 0.10], np.float32)
+    faces = []
+    for d in face_dirs:
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        up = np.clip(d[..., 2:3], 0.0, 1.0)
+        sky = horizon + (zenith - horizon) * np.sqrt(up)
+        col = np.where(d[..., 2:3] >= 0.0, sky, below)
+        glow = np.clip(np.sum(d * sun_dir, axis=-1, keepdims=True), 0, 1) ** 64
+        col = col + glow * np.array([3.0, 2.6, 2.0], np.float32)
+        faces.append(
+            np.concatenate([col, np.ones_like(up)], -1).astype(np.float32)
+        )
+    return Texture.from_numpy_layers(
+        "sky", np.stack(faces), Format.RGBA32F, cube=True
+    )
+
+
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
-                textured: bool = False) -> Scene:
+                textured: bool = False, skybox: bool = True) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -123,6 +162,7 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
         ),
         point_lights=lights,
         ambient=(0.02, 0.02, 0.03),
+        skybox=sky_cube_texture() if skybox else None,
     )
 
 
