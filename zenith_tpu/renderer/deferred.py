@@ -378,7 +378,9 @@ class DeferredRenderer:
                         [(lclip[..., 0] + 1) * 0.5, (lclip[..., 1] + 1) * 0.5], -1
                     )
                     ref = lclip[..., 2] - ctx.dynamic("def.shadow_bias")
-                    lit = sample_shadow_pcf(ctx.get(sm_in), uv, ref, _SHADOW_SAMPLER)
+                    lit = sample_shadow_pcf(
+                        ctx.get_full(sm_in), uv, ref, _SHADOW_SAMPLER
+                    )
                     inside = (
                         (uv[..., 0] >= 0) & (uv[..., 0] <= 1)
                         & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
@@ -410,8 +412,16 @@ class DeferredRenderer:
                 from zenith_tpu.ops.sampling import sample_cube
 
                 hh, ww = depth.shape
+                full_h, row0 = hh, 0
+                if ctx.sharded:
+                    s_axis, s_n, _ = ctx._shard_ctx
+                    full_h = hh * s_n
+                    row0 = jax.lax.axis_index(s_axis) * hh
                 ndc_x = (jnp.arange(ww, dtype=jnp.float32) + 0.5) / ww * 2 - 1
-                ndc_y = (jnp.arange(hh, dtype=jnp.float32) + 0.5) / hh * 2 - 1
+                ndc_y = (
+                    (row0 + jnp.arange(hh, dtype=jnp.float32) + 0.5)
+                    / full_h * 2 - 1
+                )
                 px = jnp.broadcast_to(ndc_x[None, :], (hh, ww))
                 py = jnp.broadcast_to(ndc_y[:, None], (hh, ww))
                 ndc = jnp.stack(

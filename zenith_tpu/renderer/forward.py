@@ -254,7 +254,9 @@ class ForwardShadowRenderer:
             ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
             ctx.bind("ShadowBias", ctx.dynamic("fwd.shadow_bias"))
             ctx.bind("ShadowNormalOffset", ctx.dynamic("fwd.shadow_noffs"))
-            ctx.bind("ShadowMap", ctx.get(sm_read))
+            # Whole-surface read: under an SPMD mesh the shadow map is
+            # banded; get_full all_gathers it for PCF sampling.
+            ctx.bind("ShadowMap", ctx.get_full(sm_read))
             ctx.draw_indexed_batch(
                 [
                     (vba, iba, {

@@ -53,11 +53,25 @@ logger = log.get(__name__)
 
 @dataclass(frozen=True)
 class CompileOptions:
-    """Static rasterizer configuration (part of the compile cache key)."""
+    """Static rasterizer configuration (part of the compile cache key).
+
+    ``mesh`` turns on SPMD rendering: the whole frame program runs under
+    ``jax.shard_map`` over ``mesh[shard_axis]`` with every graph-managed
+    attachment split into row bands (sort-first parallel rendering —
+    geometry is replicated, each device rasterizes its band via a shifted
+    viewport, and no collectives run during rasterization; ICI traffic is
+    limited to explicit ``ctx.get_full`` gathers, e.g. a forward pass
+    sampling the banded shadow map). Imported resources and dynamics are
+    replicated. Constraints: every attachment height must divide by the
+    mesh size × tile_h, and lambda-node math must be row-local (elementwise
+    resolves are; cross-row blurs like bloom are not).
+    """
 
     tile_h: int = 32
     tile_w: int = 128
     bin_capacity: int = DEFAULT_BIN_CAPACITY
+    mesh: Optional[Any] = None  # jax.sharding.Mesh (hashable)
+    shard_axis: str = "rows"
 
 
 def _import_value(res: "Buffer | Texture"):
@@ -173,11 +187,33 @@ def _capture_key(v, depth: int = 0):
 
 class _NodeContextBase:
     def __init__(self, graph: "RenderGraph", node: GraphNode,
-                 state: Dict[int, Any], dynamics: Dict[str, Any]):
+                 state: Dict[int, Any], dynamics: Dict[str, Any],
+                 shard_ctx=None):
         self._graph = graph
         self._node = node
         self._state = state
         self._dynamics = dynamics
+        # (axis_name, n_shards, banded_rid_set) under an SPMD mesh.
+        self._shard_ctx = shard_ctx
+
+    @property
+    def sharded(self) -> bool:
+        """True when tracing inside an SPMD mesh (CompileOptions.mesh)."""
+        return self._shard_ctx is not None
+
+    def get_full(self, access: RenderGraphResourceAccess):
+        """Full (all-rows) value of a resource. Identical to ``get`` on one
+        device; under a mesh, banded attachments are all_gathered over ICI —
+        use for whole-surface sampling (e.g. a forward pass reading the
+        banded shadow map), never for elementwise band math."""
+        val = self.get(access)
+        if self._shard_ctx is None:
+            return val
+        axis, n, banded = self._shard_ctx
+        rid = access.id
+        if rid in banded:
+            return jax.lax.all_gather(val, axis, axis=0, tiled=True)
+        return val
 
     def dynamic(self, name: str):
         """Read a per-frame value declared with builder.set_dynamic."""
@@ -221,8 +257,10 @@ class GraphicNodeExecutionContext(_NodeContextBase):
     def __init__(self, graph, node, state, dynamics,
                  pipeline: GraphicPipeline, grid: TileGrid,
                  colors: List[Any], depth: Optional[Any],
-                 bin_capacity: int, stencil: Optional[Any] = None):
-        super().__init__(graph, node, state, dynamics)
+                 bin_capacity: int, stencil: Optional[Any] = None,
+                 viewport: Optional[tuple] = None, shard_ctx=None):
+        super().__init__(graph, node, state, dynamics, shard_ctx)
+        self._viewport = viewport
         self.pipeline = pipeline
         self.grid = grid
         self._colors = colors
@@ -279,6 +317,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             bin_capacity=bin_capacity or self._bin_capacity,
             entry_budget=entry_budget,
             stencil=self._stencil,
+            viewport=self._viewport,
         )
         if stats.stencil is not None:
             self._stencil = stats.stencil
@@ -321,6 +360,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             per_draw_uniforms=tuple(per_draw_uniforms),
             entry_budget=entry_budget,
             stencil=self._stencil,
+            viewport=self._viewport,
         )
         if stats.stencil is not None:
             self._stencil = stats.stencil
@@ -471,18 +511,50 @@ class RenderGraph:
         resources = self.resources
         pipelines = self._pipelines
         output_ids = list(dict.fromkeys(self._written_imports() + self.exports))
+        mesh = options.mesh
+        axis = options.shard_axis
+        n_shards = mesh.shape[axis] if mesh is not None else 1
 
-        def frame_fn(imports: Dict[str, Any], dynamics: Dict[str, Any]):
+        def walk(imports: Dict[str, Any], dynamics: Dict[str, Any]):
+            """Trace every node in declaration order. Under a mesh this runs
+            INSIDE shard_map: graph-managed attachments live as row bands,
+            draws rasterize through a per-device viewport shift, and the
+            ``banded`` set lets ctx.get_full all_gather on demand."""
             state: Dict[int, Any] = {}
+            banded: set = set()
             for rid, st in enumerate(resources):
                 if st.is_imported:
                     state[rid] = imports[str(rid)]
             overflow = jnp.int32(0)
+            shard_ctx = (axis, n_shards, banded) if mesh is not None else None
+
+            def band_of(rid, arr, full_h):
+                """Local row band of an attachment (slices a replicated
+                full-height array the first time a shard touches it)."""
+                if mesh is None or rid in banded:
+                    return arr
+                shard_h = full_h // n_shards
+                y0 = jax.lax.axis_index(axis) * shard_h
+                return jax.lax.dynamic_slice_in_dim(arr, y0, shard_h, 0)
 
             for node in active_nodes:
                 if node.kind == "lambda":
-                    ctx = LambdaNodeExecutionContext(self, node, state, dynamics)
+                    ctx = LambdaNodeExecutionContext(
+                        self, node, state, dynamics, shard_ctx
+                    )
                     node.job(ctx)
+                    # Lambda writes to declared outputs stay band-shaped under
+                    # a mesh if their inputs were bands (row-local contract).
+                    if mesh is not None:
+                        for a in node.outputs:
+                            out_desc = resources[a.resource_id].texture_desc()
+                            v = state.get(a.resource_id)
+                            if (
+                                out_desc is not None
+                                and v is not None
+                                and v.shape[0] * n_shards == out_desc.height
+                            ):
+                                banded.add(a.resource_id)
                     continue
 
                 # Graphic node prologue: attachment load/clear (the
@@ -495,12 +567,23 @@ class RenderGraph:
                 else:
                     first_rid = node.stencil_attachment
                 tdesc = resources[first_rid].texture_desc()
+                full_h = tdesc.height
+                if mesh is not None:
+                    assert full_h % (n_shards * options.tile_h) == 0, (
+                        f"attachment height {full_h} must divide by mesh "
+                        f"size {n_shards} x tile_h {options.tile_h}"
+                    )
+                local_h = full_h // n_shards
                 grid = TileGrid(
                     width=tdesc.width,
-                    height=tdesc.height,
+                    height=local_h,
                     tile_h=options.tile_h,
                     tile_w=options.tile_w,
                 )
+                viewport = None
+                if mesh is not None:
+                    y0 = jax.lax.axis_index(axis) * local_h
+                    viewport = (0, y0, tdesc.width, full_h)
 
                 colors = []
                 for rid, cdesc in node.color_attachments:
@@ -510,7 +593,7 @@ class RenderGraph:
                             grid.height, grid.width, cdesc.clear_value
                         )
                     else:
-                        arr = cur
+                        arr = band_of(rid, cur, full_h)
                     colors.append(arr)
 
                 depth = None
@@ -522,6 +605,7 @@ class RenderGraph:
                             grid.height, grid.width, ddesc.depth_clear_value
                         )
                     else:
+                        cur = band_of(rid, cur, full_h)
                         depth = cur[..., 0] if cur.ndim == 3 else cur
 
                 stencil = None
@@ -535,11 +619,12 @@ class RenderGraph:
                             sdesc.stencil_clear_value & 0xFF, jnp.int32,
                         )
                     else:
-                        stencil = cur
+                        stencil = band_of(srid, cur, full_h)
 
                 ctx = GraphicNodeExecutionContext(
                     self, node, state, dynamics, pipeline, grid,
                     colors, depth, options.bin_capacity, stencil,
+                    viewport=viewport, shard_ctx=shard_ctx,
                 )
                 node.job(ctx)
 
@@ -547,10 +632,16 @@ class RenderGraph:
                 # DONT_CARE stores too — contents are valid, just unneeded).
                 for (rid, cdesc), arr in zip(node.color_attachments, ctx._colors):
                     state[rid] = arr
+                    if mesh is not None:
+                        banded.add(rid)
                 if node.depth_attachment is not None and ctx._depth is not None:
                     state[node.depth_attachment[0]] = ctx._depth
+                    if mesh is not None:
+                        banded.add(node.depth_attachment[0])
                 if node.stencil_attachment is not None and ctx._stencil is not None:
                     state[node.stencil_attachment] = ctx._stencil
+                    if mesh is not None:
+                        banded.add(node.stencil_attachment)
                 for ov in ctx.stats:
                     overflow = overflow + ov
 
@@ -558,10 +649,44 @@ class RenderGraph:
             for rid in output_ids:
                 if rid in state:
                     outputs[str(rid)] = state[rid]
-            return outputs, FrameStatsOutput(bin_overflow=overflow)
+            return outputs, FrameStatsOutput(bin_overflow=overflow), banded
+
+        if mesh is None:
+            def frame_fn(imports, dynamics):
+                outputs, stats, _ = walk(imports, dynamics)
+                return outputs, stats
+
+            return frame_fn
+
+        # SPMD wrapper: replicate inputs, stitch banded outputs. Output
+        # specs come from a single abstract trace of the walk (which ids
+        # ended up banded is static).
+        from jax.sharding import PartitionSpec as P
+
+        def shard_body(imports, dynamics):
+            outputs, stats, _ = walk(imports, dynamics)
+            return outputs, FrameStatsOutput(
+                bin_overflow=jax.lax.psum(stats.bin_overflow, axis)
+            )
+
+        # Every frame output is a row-banded surface under a mesh (graphic
+        # attachments band by construction; lambda writes are row-local by
+        # contract — a replicated write trips shard_map's shape check).
+        out_specs = (
+            {str(rid): P(axis) for rid in output_ids},
+            FrameStatsOutput(bin_overflow=P()),
+        )
+
+        def frame_fn(imports, dynamics):
+            return jax.shard_map(
+                shard_body,
+                mesh=mesh,
+                in_specs=(P(), P()),
+                out_specs=out_specs,
+                check_vma=False,
+            )(imports, dynamics)
 
         return frame_fn
-
 
 # Frame-program cache: structure key → jitted callable. Module-level so
 # graphs rebuilt every frame (engine.rs:93-102) hit the same executables.
