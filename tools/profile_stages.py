@@ -103,6 +103,10 @@ def main() -> None:
                 jnp.float32,
             )
 
+        # CRITICAL harness rule (learned the hard way): every large array
+        # must be a jit ARGUMENT. Closed-over device arrays become program
+        # constants, which this backend re-ships per execution — a closed-
+        # over index buffer inflated this chain 10x (9.4 ms vs 0.9 ms).
         def vs(vbuf, mvp):
             pos = vbuf[:, :3]
             hom = jnp.concatenate([pos, jnp.ones((nv, 1), jnp.float32)], axis=1)
@@ -111,10 +115,10 @@ def main() -> None:
             return clip, vary
 
         @jax.jit
-        def stage_setup(vbuf, mvp):
+        def stage_setup(vbuf, ibuf, mvp):
             clip, vary = vs(vbuf, mvp)
             records, corner = setup_with_attrs(
-                clip, ib, vary, w, h,
+                clip, ibuf, vary, w, h,
                 cull_mode=CullMode.BACK,
                 front_face=FrontFace.COUNTER_CLOCKWISE,
             )
@@ -122,10 +126,10 @@ def main() -> None:
                     jnp.sum(records.aabb), records.valid.sum())
 
         @jax.jit
-        def stage_bin(vbuf, mvp):
+        def stage_bin(vbuf, ibuf, mvp):
             clip, vary = vs(vbuf, mvp)
             records, corner = setup_with_attrs(
-                clip, ib, vary, w, h,
+                clip, ibuf, vary, w, h,
                 cull_mode=CullMode.BACK,
                 front_face=FrontFace.COUNTER_CLOCKWISE,
             )
@@ -134,10 +138,10 @@ def main() -> None:
                     bins.overflow)
 
         @jax.jit
-        def stage_raster(vbuf, mvp):
+        def stage_raster(vbuf, ibuf, mvp):
             clip, vary = vs(vbuf, mvp)
             records, corner = setup_with_attrs(
-                clip, ib, vary, w, h,
+                clip, ibuf, vary, w, h,
                 cull_mode=CullMode.BACK,
                 front_face=FrontFace.COUNTER_CLOCKWISE,
             )
@@ -147,11 +151,12 @@ def main() -> None:
             )
             return jnp.sum(z), jnp.sum(acc[-1]), bins.overflow
 
-        results["setup_ms"] = bench(stage_setup, lambda i: (vb, mvp_at(i)))
+        results["setup_ms"] = bench(stage_setup, lambda i: (vb, ib, mvp_at(i)))
         print(f"setup: {results['setup_ms']:.2f} ms", file=sys.stderr)
-        results["setup_bin_ms"] = bench(stage_bin, lambda i: (vb, mvp_at(i)))
+        results["setup_bin_ms"] = bench(stage_bin, lambda i: (vb, ib, mvp_at(i)))
         print(f"setup+bin: {results['setup_bin_ms']:.2f} ms", file=sys.stderr)
-        results["setup_bin_raster_ms"] = bench(stage_raster, lambda i: (vb, mvp_at(i)))
+        results["setup_bin_raster_ms"] = bench(
+            stage_raster, lambda i: (vb, ib, mvp_at(i)))
         print(f"setup+bin+raster: {results['setup_bin_raster_ms']:.2f} ms",
               file=sys.stderr)
         results["bin_only_ms"] = results["setup_bin_ms"] - results["setup_ms"]

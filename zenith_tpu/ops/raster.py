@@ -1,7 +1,17 @@
-"""Pass A — the visibility kernel (Pallas TPU).
+"""Rasterizer kernels (Pallas TPU).
 
-The hardware rasterizer + early-Z of the Vulkan pipeline, as a tile-parallel
-Pallas kernel. For each framebuffer tile it streams that tile's binned
+PRODUCTION PATH: ``raster_segmented`` (+ ``_segmented_stencil_kernel``) over
+``binning.bin_segmented`` — uncapped per-tile candidate lists, used by every
+draw. The older capped-bin kernels below (``visibility_pass``,
+``raster_interp_pass`` over ``binning.bin_triangles``) are retained
+DELIBERATELY as a second, independently-structured implementation: the test
+suite proves the segmented path equivalent to them (test_raster.py), which
+— together with the NumPy oracle — triangulates correctness from three
+directions. They are not maintained for performance.
+
+
+Pass A below = the hardware rasterizer + early-Z of the Vulkan pipeline, as
+a tile-parallel Pallas kernel. For each framebuffer tile it streams that tile's binned
 triangle records (SMEM) and updates a per-pixel (depth, record-slot) pair in
 VMEM — a *visibility buffer*. Triangles are processed strictly in submission
 order, so depth-compare ties and depth-write-off overdraw resolve exactly as
