@@ -455,3 +455,76 @@ class TestCacheKeyCaptures:
         assert frame_program_cache_size() == 2
         build(a).compile(device, pcache, OPTS).execute(device)
         assert frame_program_cache_size() == 2
+
+
+class TestValidateMode:
+    """ZENITH_VALIDATE=1 — the Vulkan-validation-layer analog
+    (core.rs:15-16,180-198): static hazard warnings + traced NaN screening."""
+
+    def test_read_before_write_warns(self, device, pcache, monkeypatch, caplog):
+        import logging
+
+        monkeypatch.setenv("ZENITH_VALIDATE", "1")
+        clear_frame_program_cache()
+        builder = RenderGraphBuilder()
+        never_written = builder.create(TextureDesc.color("ghost", W, H))
+        out = builder.import_resource(Texture(TextureDesc.color("swap", W, H)))
+        node = builder.add_lambda_node("reader")
+        ra = node.read(never_written)
+        oa = node.write(out)
+
+        def record(ctx):
+            ctx.set(oa, ctx.get(ra))
+
+        node.execute(record)
+        with caplog.at_level(logging.WARNING):
+            builder.build().compile(device, pcache, OPTS)
+        assert any("before any node wrote it" in r.message for r in caplog.records)
+
+    def test_nan_screening_counts(self, device, pcache, monkeypatch):
+        import numpy as np
+
+        monkeypatch.setenv("ZENITH_VALIDATE", "1")
+        clear_frame_program_cache()
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+        builder = RenderGraphBuilder()
+        vbr, ibr = builder.import_resource(vb), builder.import_resource(ib)
+        out = builder.import_resource(tex)
+        builder.set_dynamic("time", 0.0)
+        node = builder.add_graphic_node("nan-shader")
+        vba, iba = node.read(vbr), node.read(ibr)
+        rt = node.write(out)
+
+        def bad_fs(varyings, res, builtins):
+            c = varyings["color"]
+            # 0/0 NaNs over the covered area.
+            return jnp.concatenate(
+                [c * (c - c) / (c - c), jnp.ones_like(c[..., :1])], -1
+            )
+
+        shader = GraphicShaderInput(
+            TRI_VS, Shader.fragment("bad.fs", bad_fs), TRI_LAYOUT
+        )
+        state = GraphicPipelineState(
+            rasterization=RasterizationState(cull_mode=CullMode.NONE)
+        )
+        with node.pipeline(shader, state) as binder:
+            binder.push_color(rt, ColorAttachmentDesc())
+
+        def record(ctx):
+            ctx.draw_indexed(vba, iba)
+
+        node.execute(record)
+        compiled = builder.build().compile(device, pcache, OPTS)
+        retired = compiled.execute(device)
+        nans = int(np.asarray(compiled._stats.nan_pixels))
+        assert nans > 0  # the screen caught the shader's NaNs
+
+        # And with validation off, the same graph reports zero (no screening)
+        monkeypatch.setenv("ZENITH_VALIDATE", "0")
+        clear_frame_program_cache()
+        compiled = builder.build().compile(device, pcache, OPTS)
+        compiled.execute(device)
+        assert int(np.asarray(compiled._stats.nan_pixels)) == 0

@@ -123,10 +123,20 @@ def draw_indexed(
     viewport: "Optional[tuple]" = None,  # (x0, y0, full_w, full_h) for SPMD shards
     entry_budget: Optional[int] = None,  # tile×record pair budget (see binning)
     stencil: Optional[jnp.ndarray] = None,  # current (H, W) i32 stencil plane
+    instance_count: int = 1,
+    instance_data: "Optional[Dict[str, Any]]" = None,  # name → (I, C) arrays
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
     """Trace one indexed draw; returns (colors', depth', stats); when the
     pipeline enables the stencil test, ``stats.stencil`` carries the updated
-    plane (pass ``stencil=`` the current one)."""
+    plane (pass ``stencil=`` the current one).
+
+    ``instance_count`` > 1 is the vkCmdDrawIndexed instanceCount analog
+    (reference command.rs:166): the vertex stage runs vmapped over
+    instances, which see ``instance_data`` rows as extra attrs (the
+    instance-rate vertex attributes of Vulkan) plus ``instance_index``
+    (gl_InstanceIndex). Records concatenate in instance order, matching
+    Vulkan's primitive ordering within an instanced draw.
+    """
     state = pipeline.desc.state
     rast_state = state.rasterization
     ds = state.depth_stencil
@@ -138,14 +148,40 @@ def draw_indexed(
     else:
         attrs = {"position": vertex_buffer}
     vs_res = BoundResources(pipeline.vertex_shader.reflection, resources)
-    vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
-    clip = vs_out.pop("position")
+    indices = assemble_triangles(index_buffer, state.input_assembly)
+
+    if instance_count > 1 or instance_data:
+        nv = vertex_buffer.shape[0]
+        inst = {
+            k: jnp.asarray(v, jnp.float32).reshape(instance_count, -1)
+            for k, v in (instance_data or {}).items()
+        }
+        idx_f = jnp.arange(instance_count, dtype=jnp.float32)[:, None]
+
+        def one_instance(inst_vals, iidx):
+            a = dict(attrs)
+            for k, v in inst_vals.items():
+                a[k] = jnp.broadcast_to(v[None, :], (nv, v.shape[-1]))
+            a["instance_index"] = jnp.broadcast_to(iidx[None, :], (nv, 1))
+            out = dict(pipeline.vertex_shader.fn(a, vs_res))
+            return out.pop("position"), out
+
+        clips, vs_outs = jax.vmap(one_instance)(inst, idx_f)  # (I, Nv, ...)
+        clip = clips.reshape(instance_count * nv, 4)
+        vs_out = {
+            k: v.reshape(instance_count * nv, -1) for k, v in vs_outs.items()
+        }
+        # Index buffer tiled per instance with a vertex offset of i·Nv.
+        offs = (jnp.arange(instance_count, dtype=jnp.int32) * nv)[:, None, None]
+        indices = (indices[None, :, :] + offs).reshape(-1, 3)
+    else:
+        vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+        clip = vs_out.pop("position")
     assert clip.ndim == 2 and clip.shape[1] == 4, (
         f"vertex shader must return clip-space 'position' (N, 4), got {clip.shape}"
     )
 
     # -- primitive assembly + setup (fused with attribute gathering) ----------
-    indices = assemble_triangles(index_buffer, state.input_assembly)
     attr_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
                    for name, v in vs_out.items()]
     if vs_out:

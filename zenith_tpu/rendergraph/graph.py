@@ -51,6 +51,44 @@ from zenith_tpu.rhi.state import LoadOp
 logger = log.get(__name__)
 
 
+def _validate_enabled() -> bool:
+    """ZENITH_VALIDATE=1 turns on graph-level validation — the analog of the
+    reference's default-on Vulkan validation layers (core.rs:15-16,180-198):
+    static access checks at compile time plus traced NaN screening of every
+    node's attachment writes (reported in FrameStatsOutput.nan_pixels)."""
+    import os
+
+    return os.environ.get("ZENITH_VALIDATE", "0") not in ("", "0", "false")
+
+
+def _validate_graph(resources, nodes, exports) -> None:
+    """Static hazard checks (read-before-write, dead writes)."""
+    written: set = set()
+    read_ever: set = set()
+    for node in nodes:
+        for a in node.inputs:
+            rid = a.resource_id
+            read_ever.add(rid)
+            if not resources[rid].is_imported and rid not in written:
+                logger.warning(
+                    "[validate] node '%s' reads managed resource #%d before "
+                    "any node wrote it — it will be all zeros",
+                    node.name, rid,
+                )
+        for a in node.outputs:
+            written.add(a.resource_id)
+    for rid in written:
+        if (
+            not resources[rid].is_imported
+            and rid not in read_ever
+            and rid not in exports
+        ):
+            logger.warning(
+                "[validate] managed resource #%d is written but never read "
+                "or exported — dead work", rid,
+            )
+
+
 @dataclass(frozen=True)
 class CompileOptions:
     """Static rasterizer configuration (part of the compile cache key).
@@ -290,6 +328,8 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         resources: "Optional[Dict[str, Any]]" = None,
         bin_capacity: Optional[int] = None,
         entry_budget: Optional[int] = None,
+        instance_count: int = 1,
+        instance_data: "Optional[Dict[str, Any]]" = None,
     ) -> None:
         """Record one indexed draw (the cmd_draw_indexed analog,
         triangle.rs:173)."""
@@ -318,6 +358,8 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             entry_budget=entry_budget,
             stencil=self._stencil,
             viewport=self._viewport,
+            instance_count=instance_count,
+            instance_data=instance_data,
         )
         if stats.stencil is not None:
             self._stencil = stats.stencil
@@ -372,6 +414,7 @@ class FrameStatsOutput:
     """Traced per-frame counters returned beside the frame outputs."""
 
     bin_overflow: Any = 0
+    nan_pixels: Any = 0  # populated only under ZENITH_VALIDATE=1
 
 
 class RenderGraph:
@@ -411,7 +454,7 @@ class RenderGraph:
         hashed repr() strings — milliseconds of Python per frame on the
         deferred scene, 24x the jit dispatch floor; VERDICT weak #2).
         """
-        parts = [options]
+        parts = [options, _validate_enabled()]
         add = parts.append
 
         for rid, st in enumerate(self.resources):
@@ -475,6 +518,9 @@ class RenderGraph:
                 )
             active_nodes.append(node)
 
+        if _validate_enabled():
+            _validate_graph(self.resources, active_nodes, set(self.exports))
+
         key = self._structure_key(options)
         cached = _FRAME_PROGRAM_CACHE.get(key)
         global _MISS_STREAK
@@ -526,6 +572,8 @@ class RenderGraph:
                 if st.is_imported:
                     state[rid] = imports[str(rid)]
             overflow = jnp.int32(0)
+            nan_pixels = jnp.int32(0)
+            validate = _validate_enabled()
             shard_ctx = (axis, n_shards, banded) if mesh is not None else None
 
             def band_of(rid, arr, full_h):
@@ -644,12 +692,29 @@ class RenderGraph:
                         banded.add(node.stencil_attachment)
                 for ov in ctx.stats:
                     overflow = overflow + ov
+                if validate:
+                    # NaN screening of this node's attachment writes — a NaN
+                    # escaping a shader poisons every downstream blend.
+                    for (rid, _cd), arr in zip(
+                        node.color_attachments, ctx._colors
+                    ):
+                        nan_pixels = nan_pixels + jnp.isnan(arr).sum().astype(
+                            jnp.int32
+                        )
+                    if ctx._depth is not None:
+                        nan_pixels = nan_pixels + jnp.isnan(
+                            ctx._depth
+                        ).sum().astype(jnp.int32)
 
             outputs = {}
             for rid in output_ids:
                 if rid in state:
                     outputs[str(rid)] = state[rid]
-            return outputs, FrameStatsOutput(bin_overflow=overflow), banded
+            return (
+                outputs,
+                FrameStatsOutput(bin_overflow=overflow, nan_pixels=nan_pixels),
+                banded,
+            )
 
         if mesh is None:
             def frame_fn(imports, dynamics):
@@ -666,7 +731,8 @@ class RenderGraph:
         def shard_body(imports, dynamics):
             outputs, stats, _ = walk(imports, dynamics)
             return outputs, FrameStatsOutput(
-                bin_overflow=jax.lax.psum(stats.bin_overflow, axis)
+                bin_overflow=jax.lax.psum(stats.bin_overflow, axis),
+                nan_pixels=jax.lax.psum(stats.nan_pixels, axis),
             )
 
         # Every frame output is a row-banded surface under a mesh (graphic
@@ -674,7 +740,7 @@ class RenderGraph:
         # contract — a replicated write trips shard_map's shape check).
         out_specs = (
             {str(rid): P(axis) for rid in output_ids},
-            FrameStatsOutput(bin_overflow=P()),
+            FrameStatsOutput(bin_overflow=P(), nan_pixels=P()),
         )
 
         def frame_fn(imports, dynamics):
@@ -763,5 +829,5 @@ class RetiredRenderGraph:
 
 
 jax.tree_util.register_dataclass(
-    FrameStatsOutput, data_fields=["bin_overflow"], meta_fields=[]
+    FrameStatsOutput, data_fields=["bin_overflow", "nan_pixels"], meta_fields=[]
 )
