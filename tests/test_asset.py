@@ -169,3 +169,41 @@ class TestGltfAndManager:
         # Normals are unit length.
         n = np.linalg.norm(mesh.vertices[:, 3:6], axis=1)
         np.testing.assert_allclose(n, 1.0, atol=1e-3)
+
+
+class TestHotReload:
+    def test_watch_and_poll_rebakes_on_touch(self, tmp_path):
+        """watch() + poll_hot_reload(): touching the source triggers a
+        rebake and fires the callback with the fresh handle."""
+        import os
+        import shutil
+        import time
+
+        from zenith_tpu.asset.manager import AssetManager
+        from zenith_tpu.sandbox.mesh import default_content_root
+
+        src_root = default_content_root()
+        gltf_dir = os.path.join(src_root, "content", "mesh", "cerberus")
+        if not os.path.isdir(gltf_dir):
+            import pytest
+
+            pytest.skip("cerberus content unavailable")
+        root = tmp_path / "ws"
+        dst = root / "content" / "mesh" / "cerberus"
+        dst.parent.mkdir(parents=True)
+        shutil.copytree(gltf_dir, dst)
+
+        mgr = AssetManager(root=root, cache_dir=root / "cache")
+        url = "mesh/cerberus/scene.gltf"
+        mgr.request_load(url)
+
+        seen = []
+        mgr.watch(url, on_reload=seen.append)
+        assert mgr.poll_hot_reload() == []  # unchanged → no work
+
+        src = dst / "scene.gltf"
+        os.utime(src, (time.time() + 5, time.time() + 5))
+        reloaded = mgr.poll_hot_reload()
+        assert [str(u) for u in reloaded] == [url]
+        assert len(seen) == 1 and seen[0].get() is not None
+        assert mgr.poll_hot_reload() == []  # settles

@@ -43,6 +43,41 @@ class AssetManager:
         self.content_dir = self.root / "content"
         # Separate cache dir supports read-only content roots.
         self.cache_dir = Path(cache_dir) if cache_dir else self.root / "cache"
+        # Hot-reload registry: url → [last seen source mtime, callbacks].
+        self._watched: dict = {}
+
+    # -- hot reload ---------------------------------------------------------------
+
+    def watch(self, url: "str | AssetUrl", on_reload=None) -> None:
+        """Register a source asset for hot-reload polling. ``on_reload``
+        (optional) is called with the fresh MeshCollection handle after a
+        rebake. The mtime machinery is the same as _should_bake; polling is
+        driven by the engine loop (EngineLoop polls once per stats window)."""
+        url = AssetUrl(url) if isinstance(url, str) else url
+        source = self.content_dir / url.path
+        mtime = source.stat().st_mtime if source.exists() else 0.0
+        entry = self._watched.setdefault(url, [mtime, []])
+        if on_reload is not None:
+            entry[1].append(on_reload)
+
+    def poll_hot_reload(self) -> "list[AssetUrl]":
+        """Rebake + re-register every watched asset whose source changed;
+        returns the reloaded urls (empty most frames)."""
+        reloaded = []
+        for url, entry in self._watched.items():
+            source = self.content_dir / url.path
+            if not source.exists():
+                continue
+            mtime = source.stat().st_mtime
+            if mtime <= entry[0]:
+                continue
+            entry[0] = mtime
+            logger.info("hot-reload: %s changed — rebaking", url)
+            handle = self.request_load(url)
+            for cb in entry[1]:
+                cb(handle)
+            reloaded.append(url)
+        return reloaded
 
     @profile.profiled
     def request_load(self, url: "str | AssetUrl") -> "AssetHandle[MeshCollection]":

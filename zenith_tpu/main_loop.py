@@ -31,6 +31,8 @@ class EngineLoop:
         self._stats_window_start = 0.0
         self._stats_frames = 0
         self.frames_rendered = 0
+        # Apps set this (usually in prepare) to get 1 Hz hot-reload polling.
+        self.asset_manager = None
 
     def _resumed(self) -> None:
         """(main_loop.rs:21-62) create engine + app.prepare."""
@@ -106,5 +108,10 @@ class EngineLoop:
                 )
             self._stats_window_start = now
             self._stats_frames = 0
+            if self.asset_manager is not None:
+                try:
+                    self.asset_manager.poll_hot_reload()
+                except Exception:
+                    logger.exception("hot-reload poll failed")
         self.engine.tick(dt)
         self.app.tick(dt)
