@@ -261,10 +261,16 @@ class TestStateValidation:
             )
         )
 
-    def test_msaa_raises(self):
-        state = GraphicPipelineState(multisample=MultisampleState(samples=4))
+    def test_unsupported_sample_count_raises(self):
+        state = GraphicPipelineState(multisample=MultisampleState(samples=3))
         with pytest.raises(NotImplementedError, match="multisampling"):
             self._mk_pipeline(state)
+
+    def test_supported_sample_counts_ok(self):
+        for n in (1, 2, 4):
+            self._mk_pipeline(
+                GraphicPipelineState(multisample=MultisampleState(samples=n))
+            )
 
     def test_stencil_without_format_raises(self):
         state = GraphicPipelineState(
@@ -275,3 +281,82 @@ class TestStateValidation:
 
     def test_default_state_ok(self):
         self._mk_pipeline(GraphicPipelineState())
+
+
+class TestMSAA:
+    """4x multisampling (Vulkan standard sample positions, spec 25.3):
+    one shared binning, per-sample raster + shade, averaged resolve."""
+
+    def _render(self, samples):
+        import jax.numpy as jnp
+
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+        from zenith_tpu.rhi import (
+            Buffer,
+            ColorAttachmentDesc,
+            Format,
+            GraphicShaderInput,
+            PipelineCache,
+            RhiCore,
+            Shader,
+            TextureDesc,
+            VertexLayout,
+        )
+
+        core = RhiCore()
+        device = core.create_render_device()
+        clear_frame_program_cache()
+        # A thin sliver triangle maximizes partially-covered edge pixels.
+        tri = np.array(
+            [[-0.9, -0.85, 0.5, 1.0], [0.9, -0.62, 0.5, 1.0], [-0.9, -0.7, 0.5, 1.0]],
+            np.float32,
+        )
+        vb = Buffer.from_numpy("sliver.vb", tri)
+        ib = Buffer.from_numpy("sliver.ib", np.array([0, 1, 2], np.int32))
+        vs = Shader.vertex("vs", lambda attrs, res: {"position": attrs["position"]})
+        fs = Shader.fragment(
+            "fs",
+            lambda varyings, res, b: jnp.broadcast_to(
+                jnp.asarray([1.0, 1.0, 1.0, 1.0]), b.depth.shape + (4,)
+            ),
+        )
+        builder = RenderGraphBuilder()
+        vbr, ibr = builder.import_resource(vb), builder.import_resource(ib)
+        out = builder.create(TextureDesc.color("rt", W, H))
+        dep = builder.create(TextureDesc.depth("ds", W, H))
+        builder.export(out)
+        node = builder.add_graphic_node("sliver")
+        vba, iba = node.read(vbr), node.read(ibr)
+        rt = node.write(out)
+        dsw = node.write(dep)
+        with node.pipeline(
+            GraphicShaderInput(vs, fs, VertexLayout.from_fields(("position", 4))),
+            GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE),
+                multisample=MultisampleState(samples=samples),
+            ),
+        ) as binder:
+            binder.push_color(rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 1)))
+            binder.set_depth(dsw, DepthStencilDesc().reverse_z())
+
+        def record(ctx):
+            ctx.draw_indexed(vba, iba)
+
+        node.execute(record)
+        compiled = builder.build().compile(
+            device, PipelineCache(), CompileOptions(tile_h=8, tile_w=128)
+        )
+        compiled.execute(device)
+        return np.asarray(compiled.value(out))
+
+    def test_msaa_produces_partial_edge_coverage(self):
+        img1 = self._render(1)[..., 0]
+        img4 = self._render(4)[..., 0]
+        # Single-sample: strictly binary coverage.
+        assert set(np.round(np.unique(img1), 6)) <= {0.0, 1.0}
+        # 4x: fractional coverage appears along the sliver's edges.
+        partial = ((img4 > 0.1) & (img4 < 0.9)).sum()
+        assert partial > 20, f"only {partial} partially covered pixels"
+        # Same overall geometry: coverage masses agree within a pixel row.
+        assert abs(img4.sum() - img1.sum()) / max(img1.sum(), 1) < 0.2

@@ -214,6 +214,16 @@ def draw_indexed(
     # never less than 4×records, so those remain valid hints).
     bins = bin_segmented(records, corner_data, grid, entry_budget=entry_budget)
 
+    samples = state.multisample.samples
+    if samples > 1:
+        if ds.stencil_test_enable:
+            raise NotImplementedError("MSAA + stencil is not supported")
+        new_colors, new_depth = _raster_shade_msaa(
+            colors, depth, pipeline, resources, bins, grid, attr_layout,
+            samples, interpret,
+        )
+        return new_colors, new_depth, DrawStats(bin_overflow=bins.overflow)
+
     if depth is not None:
         init_z = depth
     else:
@@ -252,9 +262,19 @@ def draw_indexed(
             interpret=interpret,
         )
 
-    # -- varying finalize + fragment stage -------------------------------------
-    varyings, mask, builtins = shade.finalize_attrs(z_out, acc, attr_layout)
+    new_colors = _shade_and_blend(
+        colors, z_out, acc, attr_layout, pipeline, resources
+    )
+    new_depth = z_out if depth is not None else None
+    return new_colors, new_depth, DrawStats(
+        bin_overflow=bins.overflow, stencil=stencil_out
+    )
 
+
+def _shade_and_blend(colors, z_out, acc, attr_layout, pipeline, resources):
+    """Varying finalize → fragment shader → output merger for one sample."""
+    state = pipeline.desc.state
+    varyings, mask, builtins = shade.finalize_attrs(z_out, acc, attr_layout)
     fs = pipeline.fragment_shader
     new_colors = list(colors)
     if fs is not None:
@@ -278,11 +298,62 @@ def draw_indexed(
             new_colors[i] = blend_ops.apply_color_output(
                 dst, src, mask, desc, state.color_blend.blend_constants
             )
+    return new_colors
 
-    new_depth = z_out if depth is not None else None
-    return new_colors, new_depth, DrawStats(
-        bin_overflow=bins.overflow, stencil=stencil_out
-    )
+
+# Vulkan standard sample locations (spec 25.3).
+SAMPLE_POSITIONS = {
+    1: ((0.5, 0.5),),
+    2: ((0.75, 0.75), (0.25, 0.25)),
+    4: ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875)),
+}
+
+
+def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
+                       attr_layout, samples, interpret):
+    """Multisampling: one shared binning, one raster per Vulkan standard
+    sample position, per-sample shading + blending.
+
+    Attachment convention inside an MSAA draw chain: colors are
+    (S, H, W, C) and depth is (S, H, W) — the graph prologue broadcasts
+    clears/loads and the epilogue resolves (color: average; depth: sample 0,
+    Vulkan's default resolve mode). Shading runs per sample — supersampling-
+    grade quality (the architecture shades resolved winners, so a
+    shade-once-per-pixel MSAA would mis-blend silhouette samples).
+    """
+    state = pipeline.desc.state
+    ds = state.depth_stencil
+    rast_state = state.rasterization
+    offsets = SAMPLE_POSITIONS.get(samples)
+    assert offsets is not None, f"unsupported sample count {samples}"
+
+    out_colors = [[] for _ in colors]
+    out_z = []
+    for s, off in enumerate(offsets):
+        if depth is not None:
+            init_z = depth[s]
+        else:
+            init_z = jnp.zeros((grid.height, grid.width), jnp.float32)
+        z_s, acc_s = raster_segmented(
+            bins, grid, init_z,
+            depth_test=ds.depth_test_enable,
+            depth_write=ds.depth_write_enable,
+            compare_op=ds.depth_compare_op,
+            depth_clamp=rast_state.depth_clamp,
+            sample_offset=off,
+            interpret=interpret,
+        )
+        sample_colors = [c[s] for c in colors]
+        shaded = _shade_and_blend(
+            sample_colors, z_s, acc_s, attr_layout, pipeline, resources
+        )
+        for i, c in enumerate(shaded):
+            out_colors[i].append(c)
+        out_z.append(z_s)
+
+    new_colors = [jnp.stack(cs) for cs in out_colors]
+    new_depth = jnp.stack(out_z) if depth is not None else None
+    return new_colors, new_depth
 
 
 def draw_indexed_batch(

@@ -330,6 +330,7 @@ def _segmented_kernel(
     compare: Callable,
     depth_write: bool,
     depth_clamp: bool = False,
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
 ):
     """Segmented forward-interpolating rasterizer: 1-D grid over entry
     blocks; each block's tile routing (output block index, init flag, live
@@ -352,8 +353,8 @@ def _segmented_kernel(
         ty = ty_ref[b]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
-        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+        x = (tx * tile_w + col).astype(jnp.float32) + sample_offset[0]
+        y = (ty * tile_h + row).astype(jnp.float32) + sample_offset[1]
 
         sub = 8  # unrolled records per loop iteration
 
@@ -464,6 +465,7 @@ def _segmented_stencil_kernel(
     depth_clamp: bool,
     front_face_state,  # StencilOpState
     back_face_state,  # StencilOpState
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
 ):
     """The segmented kernel with a stencil plane in the carry.
 
@@ -493,8 +495,8 @@ def _segmented_stencil_kernel(
         ty = ty_ref[b]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
-        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+        x = (tx * tile_w + col).astype(jnp.float32) + sample_offset[0]
+        y = (ty * tile_h + row).astype(jnp.float32) + sample_offset[1]
 
         sub = 8
 
@@ -588,6 +590,7 @@ def raster_segmented(
     init_stencil: Optional[jnp.ndarray] = None,  # (H, W) i32
     stencil_front=None,  # StencilOpState when stencil test enabled
     stencil_back=None,
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
     interpret: Optional[bool] = None,
 ) -> "tuple[jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
     """Segmented-binning raster pass → (z (H, W), acc (A+1, H, W))."""
@@ -628,6 +631,7 @@ def raster_segmented(
             compare=_compare_fn(effective_compare),
             depth_write=effective_write,
             depth_clamp=depth_clamp,
+            sample_offset=sample_offset,
         )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -697,6 +701,7 @@ def raster_segmented(
         depth_clamp=depth_clamp,
         front_face_state=stencil_front,
         back_face_state=stencil_back,
+        sample_offset=sample_offset,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

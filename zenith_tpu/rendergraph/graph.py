@@ -633,6 +633,18 @@ class RenderGraph:
                     y0 = jax.lax.axis_index(axis) * local_h
                     viewport = (0, y0, tdesc.width, full_h)
 
+                # MSAA nodes keep per-sample planes (S, H, W, ...) between
+                # the node's draws; stored state is resolved, so clears and
+                # loads broadcast to the sample dimension here and the
+                # epilogue resolves (color: average; depth: sample 0 —
+                # Vulkan's default resolve mode).
+                samples = pipeline.desc.state.multisample.samples
+
+                def to_samples(arr):
+                    if samples == 1:
+                        return arr
+                    return jnp.broadcast_to(arr, (samples,) + arr.shape)
+
                 colors = []
                 for rid, cdesc in node.color_attachments:
                     cur = state.get(rid)
@@ -642,7 +654,7 @@ class RenderGraph:
                         )
                     else:
                         arr = band_of(rid, cur, full_h)
-                    colors.append(arr)
+                    colors.append(to_samples(arr))
 
                 depth = None
                 if node.depth_attachment is not None:
@@ -655,6 +667,7 @@ class RenderGraph:
                     else:
                         cur = band_of(rid, cur, full_h)
                         depth = cur[..., 0] if cur.ndim == 3 else cur
+                    depth = to_samples(depth)
 
                 stencil = None
                 if node.stencil_attachment is not None:
@@ -679,11 +692,12 @@ class RenderGraph:
                 # Epilogue: store attachments back (store-op STORE semantics;
                 # DONT_CARE stores too — contents are valid, just unneeded).
                 for (rid, cdesc), arr in zip(node.color_attachments, ctx._colors):
-                    state[rid] = arr
+                    state[rid] = arr.mean(axis=0) if samples > 1 else arr
                     if mesh is not None:
                         banded.add(rid)
                 if node.depth_attachment is not None and ctx._depth is not None:
-                    state[node.depth_attachment[0]] = ctx._depth
+                    d_out = ctx._depth[0] if samples > 1 else ctx._depth
+                    state[node.depth_attachment[0]] = d_out
                     if mesh is not None:
                         banded.add(node.depth_attachment[0])
                 if node.stencil_attachment is not None and ctx._stencil is not None:

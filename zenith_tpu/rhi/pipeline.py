@@ -111,12 +111,13 @@ class GraphicPipeline:
         # Declared-but-unimplemented state must raise, not silently no-op
         # (the depth-test-without-format check above sets the precedent).
         ms = self.desc.state.multisample
-        if ms.samples != 1:
+        if ms.samples not in (1, 2, 4):
             raise NotImplementedError(
-                f"multisampling (samples={ms.samples}) is not implemented; "
-                f"the rasterizer is single-sample (reference default is also "
-                f"1 sample, pipeline.rs:589-615)"
+                f"multisampling supports 1/2/4 samples (Vulkan standard "
+                f"sample positions), got samples={ms.samples}"
             )
+        if ms.samples != 1 and ds.stencil_test_enable:
+            raise NotImplementedError("MSAA + stencil is not supported")
 
     @property
     def vertex_shader(self) -> Shader:
