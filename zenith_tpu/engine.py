@@ -97,6 +97,22 @@ class Engine:
     def tick(self, delta_time: float) -> None:
         self._elapsed += delta_time
 
+    def grow_entry_budget(self) -> int:
+        """Double every draw's entry budget (called by the loop when a frame
+        reports bin overflow — dropped triangles). Changes the structure key,
+        so the next frame compiles one larger program variant and the cycle
+        converges, exactly like pipeline-cache misses."""
+        from dataclasses import replace
+
+        new_scale = self.compile_options.budget_scale * 2
+        self.compile_options = replace(
+            self.compile_options, budget_scale=new_scale
+        )
+        logger.warning(
+            "bin overflow: growing entry budgets ×%d (recompiling)", new_scale
+        )
+        return new_scale
+
     # -- frame (engine.rs:88-112) ------------------------------------------------
 
     def render(self, app: RenderableApp) -> None:

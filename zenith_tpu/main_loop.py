@@ -102,10 +102,8 @@ class EngineLoop:
             if overflow > 0:
                 # Perf/correctness hazard, like the reference's ALL_COMMANDS
                 # barrier warning (graph.rs:383-385): triangles were dropped.
-                logger.warning(
-                    "bin overflow: %d entries dropped last frame — raise the "
-                    "draw's entry_budget (SceneObject.entry_budget)", overflow
-                )
+                # Adaptive response: double the budgets and recompile once.
+                self.engine.grow_entry_budget()
             self._stats_window_start = now
             self._stats_frames = 0
             if self.asset_manager is not None:

@@ -102,6 +102,7 @@ def bin_segmented(
     mid_span: int = 32,
     huge_cap: int = 256,
     entry_budget: "int | None" = None,
+    budget_scale: int = 1,
 ) -> SegmentedBins:
     """Exact, uncapped-per-tile binning, in three span tiers.
 
@@ -136,8 +137,10 @@ def bin_segmented(
     if entry_budget is None:
         # Real tri-tile pair counts hug 1.2×R for typical meshes; kernel grid
         # steps cost ~µs each, so the budget should hug reality. Overflow is
-        # counted — callers raise the budget when it fires.
+        # counted — callers raise the budget when it fires (the engine grows
+        # budget_scale adaptively on overflow, like a pipeline-cache miss).
         entry_budget = max(2 * r, 8192)
+    entry_budget = int(entry_budget) * max(int(budget_scale), 1)
     # +T: every tile rounds its segment up to a whole block, so sparse
     # coverage (a screen-filling quad: 1-2 entries in hundreds of tiles) can
     # need up to one block per tile beyond the entry budget.

@@ -125,6 +125,7 @@ def draw_indexed(
     stencil: Optional[jnp.ndarray] = None,  # current (H, W) i32 stencil plane
     instance_count: int = 1,
     instance_data: "Optional[Dict[str, Any]]" = None,  # name → (I, C) arrays
+    budget_scale: int = 1,
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
     """Trace one indexed draw; returns (colors', depth', stats); when the
     pipeline enables the stencil test, ``stats.stencil`` carries the updated
@@ -212,7 +213,8 @@ def draw_indexed(
     # bin_capacity is interpreted as a per-draw entry budget multiplier for
     # the segmented binner (legacy callers pass per-tile caps; the budget is
     # never less than 4×records, so those remain valid hints).
-    bins = bin_segmented(records, corner_data, grid, entry_budget=entry_budget)
+    bins = bin_segmented(records, corner_data, grid, entry_budget=entry_budget,
+                         budget_scale=budget_scale)
 
     samples = state.multisample.samples
     if samples > 1:
@@ -367,6 +369,7 @@ def draw_indexed_batch(
     viewport: "Optional[tuple]" = None,
     entry_budget: Optional[int] = None,
     stencil: Optional[jnp.ndarray] = None,
+    budget_scale: int = 1,
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
     """Trace N draws through ONE binning + raster + fragment + blend pass.
 
@@ -470,6 +473,7 @@ def draw_indexed_batch(
     bins = bin_segmented(
         records, corner_data, grid,
         entry_budget=entry_budget or budget_total,
+        budget_scale=budget_scale,
     )
     init_z = depth if depth is not None else jnp.zeros(
         (grid.height, grid.width), jnp.float32

@@ -110,6 +110,10 @@ class CompileOptions:
     bin_capacity: int = DEFAULT_BIN_CAPACITY
     mesh: Optional[Any] = None  # jax.sharding.Mesh (hashable)
     shard_axis: str = "rows"
+    # Multiplies every draw's entry budget; the engine doubles it when a
+    # frame reports bin overflow (adaptive growth, like a pipeline-cache
+    # miss — recompiles once at the new size).
+    budget_scale: int = 1
 
 
 def _import_value(res: "Buffer | Texture"):
@@ -296,9 +300,11 @@ class GraphicNodeExecutionContext(_NodeContextBase):
                  pipeline: GraphicPipeline, grid: TileGrid,
                  colors: List[Any], depth: Optional[Any],
                  bin_capacity: int, stencil: Optional[Any] = None,
-                 viewport: Optional[tuple] = None, shard_ctx=None):
+                 viewport: Optional[tuple] = None, shard_ctx=None,
+                 budget_scale: int = 1):
         super().__init__(graph, node, state, dynamics, shard_ctx)
         self._viewport = viewport
+        self._budget_scale = budget_scale
         self.pipeline = pipeline
         self.grid = grid
         self._colors = colors
@@ -360,6 +366,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             viewport=self._viewport,
             instance_count=instance_count,
             instance_data=instance_data,
+            budget_scale=self._budget_scale,
         )
         if stats.stencil is not None:
             self._stencil = stats.stencil
@@ -403,6 +410,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             entry_budget=entry_budget,
             stencil=self._stencil,
             viewport=self._viewport,
+            budget_scale=self._budget_scale,
         )
         if stats.stencil is not None:
             self._stencil = stats.stencil
@@ -686,6 +694,7 @@ class RenderGraph:
                     self, node, state, dynamics, pipeline, grid,
                     colors, depth, options.bin_capacity, stencil,
                     viewport=viewport, shard_ctx=shard_ctx,
+                    budget_scale=options.budget_scale,
                 )
                 node.job(ctx)
 
