@@ -174,3 +174,64 @@ class TestEngineSPMD:
         assert (zdiff > 1e-4).mean() < 0.005
         # Sanity: the scene actually rendered (cube + shadow + ground).
         assert img1[..., :3].std() > 0.05
+
+
+class TestSortLast:
+    """Sort-last SPMD: triangles sharded, depth-winner compositing — the
+    second parallelism axis beside the row-band sort-first path."""
+
+    def test_matches_single_device(self, cpu_devices, rng):
+        from zenith_tpu.ops import TileGrid, clear_color, clear_depth
+        from zenith_tpu.ops.draw import draw_indexed
+        from zenith_tpu.parallel import default_mesh, make_sort_last_frame
+        from zenith_tpu.rhi import (
+            ColorAttachmentDesc,
+            Format,
+            GraphicPipelineAttachments,
+            GraphicPipelineDesc,
+            GraphicShaderInput,
+            Shader,
+            VertexLayout,
+        )
+
+        nv = 48
+        pos = rng.uniform(-1.0, 1.0, size=(nv, 2))
+        zz = rng.uniform(0.1, 0.9, size=(nv, 1))
+        col = rng.uniform(0, 1, size=(nv, 3))
+        vb_np = np.concatenate([pos, zz, col], axis=1).astype(np.float32)
+        idx_np = rng.integers(0, nv, size=(32, 3)).astype(np.int32)  # 32 % 8 == 0
+
+        pipeline = GraphicPipelineDesc(
+            shader_input=GraphicShaderInput(
+                Shader.vertex("sl.vs", _vs), Shader.fragment("sl.fs", _fs),
+                VertexLayout.from_fields(("position", 3), ("color", 3)),
+            ),
+            state=GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE),
+                depth_stencil=DepthStencilDesc().reverse_z(),
+            ),
+            attachments=GraphicPipelineAttachments(
+                color_formats=(Format.RGBA32F,), depth_format=Format.D32F
+            ),
+            color_attachment_descs=(ColorAttachmentDesc(),),
+        )
+        pipe = PipelineCache().get_or_create(pipeline)
+
+        mesh = default_mesh(8, backend="cpu")
+        step = make_sort_last_frame(mesh, pipe, W, H, tile_h=8)
+        vb = jnp.asarray(vb_np)
+        ib = jnp.asarray(idx_np)
+        c8, z8 = step(vb, ib, {})
+
+        grid = TileGrid(width=W, height=H, tile_h=8, tile_w=128)
+        colors = [clear_color(H, W, (0, 0, 0, 1))]
+        depth = clear_depth(H, W, 0.0)
+        colors, depth, _ = draw_indexed(colors, depth, pipe, vb, ib, {}, grid)
+
+        # Interpret-mode CPU fusion differs ulp-level between the two
+        # compilations; on-chip both run the same compiled kernel.
+        np.testing.assert_allclose(np.asarray(z8), np.asarray(depth), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(c8), np.asarray(colors[0]), atol=1e-4
+        )
+        assert np.asarray(z8).max() > 0  # something rendered

@@ -12,7 +12,13 @@ ideal ICI profile.
 from zenith_tpu.parallel.sharding import (
     default_mesh,
     make_row_sharded_frame,
+    make_sort_last_frame,
     row_sharding,
 )
 
-__all__ = ["default_mesh", "make_row_sharded_frame", "row_sharding"]
+__all__ = [
+    "default_mesh",
+    "make_row_sharded_frame",
+    "make_sort_last_frame",
+    "row_sharding",
+]

@@ -42,6 +42,71 @@ def row_sharding(mesh: Mesh, axis: str = "rows") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def make_sort_last_frame(
+    mesh: Mesh,
+    pipeline: GraphicPipeline,
+    width: int,
+    height: int,
+    clear_color: "tuple" = (0.0, 0.0, 0.0, 1.0),
+    depth_clear: float = 0.0,
+    tile_h: int = 8,
+    tile_w: int = 128,
+    axis: str = "rows",
+    interpret: "Optional[bool]" = None,
+) -> Callable[..., Any]:
+    """Sort-LAST SPMD rendering: TRIANGLES sharded across the mesh, each
+    device rasterizing its subset at full resolution, composited by a
+    depth-winner reduction — the complement of the sort-first row-band path
+    (SURVEY §2.9/§5.7: this is the "tp" axis next to row-banding's "sp").
+
+    Compositing: all_gather the per-device (z, color) planes and take the
+    depth-argmax per pixel. Triangles shard CONTIGUOUSLY, so equal-z ties
+    resolve toward the lowest device rank = earliest submission — the same
+    first-wins rule the GREATER depth compare gives sequential draws.
+    Requires an opaque pipeline (depth test+write GREATER; no blending):
+    depth compositing cannot reproduce order-dependent blends.
+
+    Returns ``step(vertex_buffer, index_buffer, resources) -> (color, depth)``
+    with full (H, W, …) results replicated on every device. The index
+    buffer's triangle count must divide by the mesh size.
+    """
+    n = mesh.shape[axis]
+    grid = TileGrid(width=width, height=height, tile_h=tile_h, tile_w=tile_w)
+    ds = pipeline.desc.state.depth_stencil
+    assert ds.depth_test_enable and ds.depth_write_enable, (
+        "sort-last compositing needs depth test+write (opaque geometry)"
+    )
+    for desc in pipeline.desc.color_attachment_descs or ():
+        assert not desc.blend_enable, (
+            "sort-last compositing cannot reproduce order-dependent blending"
+        )
+
+    def shard_body(vb, ib, resources):
+        # ib arrives as this device's contiguous (T/n, 3) triangle slice.
+        colors = [blend_ops.clear_color(height, width, clear_color)]
+        depth = blend_ops.clear_depth(height, width, depth_clear)
+        colors, depth, _stats = draw_indexed(
+            colors, depth, pipeline, vb, ib, resources, grid,
+            interpret=interpret,
+        )
+        # Composite: gather every device's planes, pick the depth winner.
+        z_all = jax.lax.all_gather(depth, axis)  # (n, H, W)
+        c_all = jax.lax.all_gather(colors[0], axis)  # (n, H, W, 4)
+        winner = jnp.argmax(z_all, axis=0)  # first max → earliest device
+        z_out = jnp.max(z_all, axis=0)
+        c_out = jnp.take_along_axis(c_all, winner[None, ..., None], axis=0)[0]
+        return c_out, z_out
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P()),  # triangles sharded; rest replicated
+        out_specs=(P(), P()),  # composited planes replicated
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_row_sharded_frame(
     mesh: Mesh,
     pipeline: GraphicPipeline,

@@ -275,6 +275,16 @@ class RenderGraphBuilder:
         self.nodes.append(node)
         return LambdaNodeBuilder(self, node)
 
+    def add_compute_node(self, name: str) -> LambdaNodeBuilder:
+        """Compute node — first-class here, a permanently-invalid stub in the
+        reference (node.rs:24-28, 38-40 'Compute pipelines are not
+        implemented'). On TPU a compute dispatch IS a traced array program,
+        so compute nodes share the lambda execution context; the separate
+        name exists for API parity and intent."""
+        node = GraphNode(name=name, index=len(self.nodes), kind="lambda")
+        self.nodes.append(node)
+        return LambdaNodeBuilder(self, node)
+
     # -- build ----------------------------------------------------------------
 
     def build(self) -> "RenderGraph":
