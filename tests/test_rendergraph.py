@@ -528,3 +528,35 @@ class TestValidateMode:
         compiled = builder.build().compile(device, pcache, OPTS)
         compiled.execute(device)
         assert int(np.asarray(compiled._stats.nan_pixels)) == 0
+
+
+class TestFrameProgramLRU:
+    def test_cache_evicts_least_recently_used(self, device, pcache):
+        """The frame-program cache is LRU-bounded: structure churn (e.g. a
+        resolution sweep) cannot grow it past the limit."""
+        from zenith_tpu.rendergraph import set_frame_program_cache_limit
+
+        clear_frame_program_cache()
+        set_frame_program_cache_limit(3)
+        try:
+            def build(w):
+                builder = RenderGraphBuilder()
+                out = builder.create(TextureDesc.color("rt", w, 8))
+                builder.export(out)
+                node = builder.add_lambda_node("fill")
+                dst = node.write(out)
+                node.execute(lambda ctx: ctx.set(
+                    dst, jnp.ones((8, w, 4), jnp.float32)))
+                c = builder.build().compile(device, pcache, OPTS)
+                c.execute(device)
+                return c
+
+            for w in (8, 16, 24, 32, 40):  # 5 distinct structures
+                build(w)
+            assert frame_program_cache_size() == 3
+            # Most-recent structures still hit (no growth on re-touch).
+            build(40)
+            assert frame_program_cache_size() == 3
+        finally:
+            set_frame_program_cache_limit(256)
+            clear_frame_program_cache()

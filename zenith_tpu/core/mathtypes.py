@@ -119,6 +119,19 @@ def normalize(v: np.ndarray) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def cross3(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """3-vector cross product, inlined — np.cross's generic moveaxis path
+    costs ~25 µs per call, which dominated the per-frame camera math."""
+    return np.array(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        dtype=np.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quaternions — (x, y, z, w) layout
 # ---------------------------------------------------------------------------
@@ -151,8 +164,8 @@ def quat_rotate(q: np.ndarray, v: np.ndarray) -> np.ndarray:
     """Rotate vector v by quaternion q (q * v * q^-1)."""
     qv = np.asarray(q[:3], dtype=np.float32)
     w = float(q[3])
-    t = 2.0 * np.cross(qv, v)
-    return (v + w * t + np.cross(qv, t)).astype(np.float32)
+    t = 2.0 * cross3(qv, v)
+    return (v + w * t + cross3(qv, t)).astype(np.float32)
 
 
 def quat_from_euler_zxy(z: float, x: float, y: float) -> np.ndarray:
@@ -206,8 +219,8 @@ def look_to_rh(eye: np.ndarray, direction: np.ndarray, up: np.ndarray) -> np.nda
     """Right-handed view matrix looking along ``direction`` from ``eye``
     (glam Mat4::look_to_rh; reference zenith-core/src/camera.rs:125)."""
     f = normalize(np.asarray(direction, dtype=np.float32))
-    s = normalize(np.cross(f, np.asarray(up, dtype=np.float32)))
-    u = np.cross(s, f)
+    s = normalize(cross3(f, np.asarray(up, dtype=np.float32)))
+    u = cross3(s, f)
     m = np.eye(4, dtype=np.float32)
     m[0, :3] = s
     m[1, :3] = u

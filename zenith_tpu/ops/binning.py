@@ -92,6 +92,11 @@ class SegmentedBins(NamedTuple):
 
 ENTRY_CHUNK = 128  # entries per kernel block
 
+# Single-key packed (tile, record) sort when the key fits 31 bits (vs the
+# two-key variadic sort). Measured equal-or-slower on v5e (see sort comment
+# below) — default OFF; tools/profile_raster.py A/Bs it.
+_PACKED_SORT = False
+
 
 def bin_segmented(
     records: TriangleRecords,
@@ -214,7 +219,11 @@ def bin_segmented(
     rec_huge = jnp.broadcast_to(hidx[:, None].astype(jnp.int32), hmask.shape)
 
     # Merge + lexicographic (tile, record) sort. Invalid entries get tile = t
-    # (sorts to the end; two-key int32 sort avoids 64-bit keys).
+    # (sorts to the end; two-key int32 sort avoids 64-bit keys). A packed
+    # single-key variant ((tile << rec_bits) + rec) was re-tested under the
+    # honest r2 harness via tools/profile_raster.py and measured equal-to-
+    # slightly-slower (0.37/0.39 vs 0.32/0.37 ms full-chain) — the two-key
+    # comparator is not the bottleneck; the r1 revert stands.
     tiles_all = jnp.concatenate(
         [
             jnp.where(ev_small, tile_small, t).reshape(-1),
@@ -225,9 +234,17 @@ def bin_segmented(
     recs_all = jnp.concatenate(
         [rec_small.reshape(-1), rec_mid.reshape(-1), rec_huge.reshape(-1)]
     )
-    tiles_sorted, recs_sorted = jax.lax.sort(
-        (tiles_all, recs_all), num_keys=2
-    )
+    rec_bits = max((r - 1).bit_length(), 1)
+    if _PACKED_SORT and (t << rec_bits) + (r - 1) < 2**31:
+        # Retained behind a default-off flag purely for re-measurement.
+        packed_keys = (tiles_all << rec_bits) + recs_all
+        packed_sorted = jax.lax.sort(packed_keys)
+        tiles_sorted = packed_sorted >> rec_bits
+        recs_sorted = packed_sorted & ((1 << rec_bits) - 1)
+    else:
+        tiles_sorted, recs_sorted = jax.lax.sort(
+            (tiles_all, recs_all), num_keys=2
+        )
     total_entries = (tiles_sorted < t).sum()
 
     # Per-tile segments + block table. Tiles with no candidates get NO

@@ -381,12 +381,15 @@ def draw_indexed_batch(
     preserves cross-draw ordering), then one raster, one fragment pass, one
     output merge.
 
-    Per-draw fragment uniforms (``per_draw_uniforms`` names) are attached as
-    extra varying channels — constant per record, so perspective division
-    reproduces them exactly per pixel — and handed to the fragment shader as
-    dense (H, W, C) planes under the same binding names (write shaders with
-    shape-generic indexing, e.g. ``res["BaseColor"][..., :3]``). A
-    ``__draw_id`` plane rides along for per-draw texture selection; fragment
+    Per-draw fragment uniforms (``per_draw_uniforms`` names) are handed to
+    the fragment shader as dense (H, W, C) planes under the same binding
+    names (write shaders with shape-generic indexing, e.g.
+    ``res["BaseColor"][..., :3]``). They are NOT interpolated through the
+    raster kernel: only a single ``__draw_id`` channel rides the records,
+    and each uniform plane is reconstructed per pixel from the (N, C)
+    per-draw table by draw-id selection — constant-per-draw values need no
+    perspective division, and keeping them out of the records cuts the
+    raster/binning payload by 3 floats per corner per channel. Fragment
     bindings that differ across draws and are not listed become tuples.
 
     Blending across overlapping draws is ORDER-dependent; batching resolves
@@ -427,11 +430,6 @@ def draw_indexed_batch(
                        for name, v in vs_out.items()]
         vary_cols = [v.reshape(nv, -1).astype(jnp.float32)
                      for v in vs_out.values()]
-        # Per-draw fragment uniforms ride as constant varyings.
-        for uname in per_draw_uniforms:
-            uval = jnp.asarray(res[uname], jnp.float32).reshape(-1)
-            this_layout.append((uname, int(uval.shape[0])))
-            vary_cols.append(jnp.broadcast_to(uval[None, :], (nv, uval.shape[0])))
         this_layout.append(("__draw_id", 1))
         vary_cols.append(jnp.full((nv, 1), float(di), jnp.float32))
 
@@ -509,10 +507,23 @@ def draw_indexed_batch(
     if fs is not None:
         # Per-draw uniform planes + resource tuples for everything else.
         fs_resources: Dict[str, Any] = {}
-        shared = draws[0][2]
         for name in fs.reflection.binding_names():
             if name in per_draw_uniforms:
-                fs_resources[name] = varyings.pop(name)
+                # (N, C) per-draw table → (H, W, C) plane by draw-id
+                # selection (N is small and static; a where-chain beats a
+                # per-pixel gather by orders of magnitude on this backend).
+                table = [
+                    jnp.asarray(res[name], jnp.float32).reshape(-1)
+                    for _, _, res in draws
+                ]
+                plane = jnp.broadcast_to(
+                    table[0][None, None, :],
+                    draw_id.shape[:2] + (table[0].shape[0],),
+                )
+                for i in range(1, n_draws):
+                    sel = (jnp.abs(draw_id[..., 0] - i) < 0.5)[..., None]
+                    plane = jnp.where(sel, table[i][None, None, :], plane)
+                fs_resources[name] = plane
             else:
                 vals = [res.get(name) for _, _, res in draws]
                 if all(v is vals[0] for v in vals):

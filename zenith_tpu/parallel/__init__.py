@@ -12,6 +12,7 @@ ideal ICI profile.
 from zenith_tpu.parallel.sharding import (
     default_mesh,
     make_row_sharded_frame,
+    halo_exchange_rows,
     make_sort_last_frame,
     row_sharding,
 )
@@ -20,5 +21,6 @@ __all__ = [
     "default_mesh",
     "make_row_sharded_frame",
     "make_sort_last_frame",
+    "halo_exchange_rows",
     "row_sharding",
 ]

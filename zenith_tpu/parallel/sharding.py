@@ -165,3 +165,24 @@ def make_row_sharded_frame(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def halo_exchange_rows(band: "jnp.ndarray", axis_name: str, halo: int):
+    """Ring halo exchange over row bands: returns ``band`` extended with
+    ``halo`` rows from the neighbor above and below (wrapping at the ends —
+    matching the periodic semantics of jnp.roll-based filters, so a banded
+    filter reproduces the single-device result bit-for-bit).
+
+    Communication: two ppermute rings of (halo, W, C) each — the minimal ICI
+    traffic for a cross-band stencil (vs all_gathering the full surface).
+    """
+    n = jax.lax.axis_size(axis_name)
+    if n == 1:
+        return band
+    tail = band[-halo:]  # rows this device must send DOWN (to i+1)
+    head = band[:halo]  # rows this device must send UP (to i-1)
+    perm_down = [(i, (i + 1) % n) for i in range(n)]
+    perm_up = [(i, (i - 1) % n) for i in range(n)]
+    upper = jax.lax.ppermute(tail, axis_name, perm_down)  # from i-1's tail
+    lower = jax.lax.ppermute(head, axis_name, perm_up)  # from i+1's head
+    return jnp.concatenate([upper, band, lower], axis=0)

@@ -43,7 +43,21 @@ from zenith_tpu.rhi.state import CompareOp, DepthStencilDesc, GraphicPipelineSta
 
 
 def sun_view_projection(sun: DirectionalLight) -> np.ndarray:
-    """Orthographic light camera looking along -direction at the origin."""
+    """Orthographic light camera looking along -direction at the origin.
+
+    Memoized per sun identity — called every frame and the sun is static in
+    practice; mutate a DirectionalLight's fields and the cache follows the
+    field values (keyed by them)."""
+    key = (sun.direction, sun.shadow_near, sun.shadow_far, sun.shadow_extent)
+    cached = getattr(sun, "_svp_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    out = _sun_view_projection(sun)
+    object.__setattr__(sun, "_svp_cache", (key, out))
+    return out
+
+
+def _sun_view_projection(sun: DirectionalLight) -> np.ndarray:
     d = m.normalize(np.asarray(sun.direction, np.float32))
     eye = d * (0.5 * (sun.shadow_near + sun.shadow_far))
     up = np.array([0, 0, 1], np.float32)

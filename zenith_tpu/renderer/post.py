@@ -79,6 +79,39 @@ def tone_and_bloom(
     return jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1)
 
 
+# Cross-band reach of the bloom chain in full-res rows: one 2× downsample,
+# then two 9-tap passes (radius 4 each) at half res = 8 half-rows.
+BLOOM_HALO = 16
+
+
+def tone_and_bloom_banded(
+    hdr_band: jnp.ndarray,  # (bh, W, 4) this device's row band
+    axis_name: str,
+    bloom_threshold: float = 1.0,
+    bloom_strength: float = 0.35,
+    tonemap: str = "aces",
+) -> jnp.ndarray:
+    """SPMD row-banded tone_and_bloom: ring halo exchange (ppermute) extends
+    the band by BLOOM_HALO rows each side, the full chain runs on the
+    extended band, and the result crops back — bit-exact with the
+    single-device output (the halo wraps at the frame edges exactly like
+    jnp.roll does). Requires an even band height ≥ BLOOM_HALO."""
+    from zenith_tpu.parallel.sharding import halo_exchange_rows
+
+    bh = hdr_band.shape[0]
+    assert bh % 2 == 0 and bh >= BLOOM_HALO, (
+        f"banded bloom needs an even band height >= {BLOOM_HALO}, got {bh}"
+    )
+    ext = halo_exchange_rows(hdr_band, axis_name, BLOOM_HALO)
+    out = tone_and_bloom(
+        ext,
+        bloom_threshold=bloom_threshold,
+        bloom_strength=bloom_strength,
+        tonemap=tonemap,
+    )
+    return out[BLOOM_HALO:BLOOM_HALO + bh]
+
+
 class PostProcess:
     """Declares the post node: HDR color in → LDR swapchain image out."""
 
@@ -102,14 +135,36 @@ class PostProcess:
         tonemap = self.tonemap
 
         def record(ctx):
-            ctx.set(
-                dst,
-                tone_and_bloom(
-                    ctx.get(src),
+            hdr = ctx.get(src)
+            if ctx.sharded and ctx.num_shards > 1 and hdr.shape[0] >= BLOOM_HALO:
+                # Row-banded under a mesh: halo-exchange instead of the
+                # row-local contract (bloom's blur crosses band boundaries).
+                out = tone_and_bloom_banded(
+                    hdr, ctx.shard_axis,
                     bloom_threshold=threshold,
                     bloom_strength=strength,
                     tonemap=tonemap,
-                ),
-            )
+                )
+            elif ctx.sharded and ctx.num_shards > 1:
+                # Bands thinner than the halo: gather the whole surface,
+                # compute, slice back (correct for any size, more ICI).
+                import jax
+
+                full = tone_and_bloom(
+                    ctx.get_full(src),
+                    bloom_threshold=threshold,
+                    bloom_strength=strength,
+                    tonemap=tonemap,
+                )
+                y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
+                out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
+            else:
+                out = tone_and_bloom(
+                    hdr,
+                    bloom_threshold=threshold,
+                    bloom_strength=strength,
+                    tonemap=tonemap,
+                )
+            ctx.set(dst, out)
 
         node.execute(record)

@@ -120,17 +120,35 @@ class Scene:
     skybox: "Optional[object]" = None  # cube-map Texture (6, S, S, C)
 
     def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
-        """(L, 3) positions, (L, 3) colors·intensity, (L,) radii."""
+        """(L, 3) positions, (L, 3) colors·intensity, (L,) radii.
+
+        Cached per light-list identity — this is called every frame by the
+        renderers, and rebuilding (100, 3) arrays from the dataclass list
+        cost a measurable slice of the per-frame host budget. Mutating a
+        PointLight in place won't invalidate the cache; replace
+        ``point_lights`` (or call ``invalidate_light_cache``) instead.
+        """
+        cache = getattr(self, "_pl_cache", None)
+        key = (id(self.point_lights), len(self.point_lights))
+        if cache is not None and cache[0] == key:
+            return cache[1]
         if not self.point_lights:
-            return (
+            arrays = (
                 np.zeros((0, 3), np.float32),
                 np.zeros((0, 3), np.float32),
                 np.zeros((0,), np.float32),
             )
-        pos = np.array([pl.position for pl in self.point_lights], np.float32)
-        col = np.array(
-            [np.asarray(pl.color, np.float32) * pl.intensity for pl in self.point_lights],
-            np.float32,
-        )
-        rad = np.array([pl.radius for pl in self.point_lights], np.float32)
-        return pos, col, rad
+        else:
+            pos = np.array([pl.position for pl in self.point_lights], np.float32)
+            col = np.array(
+                [np.asarray(pl.color, np.float32) * pl.intensity
+                 for pl in self.point_lights],
+                np.float32,
+            )
+            rad = np.array([pl.radius for pl in self.point_lights], np.float32)
+            arrays = (pos, col, rad)
+        object.__setattr__(self, "_pl_cache", (key, arrays))
+        return arrays
+
+    def invalidate_light_cache(self) -> None:
+        object.__setattr__(self, "_pl_cache", None)

@@ -22,6 +22,7 @@ from zenith_tpu.rendergraph.graph import (
     RenderGraph,
     RetiredRenderGraph,
     clear_frame_program_cache,
+    set_frame_program_cache_limit,
     frame_program_cache_size,
 )
 from zenith_tpu.rendergraph.resource import (

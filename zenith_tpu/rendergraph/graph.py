@@ -135,6 +135,44 @@ def _desc_key(desc):
 _SCALAR_TYPES = (int, float, str, bool, bytes, type(None))
 
 
+def _pack_dynamics(dyn: Dict[str, Any]):
+    """Pack host-side f32 dynamics into ONE flat array (one device_put per
+    frame instead of one per dynamic — each tiny transfer pays the full
+    dispatch/relay latency; ~19 dynamics cost ~1 ms/frame on the deferred
+    scene). Returns (flat f32 array, metas (name, shape, off, size), others).
+
+    Device-resident values (jax.Array) and non-float dtypes pass through in
+    ``others`` untouched. The layout is a pure function of the sorted
+    (name, shape, dtype) signature, which the structure key already
+    includes, so the unpack baked into a cached frame program always
+    matches the host-side packing."""
+    metas: List[tuple] = []
+    chunks: List[_np.ndarray] = []
+    others: Dict[str, Any] = {}
+    off = 0
+    for name in sorted(dyn):
+        v = dyn[name]
+        if isinstance(v, jax.Array):
+            others[name] = v
+            continue
+        if isinstance(v, (float, _np.floating)):
+            a = _np.asarray(v, _np.float32)
+        else:
+            a = _np.asarray(v)
+        if a.dtype != _np.float32:
+            others[name] = v
+            continue
+        metas.append((name, a.shape, off, a.size))
+        chunks.append(a.reshape(-1))
+        off += a.size
+    flat = (
+        _np.concatenate(chunks)
+        if chunks
+        else _np.zeros((0,), _np.float32)
+    )
+    return flat, tuple(metas), others
+
+
 def _capture_key(v, depth: int = 0):
     """Key a closure capture by CONTENT (recursively, capped) as a hashable
     tuple.
@@ -187,11 +225,15 @@ def _capture_key(v, depth: int = 0):
                   for item in sorted(v, key=repr)[:64]),
         )
     if isinstance(v, dict):
+        try:
+            ks = sorted(v)  # fast path: homogeneous sortable keys
+        except TypeError:
+            ks = sorted(v, key=repr)
         return (
             "cap-dict", len(v),
             tuple((k if isinstance(k, _SCALAR_TYPES) else repr(k),
                    _capture_key(v[k], depth + 1))
-                  for k in sorted(v, key=repr)[:64]),
+                  for k in ks[:64]),
         )
     if isinstance(v, _types.ModuleType):
         return ("cap-module", v.__name__)
@@ -242,6 +284,16 @@ class _NodeContextBase:
     def sharded(self) -> bool:
         """True when tracing inside an SPMD mesh (CompileOptions.mesh)."""
         return self._shard_ctx is not None
+
+    @property
+    def shard_axis(self) -> Optional[str]:
+        """Mesh axis name when tracing under SPMD (else None)."""
+        return self._shard_ctx[0] if self._shard_ctx is not None else None
+
+    @property
+    def num_shards(self) -> int:
+        """Devices along the row-band axis (1 when not sharded)."""
+        return self._shard_ctx[1] if self._shard_ctx is not None else 1
 
     def get_full(self, access: RenderGraphResourceAccess):
         """Full (all-rows) value of a resource. Identical to ``get`` on one
@@ -501,8 +553,11 @@ class RenderGraph:
                     add(_capture_key(v))
         for name in sorted(self.dynamics):
             v = self.dynamics[name]
+            # The device-resident flag selects packed-vs-passthrough in
+            # _pack_dynamics, which changes the traced unpack — key it.
+            # (dtype objects are hashable; str(dtype) cost ~23 µs/frame.)
             add((name, tuple(getattr(v, "shape", ())),
-                 str(getattr(v, "dtype", "f32"))))
+                 getattr(v, "dtype", None), isinstance(v, jax.Array)))
         add(tuple(sorted(self.exports)))
         return tuple(parts)
 
@@ -529,12 +584,21 @@ class RenderGraph:
         if _validate_enabled():
             _validate_graph(self.resources, active_nodes, set(self.exports))
 
+        flat_dyn, dyn_metas, other_dyn = _pack_dynamics(self.dynamics)
+
         key = self._structure_key(options)
         cached = _FRAME_PROGRAM_CACHE.get(key)
         global _MISS_STREAK
-        if cached is None:
-            cached = jax.jit(self._build_frame_fn(active_nodes, options))
+        if cached is not None:
+            _FRAME_PROGRAM_CACHE.move_to_end(key)
+            _MISS_STREAK = 0
+        else:
+            cached = jax.jit(
+                self._build_frame_fn(active_nodes, options, dyn_metas)
+            )
             _FRAME_PROGRAM_CACHE[key] = cached
+            if len(_FRAME_PROGRAM_CACHE) > _FRAME_PROGRAM_CACHE_MAX:
+                _FRAME_PROGRAM_CACHE.popitem(last=False)
             logger.debug("frame-program cache miss (%d cached)", len(_FRAME_PROGRAM_CACHE))
             _MISS_STREAK += 1
             if _MISS_STREAK == _MISS_STREAK_WARN_AT:
@@ -547,27 +611,44 @@ class RenderGraph:
                     "(move per-frame values to builder.set_dynamic).",
                     _MISS_STREAK,
                 )
-        else:
-            _MISS_STREAK = 0
 
         imports = {
             str(rid): _import_value(st.imported)
             for rid, st in enumerate(self.resources)
             if st.is_imported
         }
-        # One batched host→device transfer for all per-frame dynamics
-        # (camera matrices, light params, time): N tiny device_puts per frame
-        # each pay relay latency; a single pytree transfer pays it once.
-        dynamics = jax.device_put(self.dynamics) if self.dynamics else {}
+        # ONE host→device transfer for all per-frame f32 dynamics (camera
+        # matrices, light params, time), packed into a single flat array —
+        # even a batched device_put of N tiny leaves pays per-leaf dispatch
+        # cost (~1 ms/frame at ~19 dynamics on the deferred scene).
+        if dyn_metas or other_dyn:
+            dynamics = jax.device_put((flat_dyn, other_dyn))
+        else:
+            dynamics = (0.0, {})
         return CompiledRenderGraph(self, cached, imports, dynamics, key)
 
-    def _build_frame_fn(self, active_nodes: List[GraphNode], options: CompileOptions):
+    def _build_frame_fn(
+        self,
+        active_nodes: List[GraphNode],
+        options: CompileOptions,
+        dyn_metas: "Tuple[tuple, ...]" = (),
+    ):
         resources = self.resources
         pipelines = self._pipelines
         output_ids = list(dict.fromkeys(self._written_imports() + self.exports))
         mesh = options.mesh
         axis = options.shard_axis
         n_shards = mesh.shape[axis] if mesh is not None else 1
+
+        def unpack_dynamics(dyn_arg):
+            """(flat f32 array, passthrough dict) → name → traced view."""
+            flat, others = dyn_arg
+            dynamics = dict(others)
+            for name, shape, off, size in dyn_metas:
+                dynamics[name] = jax.lax.slice_in_dim(
+                    flat, off, off + size, axis=0
+                ).reshape(shape)
+            return dynamics
 
         def walk(imports: Dict[str, Any], dynamics: Dict[str, Any]):
             """Trace every node in declaration order. Under a mesh this runs
@@ -740,8 +821,8 @@ class RenderGraph:
             )
 
         if mesh is None:
-            def frame_fn(imports, dynamics):
-                outputs, stats, _ = walk(imports, dynamics)
+            def frame_fn(imports, dyn_arg):
+                outputs, stats, _ = walk(imports, unpack_dynamics(dyn_arg))
                 return outputs, stats
 
             return frame_fn
@@ -751,8 +832,8 @@ class RenderGraph:
         # ended up banded is static).
         from jax.sharding import PartitionSpec as P
 
-        def shard_body(imports, dynamics):
-            outputs, stats, _ = walk(imports, dynamics)
+        def shard_body(imports, dyn_arg):
+            outputs, stats, _ = walk(imports, unpack_dynamics(dyn_arg))
             return outputs, FrameStatsOutput(
                 bin_overflow=jax.lax.psum(stats.bin_overflow, axis),
                 nan_pixels=jax.lax.psum(stats.nan_pixels, axis),
@@ -766,20 +847,34 @@ class RenderGraph:
             FrameStatsOutput(bin_overflow=P(), nan_pixels=P()),
         )
 
-        def frame_fn(imports, dynamics):
+        def frame_fn(imports, dyn_arg):
             return jax.shard_map(
                 shard_body,
                 mesh=mesh,
                 in_specs=(P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
-            )(imports, dynamics)
+            )(imports, dyn_arg)
 
         return frame_fn
 
 # Frame-program cache: structure key → jitted callable. Module-level so
 # graphs rebuilt every frame (engine.rs:93-102) hit the same executables.
-_FRAME_PROGRAM_CACHE: Dict[tuple, Callable] = {}
+# LRU-bounded: apps that animate graph STRUCTURE (resolution sweeps,
+# toggling passes) would otherwise grow it without bound; evicting the
+# least-recently-used program just costs a recompile if it comes back.
+from collections import OrderedDict as _OrderedDict
+
+_FRAME_PROGRAM_CACHE: "_OrderedDict[tuple, Callable]" = _OrderedDict()
+_FRAME_PROGRAM_CACHE_MAX = 256
+
+
+def set_frame_program_cache_limit(n: int) -> None:
+    """Cap the frame-program LRU (default 256 compiled programs)."""
+    global _FRAME_PROGRAM_CACHE_MAX
+    _FRAME_PROGRAM_CACHE_MAX = max(1, int(n))
+    while len(_FRAME_PROGRAM_CACHE) > _FRAME_PROGRAM_CACHE_MAX:
+        _FRAME_PROGRAM_CACHE.popitem(last=False)
 
 # Consecutive-miss counter: a steady miss streak means some per-frame
 # identity (usually a Shader built in the frame loop) defeats the cache and
