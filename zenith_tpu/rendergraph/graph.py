@@ -173,9 +173,15 @@ def _pack_dynamics(dyn: Dict[str, Any]):
     return flat, tuple(metas), others
 
 
-def _capture_key(v, depth: int = 0):
+def _capture_key(v, depth: int = 0, memo: "Optional[dict]" = None):
     """Key a closure capture by CONTENT (recursively, capped) as a hashable
     tuple.
+
+    ``memo`` (id → key) dedupes repeated captures WITHIN one structure-key
+    computation — e.g. the scene's object list is captured by the shadow,
+    G-buffer, and lighting closures and would be content-walked three times
+    per frame. The memo never outlives a single compile() call, so in-place
+    mutation between frames is still caught by the content walk.
 
     Captured values are baked into the traced program as constants, so two
     closures with equal code but different captures must key different frame
@@ -194,6 +200,17 @@ def _capture_key(v, depth: int = 0):
     """
     if isinstance(v, _SCALAR_TYPES):
         return v
+    if memo is not None:
+        hit = memo.get(id(v))
+        if hit is not None:
+            return hit
+    out = _capture_key_uncached(v, depth, memo)
+    if memo is not None:
+        memo[id(v)] = out
+    return out
+
+
+def _capture_key_uncached(v, depth: int, memo: "Optional[dict]"):
     if depth > 4:
         return ("cap-deep", type(v).__name__)
     if isinstance(v, _np.ndarray):
@@ -216,12 +233,12 @@ def _capture_key(v, depth: int = 0):
     if isinstance(v, (list, tuple)):
         return (
             "cap-seq", type(v).__name__, len(v),
-            tuple(_capture_key(item, depth + 1) for item in v[:64]),
+            tuple(_capture_key(item, depth + 1, memo) for item in v[:64]),
         )
     if isinstance(v, (set, frozenset)):
         return (
             "cap-set", len(v),
-            tuple(_capture_key(item, depth + 1)
+            tuple(_capture_key(item, depth + 1, memo)
                   for item in sorted(v, key=repr)[:64]),
         )
     if isinstance(v, dict):
@@ -232,7 +249,7 @@ def _capture_key(v, depth: int = 0):
         return (
             "cap-dict", len(v),
             tuple((k if isinstance(k, _SCALAR_TYPES) else repr(k),
-                   _capture_key(v[k], depth + 1))
+                   _capture_key(v[k], depth + 1, memo))
                   for k in ks[:64]),
         )
     if isinstance(v, _types.ModuleType):
@@ -253,7 +270,7 @@ def _capture_key(v, depth: int = 0):
         cells = []
         for cell in (cl if isinstance(cl, tuple) else ()):
             try:
-                cells.append(_capture_key(cell.cell_contents, depth + 1))
+                cells.append(_capture_key(cell.cell_contents, depth + 1, memo))
             except ValueError:
                 cells.append("<empty-cell>")
         return ("cap-fn", code.co_filename, code.co_firstlineno, code.co_code,
@@ -264,7 +281,7 @@ def _capture_key(v, depth: int = 0):
     fields = ()
     if d and len(d) <= 64:
         fields = tuple(
-            (k, _capture_key(d[k], depth + 1)) for k in sorted(d)
+            (k, _capture_key(d[k], depth + 1, memo)) for k in sorted(d)
         )
     return ("cap-obj", type(v).__qualname__, fields)
 
@@ -516,6 +533,7 @@ class RenderGraph:
         """
         parts = [options, _validate_enabled()]
         add = parts.append
+        memo: dict = {}  # per-compile capture-key dedupe (see _capture_key)
 
         for rid, st in enumerate(self.resources):
             if st.is_imported:
@@ -550,7 +568,7 @@ class RenderGraph:
                     except ValueError:
                         add("<empty-cell>")
                         continue
-                    add(_capture_key(v))
+                    add(_capture_key(v, memo=memo))
         for name in sorted(self.dynamics):
             v = self.dynamics[name]
             # The device-resident flag selects packed-vs-passthrough in
