@@ -40,3 +40,58 @@ def test_triangle_frame_matches_golden():
     diff = np.abs(img.astype(np.int16) - golden.astype(np.int16))
     assert diff.max() <= 1, f"golden drift: max LSB diff {diff.max()}"
     assert (diff > 0).mean() < 0.01
+
+
+SCENE_GOLDEN = Path(__file__).parent / "golden" / "deferred_scene_128x64.npy"
+
+
+def _render_scene_frame():
+    """Deferred multi-pass frame: shadow → batched G-buffer MRT → tiled
+    lighting (8 point lights) → skybox background → bloom+ACES post →
+    sRGB encode, at 128×64 on the CPU backend."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_renderers import H, OPTS, W, build_test_scene, make_camera
+
+    from zenith_tpu.renderer import DeferredRenderer, PostProcess
+    from zenith_tpu.rendergraph import RenderGraphBuilder
+    from zenith_tpu.sandbox.scene import sky_cube_texture
+
+    device = RhiCore().create_render_device()
+    scene = build_test_scene(device, num_lights=8)
+    import dataclasses
+
+    scene = dataclasses.replace(scene, skybox=sky_cube_texture(16))
+    renderer = DeferredRenderer(scene)
+    post = PostProcess()
+    cam = make_camera()
+
+    builder = RenderGraphBuilder()
+    hdr = builder.create(TextureDesc.color("hdr", W, H, Format.RGBA32F))
+    out = builder.create(TextureDesc.color("ldr", W, H, Format.RGBA32F))
+    builder.export(out)
+    renderer.render_to(builder, hdr, cam, W, H)
+    post.render_to(builder, hdr, out)
+    compiled = builder.build().compile(device, PipelineCache(), OPTS)
+    compiled.execute(device)
+    return np.asarray(encode_present(compiled.value(out), Format.RGBA8_SRGB))
+
+
+def test_deferred_scene_matches_golden():
+    """End-to-end golden for the flagship multi-pass path (the triangle
+    golden covers the basic pipeline; this one pins shadows, the batched
+    MRT G-buffer, the tiled-lighting kernel, cube sampling, and post).
+
+    Regenerate after an INTENTIONAL rendering change (with the oracle suite
+    green): ZENITH_REGEN_GOLDEN=1 pytest tests/test_golden.py
+    """
+    import os
+
+    img = _render_scene_frame()
+    if os.environ.get("ZENITH_REGEN_GOLDEN"):
+        np.save(SCENE_GOLDEN, img)
+    golden = np.load(SCENE_GOLDEN)
+    diff = np.abs(img.astype(np.int16) - golden.astype(np.int16))
+    assert diff.max() <= 1, f"golden drift: max LSB diff {diff.max()}"
+    assert (diff > 0).mean() < 0.01
