@@ -309,3 +309,109 @@ class TestStencilGraph:
         inside = ref["tri"] >= 0
         np.testing.assert_allclose(img[inside][:, 0], 1.0, atol=1e-6)
         np.testing.assert_allclose(img[~inside][:, 0], 0.0, atol=1e-6)
+
+
+class TestStencilMSAA:
+    """Stencil + multisampling: per-sample stencil planes inside a node;
+    across nodes the graph stores the sample-0 resolve (Vulkan's default
+    resolve mode). Pixel-aligned geometry makes every sample position agree,
+    so the 2x result must equal the 1x result exactly."""
+
+    def _run(self, samples):
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+        from zenith_tpu.rhi import (
+            Buffer,
+            ColorAttachmentDesc,
+            GraphicShaderInput,
+            PipelineCache,
+            RhiCore,
+            Shader,
+            TextureDesc,
+        )
+        from zenith_tpu.rhi.state import (
+            DepthStencilDesc,
+            GraphicPipelineState,
+            MultisampleState,
+            RasterizationState,
+            VertexLayout,
+        )
+
+        device = RhiCore().create_render_device()
+        clear_frame_program_cache()
+        layout = VertexLayout.from_fields(("position", 4))
+        vs = Shader.vertex("vs", lambda attrs, res: {"position": attrs["position"]})
+        fs_red = Shader.fragment(
+            "fs_red",
+            lambda varyings, res, b: jnp.broadcast_to(
+                jnp.asarray([1.0, 0.0, 0.0, 1.0]), b.depth.shape + (4,)
+            ),
+        )
+        # Left-half quad, edges on exact pixel boundaries (NDC x = 0 is
+        # pixel column W/2): identical coverage at every sample position.
+        half = np.array(
+            [[-2, -2, 0.5, 1], [0, -2, 0.5, 1], [0, 2, 0.5, 1], [-2, 2, 0.5, 1]],
+            np.float32,
+        )
+        full = np.array(
+            [[-2, -2, 0.6, 1], [2, -2, 0.6, 1], [2, 2, 0.6, 1], [-2, 2, 0.6, 1]],
+            np.float32,
+        )
+        quad_idx = np.array([0, 1, 2, 0, 2, 3], np.int32)
+        vb1 = Buffer.from_numpy("half.vb", half)
+        vb2 = Buffer.from_numpy("full.vb", full)
+        ib = Buffer.from_numpy("quad.ib", quad_idx)
+
+        builder = RenderGraphBuilder()
+        v1, v2 = builder.import_resource(vb1), builder.import_resource(vb2)
+        i0 = builder.import_resource(ib)
+        color = builder.create(TextureDesc.color("out", W, H))
+        sten = builder.create(TextureDesc.stencil("mask", W, H))
+        builder.export(color)
+        raster = RasterizationState(cull_mode=CullMode.NONE)
+        ms = MultisampleState(samples=samples)
+
+        node = builder.add_graphic_node("mark")
+        v1a, ia = node.read(v1), node.read(i0)
+        sa = node.write(sten)
+        with node.pipeline(
+            GraphicShaderInput(vs, None, layout),
+            GraphicPipelineState(
+                rasterization=raster, multisample=ms,
+                depth_stencil=DepthStencilDesc().stencil_write(1),
+            ),
+        ) as binder:
+            binder.set_stencil(sa)
+        node.execute(lambda ctx: ctx.draw_indexed(v1a, ia))
+
+        node = builder.add_graphic_node("gated")
+        v2a, ia2 = node.read(v2), node.read(i0)
+        node.read(sten)
+        ca = node.write(color)
+        sa2 = node.write(sten)
+        with node.pipeline(
+            GraphicShaderInput(vs, fs_red, layout),
+            GraphicPipelineState(
+                rasterization=raster, multisample=ms,
+                depth_stencil=DepthStencilDesc().stencil_mask(1),
+            ),
+        ) as binder:
+            binder.push_color(ca, ColorAttachmentDesc(clear_value=(0, 0, 0, 1)))
+            binder.set_stencil(sa2)
+        node.execute(lambda ctx: ctx.draw_indexed(v2a, ia2))
+
+        from zenith_tpu.rhi import PipelineCache as _PC
+
+        compiled = builder.build().compile(
+            device, _PC(), CompileOptions(tile_h=8, tile_w=128)
+        )
+        compiled.execute(device)
+        return np.asarray(compiled.value(color))
+
+    def test_msaa2_stencil_masked_draw_matches_1x(self):
+        img1 = self._run(1)
+        img2 = self._run(2)
+        # Left half red, right half clear, both sample counts.
+        np.testing.assert_allclose(img1[:, : W // 2, 0], 1.0, atol=1e-6)
+        np.testing.assert_allclose(img1[:, W // 2 :, 0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(img2, img1, atol=1e-6)

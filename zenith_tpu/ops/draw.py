@@ -218,13 +218,13 @@ def draw_indexed(
 
     samples = state.multisample.samples
     if samples > 1:
-        if ds.stencil_test_enable:
-            raise NotImplementedError("MSAA + stencil is not supported")
-        new_colors, new_depth = _raster_shade_msaa(
+        new_colors, new_depth, stencil_out = _raster_shade_msaa(
             colors, depth, pipeline, resources, bins, grid, attr_layout,
-            samples, interpret,
+            samples, interpret, stencil=stencil,
         )
-        return new_colors, new_depth, DrawStats(bin_overflow=bins.overflow)
+        return new_colors, new_depth, DrawStats(
+            bin_overflow=bins.overflow, stencil=stencil_out
+        )
 
     if depth is not None:
         init_z = depth
@@ -312,39 +312,62 @@ SAMPLE_POSITIONS = {
 
 
 def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
-                       attr_layout, samples, interpret):
+                       attr_layout, samples, interpret, stencil=None):
     """Multisampling: one shared binning, one raster per Vulkan standard
     sample position, per-sample shading + blending.
 
     Attachment convention inside an MSAA draw chain: colors are
-    (S, H, W, C) and depth is (S, H, W) — the graph prologue broadcasts
-    clears/loads and the epilogue resolves (color: average; depth: sample 0,
-    Vulkan's default resolve mode). Shading runs per sample — supersampling-
-    grade quality (the architecture shades resolved winners, so a
-    shade-once-per-pixel MSAA would mis-blend silhouette samples).
+    (S, H, W, C), depth is (S, H, W), and (when the pipeline enables the
+    stencil test) stencil is (S, H, W) i32 — the graph prologue broadcasts
+    clears/loads and the epilogue resolves (color: average; depth/stencil:
+    sample 0, Vulkan's default resolve mode). Shading runs per sample —
+    supersampling-grade quality (the architecture shades resolved winners,
+    so a shade-once-per-pixel MSAA would mis-blend silhouette samples).
     """
     state = pipeline.desc.state
     ds = state.depth_stencil
     rast_state = state.rasterization
     offsets = SAMPLE_POSITIONS.get(samples)
     assert offsets is not None, f"unsupported sample count {samples}"
+    with_stencil = ds.stencil_test_enable
 
     out_colors = [[] for _ in colors]
     out_z = []
+    out_s = []
     for s, off in enumerate(offsets):
         if depth is not None:
             init_z = depth[s]
         else:
             init_z = jnp.zeros((grid.height, grid.width), jnp.float32)
-        z_s, acc_s = raster_segmented(
-            bins, grid, init_z,
-            depth_test=ds.depth_test_enable,
-            depth_write=ds.depth_write_enable,
-            compare_op=ds.depth_compare_op,
-            depth_clamp=rast_state.depth_clamp,
-            sample_offset=off,
-            interpret=interpret,
-        )
+        if with_stencil:
+            if stencil is not None:
+                init_s = stencil[s]
+            else:
+                init_s = jnp.full((grid.height, grid.width),
+                                  ds.stencil_clear_value & 0xFF, jnp.int32)
+            z_s, acc_s, sten_s = raster_segmented(
+                bins, grid, init_z,
+                depth_test=ds.depth_test_enable,
+                depth_write=ds.depth_write_enable,
+                compare_op=ds.depth_compare_op,
+                depth_clamp=rast_state.depth_clamp,
+                init_stencil=init_s,
+                stencil_front=ds.stencil_front,
+                stencil_back=ds.stencil_back,
+                sample_offset=off,
+                interpret=interpret,
+            )
+            out_s.append(sten_s)
+        else:
+            z_s, acc_s = raster_segmented(
+                bins, grid, init_z,
+                depth_test=ds.depth_test_enable,
+                depth_write=ds.depth_write_enable,
+                compare_op=ds.depth_compare_op,
+                depth_clamp=rast_state.depth_clamp,
+                sample_offset=off,
+                interpret=interpret,
+            )
         sample_colors = [c[s] for c in colors]
         shaded = _shade_and_blend(
             sample_colors, z_s, acc_s, attr_layout, pipeline, resources
@@ -355,7 +378,8 @@ def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
 
     new_colors = [jnp.stack(cs) for cs in out_colors]
     new_depth = jnp.stack(out_z) if depth is not None else None
-    return new_colors, new_depth
+    new_stencil = jnp.stack(out_s) if with_stencil else None
+    return new_colors, new_depth, new_stencil
 
 
 def draw_indexed_batch(

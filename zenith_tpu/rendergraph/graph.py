@@ -788,6 +788,7 @@ class RenderGraph:
                         )
                     else:
                         stencil = band_of(srid, cur, full_h)
+                    stencil = to_samples(stencil)
 
                 ctx = GraphicNodeExecutionContext(
                     self, node, state, dynamics, pipeline, grid,
@@ -809,7 +810,8 @@ class RenderGraph:
                     if mesh is not None:
                         banded.add(node.depth_attachment[0])
                 if node.stencil_attachment is not None and ctx._stencil is not None:
-                    state[node.stencil_attachment] = ctx._stencil
+                    s_out = ctx._stencil[0] if samples > 1 else ctx._stencil
+                    state[node.stencil_attachment] = s_out
                     if mesh is not None:
                         banded.add(node.stencil_attachment)
                 for ov in ctx.stats:

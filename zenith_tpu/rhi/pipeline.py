@@ -116,8 +116,6 @@ class GraphicPipeline:
                 f"multisampling supports 1/2/4 samples (Vulkan standard "
                 f"sample positions), got samples={ms.samples}"
             )
-        if ms.samples != 1 and ds.stencil_test_enable:
-            raise NotImplementedError("MSAA + stencil is not supported")
 
     @property
     def vertex_shader(self) -> Shader:
