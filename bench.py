@@ -40,11 +40,14 @@ def bench_scene() -> "tuple[str, float] | None":
     if not os.path.isdir(os.path.join(root, "content", "mesh", "cerberus")):
         return None
 
+    from zenith_tpu.renderer import PresentEncode
+
     core = RhiCore()
     device = core.create_render_device()
     scene = build_scene(device, 100, np.random.default_rng(42))
     renderer = DeferredRenderer(scene)
     post = PostProcess()
+    present = PresentEncode(Format.BGRA8_SRGB)
     pipeline_cache = PipelineCache()
     options = CompileOptions()
     w, h = 1920, 1080
@@ -52,9 +55,6 @@ def bench_scene() -> "tuple[str, float] | None":
     camera = Camera(fov_y=Degree(35.0), aspect_ratio=w / h)
 
     import jax
-    import jax.numpy as jnp
-
-    enc = jax.jit(lambda img: encode_present(img, Format.BGRA8_SRGB))
 
     def frame(orbit: float):
         x = math.sin(orbit) * 170.0
@@ -64,14 +64,15 @@ def bench_scene() -> "tuple[str, float] | None":
         builder = RenderGraphBuilder()
         hdr = builder.create(TextureDesc.color("scene.hdr", w, h, Format.RGBA32F))
         out = builder.create(TextureDesc.color("scene.out", w, h, Format.RGBA32F))
-        builder.export(out)
+        enc = builder.create(TextureDesc.color("scene.enc", w, h, Format.BGRA8_SRGB))
+        builder.export(enc)
         renderer.render_to(builder, hdr, camera, w, h)
         post.render_to(builder, hdr, out)
+        # Present encode folded into the frame program: ONE dispatch/frame.
+        present.render_to(builder, out, enc)
         compiled = builder.build().compile(device, pipeline_cache, options)
         compiled.execute(device)
-        from zenith_tpu.rendergraph.resource import RenderGraphResource
-
-        return enc(compiled.value(out))
+        return compiled.value(enc)
 
     # Compile + warm up (excluded).
     img = frame(0.0)

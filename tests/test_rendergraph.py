@@ -560,3 +560,53 @@ class TestFrameProgramLRU:
         finally:
             set_frame_program_cache_limit(256)
             clear_frame_program_cache()
+
+
+class TestPresentEncode:
+    def test_encode_node_matches_present_encode(self, device, pcache):
+        """PresentEncode folds the sRGB swapchain encode into the frame
+        program; its output must equal encode_present of the linear image,
+        and Swapchain.present must pass pre-encoded uint8 frames through."""
+        from zenith_tpu.renderer import PresentEncode
+        from zenith_tpu.rhi import Format
+        from zenith_tpu.rhi.formats import encode_present
+
+        clear_frame_program_cache()
+        builder = RenderGraphBuilder()
+        lin = builder.create(TextureDesc.color("lin", W, H))
+        enc = builder.create(TextureDesc.color("enc", W, H, Format.BGRA8_SRGB))
+        builder.export(lin)
+        builder.export(enc)
+
+        node = builder.add_lambda_node("gen")
+        dst = node.write(lin)
+
+        def record(ctx):
+            g = jnp.linspace(0.0, 1.5, W, dtype=jnp.float32)
+            img = jnp.broadcast_to(g[None, :, None], (H, W, 4))
+            ctx.set(dst, img)
+
+        node.execute(record)
+        PresentEncode(Format.BGRA8_SRGB).render_to(builder, lin, enc)
+
+        compiled = builder.build().compile(device, pcache, OPTS)
+        compiled.execute(device)
+        lin_v = compiled.value(lin)
+        enc_v = np.asarray(compiled.value(enc))
+        assert enc_v.dtype == np.uint8
+        ref = np.asarray(encode_present(lin_v, Format.BGRA8_SRGB))
+        np.testing.assert_array_equal(enc_v, ref)
+
+        # Swapchain passthrough: pre-encoded frames skip the encode jit.
+        from zenith_tpu.rhi.swapchain import Swapchain, SwapchainConfig
+
+        got = []
+        sc = Swapchain(
+            device,
+            SwapchainConfig(width=W, height=H),
+            on_present=lambda frame, idx: got.append(frame),
+        )
+        sc.acquire_next_image()
+        sc.present(jnp.asarray(enc_v))
+        sc.flush()
+        np.testing.assert_array_equal(got[0], enc_v)

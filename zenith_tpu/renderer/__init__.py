@@ -5,7 +5,7 @@ PBR → post)."""
 from zenith_tpu.renderer.deferred import DeferredRenderer
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
-from zenith_tpu.renderer.post import PostProcess
+from zenith_tpu.renderer.post import PostProcess, PresentEncode
 from zenith_tpu.renderer.scene import (
     DirectionalLight,
     PointLight,
@@ -21,6 +21,7 @@ __all__ = [
     "MeshRenderer",
     "PointLight",
     "PostProcess",
+    "PresentEncode",
     "Scene",
     "SceneObject",
     "TriangleRenderer",

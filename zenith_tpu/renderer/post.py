@@ -168,3 +168,38 @@ class PostProcess:
             ctx.set(dst, out)
 
         node.execute(record)
+
+
+class PresentEncode:
+    """Folds the swapchain present encode (linear → sRGB swapchain format)
+    into the frame program as a lambda node — one dispatch per frame instead
+    of a second jit call at present time (reference analog: the display
+    engine's scanout conversion; here encode_present, formats.py).
+
+    The output texture must be created with the swapchain's at-rest format
+    (e.g. Format.BGRA8_SRGB). Swapchain.present detects pre-encoded uint8
+    frames and skips its own encode.
+    """
+
+    def __init__(self, fmt=None):
+        from zenith_tpu.rhi.formats import Format
+
+        self.format = fmt if fmt is not None else Format.BGRA8_SRGB
+
+    def render_to(
+        self,
+        builder: RenderGraphBuilder,
+        linear_input: RenderGraphResource,
+        output: RenderGraphResource,
+    ) -> None:
+        from zenith_tpu.rhi.formats import encode_present
+
+        node = builder.add_lambda_node("present.encode")
+        src = node.read(linear_input)
+        dst = node.write(output)
+        fmt = self.format
+
+        def record(ctx):
+            ctx.set(dst, encode_present(ctx.get(src), fmt))
+
+        node.execute(record)

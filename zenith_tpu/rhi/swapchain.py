@@ -123,13 +123,26 @@ class Swapchain:
 
     def present(self, rendered: jax.Array) -> None:
         """Encode + start async readback; advances the ring
-        (reference swapchain.rs:243-264)."""
-        # Keep the (still device-resident) rendered image bound to the slot so
-        # LOAD-op graphs can read last frame's contents.
-        self._textures[self._image_index] = self._textures[self._image_index].with_array(rendered)
+        (reference swapchain.rs:243-264).
+
+        A uint8 ``rendered`` is taken as ALREADY encoded to the swapchain
+        format (the frame program folded the present encode in via a
+        PresentEncode node) — the extra per-frame encode dispatch is
+        skipped, and the slot keeps its previous linear contents."""
+        pre_encoded = str(rendered.dtype) == "uint8"
+        if not pre_encoded:
+            # Keep the (still device-resident) rendered image bound to the
+            # slot so LOAD-op graphs can read last frame's contents.
+            self._textures[self._image_index] = (
+                self._textures[self._image_index].with_array(rendered)
+            )
         interval = max(1, self.config.readback_interval)
         if self._frame_counter % interval == 0:
-            encoded = _encode_jit(self.config.format)(rendered)
+            encoded = (
+                rendered
+                if pre_encoded
+                else _encode_jit(self.config.format)(rendered)
+            )
             try:
                 encoded.copy_to_host_async()
             except Exception:  # some backends lack async copy; readback blocks
