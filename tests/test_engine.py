@@ -1,0 +1,69 @@
+"""Engine-loop e2e: the retained path (update_dynamics) must produce the
+same frames as the reference-parity rebuild-every-frame path."""
+
+import numpy as np
+
+from zenith_tpu.app import RenderableApp, RenderContext
+from zenith_tpu.launch import launch
+from zenith_tpu.window import Window
+
+W, H = 128, 32
+
+
+class _TriApp(RenderableApp):
+    """Animated triangle keyed by FRAME INDEX (deterministic across runs);
+    retained subclass overrides update_dynamics."""
+
+    retained = False
+
+    def __init__(self, args):
+        super().__init__(args)
+        self.frame = 0
+        self.renderer = None
+
+    def prepare(self, render_device, window):
+        from zenith_tpu.renderer import TriangleRenderer
+
+        self.renderer = TriangleRenderer(render_device)
+
+    def tick(self, dt):
+        self.frame += 1
+
+    def _time(self):
+        return np.float32(self.frame * 0.25)
+
+    def update_dynamics(self):
+        if not self.retained:
+            return None
+        return self.renderer.frame_dynamics(self._time())
+
+    def render(self, context: RenderContext):
+        builder = context.builder()
+        out = builder.import_resource(context.swapchain_texture())
+        w, h = context.extent
+        self.renderer.render_to(builder, out, w, h, time_s=self._time())
+
+
+class _TriAppRetained(_TriApp):
+    retained = True
+
+
+def _run(app_class):
+    from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+
+    clear_frame_program_cache()
+    window = Window(width=W, height=H, title="t")
+    loop = launch(app_class, argv=[], window=window, max_frames=5)
+    assert loop.frames_rendered == 5
+    assert window.last_frame is not None
+    return np.asarray(window.last_frame)
+
+
+class TestRetainedEngineLoop:
+    def test_retained_frames_match_rebuild_frames(self):
+        rebuild = _run(_TriApp)
+        retained = _run(_TriAppRetained)
+        assert rebuild.shape == retained.shape == (H, W, 4)
+        np.testing.assert_array_equal(retained, rebuild)
+        # The animation actually moved off the clear color somewhere.
+        assert rebuild[..., :3].std() > 1.0

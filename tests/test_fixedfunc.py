@@ -267,7 +267,7 @@ class TestStateValidation:
             self._mk_pipeline(state)
 
     def test_supported_sample_counts_ok(self):
-        for n in (1, 2, 4):
+        for n in (1, 2, 4, 8):
             self._mk_pipeline(
                 GraphicPipelineState(multisample=MultisampleState(samples=n))
             )
@@ -360,3 +360,12 @@ class TestMSAA:
         assert partial > 20, f"only {partial} partially covered pixels"
         # Same overall geometry: coverage masses agree within a pixel row.
         assert abs(img4.sum() - img1.sum()) / max(img1.sum(), 1) < 0.2
+
+    def test_msaa8_edge_coverage_finer_than_4x(self):
+        """8x: more coverage levels along the sliver edge than 4x."""
+        img4 = self._render(4)[..., 0]
+        img8 = self._render(8)[..., 0]
+        levels4 = np.unique(np.round(img4, 4))
+        levels8 = np.unique(np.round(img8, 4))
+        assert len(levels8) > len(levels4) >= 3
+        assert abs(img8.sum() - img4.sum()) / max(img4.sum(), 1) < 0.1

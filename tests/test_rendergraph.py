@@ -610,3 +610,44 @@ class TestPresentEncode:
         sc.present(jnp.asarray(enc_v))
         sc.flush()
         np.testing.assert_array_equal(got[0], enc_v)
+
+
+class TestRetainedExecute:
+    def test_retained_dynamics_override_matches_rebuild(self, device, pcache):
+        """Retained mode: execute(dynamics=...) re-runs the SAME compiled
+        program with new per-frame values — output must equal a full
+        rebuild at that value, with zero extra frame programs."""
+        clear_frame_program_cache()
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+
+        graph, out = build_triangle_graph(vb, ib, tex, np.float32(1.0))
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        np.asarray(compiled.value(out))
+
+        compiled.execute(device, dynamics={"time": np.float32(2.5)})
+        img_retained = np.asarray(compiled.value(out))
+        assert frame_program_cache_size() == 1
+
+        graph2, out2 = build_triangle_graph(vb, ib, tex, np.float32(2.5))
+        compiled2 = graph2.compile(device, pcache, OPTS)
+        compiled2.execute(device)
+        img_rebuilt = np.asarray(compiled2.value(out2))
+        assert frame_program_cache_size() == 1  # same structure
+        np.testing.assert_array_equal(img_retained, img_rebuilt)
+
+    def test_retained_rejects_signature_changes(self, device, pcache):
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+        graph, out = build_triangle_graph(vb, ib, tex, np.float32(1.0))
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        with pytest.raises(KeyError, match="not declared"):
+            compiled.execute(device, dynamics={"nope": 1.0})
+        with pytest.raises(ValueError, match="signature"):
+            compiled.execute(
+                device, dynamics={"time": np.zeros((4,), np.float32)}
+            )

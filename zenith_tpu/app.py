@@ -62,3 +62,13 @@ class RenderableApp(App):
 
     def render(self, context: RenderContext) -> None:
         raise NotImplementedError
+
+    # Optional retained-mode hook (TPU-idiomatic, beyond the reference):
+    # return a {dynamic_name: value} dict of this frame's per-frame values
+    # and the engine re-executes the previously compiled frame program
+    # without rebuilding the graph (trace once, re-execute). Return None to
+    # force the rebuild path (e.g. when graph structure changed). Apps that
+    # don't define this method get the reference-parity rebuild-every-frame
+    # flow. Constraints: static graph structure; attachments must not LOAD
+    # previous swapchain contents.
+    update_dynamics = None

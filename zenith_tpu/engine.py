@@ -71,6 +71,9 @@ class Engine:
         self.pipeline_cache = PipelineCache()
         self.compile_options = compile_options
         self.last_retired: Optional[RetiredRenderGraph] = None
+        # Retained-mode state: (compiled graph, swapchain output handle),
+        # kept only for apps that implement update_dynamics().
+        self._retained: Optional[tuple] = None
         self._elapsed = 0.0
         logger.info(
             "Engine up: %s, %dx%d %s",
@@ -108,6 +111,7 @@ class Engine:
         self.compile_options = replace(
             self.compile_options, budget_scale=new_scale
         )
+        self._retained = None  # must recompile at the new budget
         logger.warning(
             "bin overflow: growing entry budgets ×%d (recompiling)", new_scale
         )
@@ -118,6 +122,24 @@ class Engine:
     def render(self, app: RenderableApp) -> None:
         device = self.render_device
         device.begin_frame()
+
+        # RETAINED MODE (TPU-idiomatic, beyond the reference's per-frame
+        # rebuild): an app that implements update_dynamics() re-executes the
+        # previously compiled frame program with fresh per-frame values —
+        # one pack + one transfer + one dispatch of host work. Constraints:
+        # graph structure must be static, and attachments must not LOAD
+        # frame N-1 swapchain contents (the import array is from build time).
+        update_dynamics = getattr(app, "update_dynamics", None)
+        if self._retained is not None and update_dynamics is not None:
+            dyn = update_dynamics()
+            if dyn is not None:
+                compiled, handle = self._retained
+                self.swapchain.acquire_next_image()  # ring backpressure
+                self.last_retired = compiled.execute(device, dynamics=dyn)
+                if handle is not None:
+                    compiled.present(self.swapchain, handle)
+                device.end_frame()
+                return
 
         image_index, swap_texture = self.swapchain.acquire_next_image()
         builder = RenderGraphBuilder()
@@ -132,6 +154,7 @@ class Engine:
         # (the reference splits nodes at the first swapchain write,
         # graph.rs:156-180; here we just fetch its final value).
         swap_rid = None
+        handle = None
         for rid, st in enumerate(graph.resources):
             if st.imported is swap_texture:
                 swap_rid = rid
@@ -141,6 +164,8 @@ class Engine:
 
             handle = RenderGraphResource(swap_rid, "texture")
             compiled.present(self.swapchain, handle)
+        if update_dynamics is not None:
+            self._retained = (compiled, handle)
         device.end_frame()
 
     def resize(self, width: int, height: int) -> None:
@@ -148,6 +173,7 @@ class Engine:
         self.window.width = width
         self.window.height = height
         self.swapchain.resize(width, height)
+        self._retained = None  # structure changed; rebuild next frame
 
     def shutdown(self) -> None:
         self.swapchain.flush()

@@ -308,6 +308,11 @@ SAMPLE_POSITIONS = {
     1: ((0.5, 0.5),),
     2: ((0.75, 0.75), (0.25, 0.25)),
     4: ((0.375, 0.125), (0.875, 0.375), (0.125, 0.625), (0.625, 0.875)),
+    8: (
+        (0.5625, 0.3125), (0.4375, 0.6875), (0.8125, 0.5625),
+        (0.3125, 0.1875), (0.1875, 0.8125), (0.0625, 0.4375),
+        (0.6875, 0.9375), (0.9375, 0.0625),
+    ),
 }
 
 

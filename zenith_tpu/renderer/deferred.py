@@ -176,6 +176,15 @@ class DeferredRenderer:
             bindings=[uniform("Model"), uniform("LightViewProj")],
         )
 
+    def frame_dynamics(self, camera: Camera) -> dict:
+        """Per-frame dynamic values for RETAINED execution (everything else
+        this renderer declares is static per scene)."""
+        from zenith_tpu.renderer.forward import _camera_dynamics
+
+        return _camera_dynamics(
+            "def", camera, want_inv_vp=self.scene.skybox is not None
+        )
+
     def render_to(
         self,
         builder: RenderGraphBuilder,

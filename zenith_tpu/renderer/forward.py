@@ -168,6 +168,11 @@ class ForwardShadowRenderer:
             ],
         )
 
+    def frame_dynamics(self, camera: Camera) -> dict:
+        """Per-frame dynamic values for RETAINED execution (everything else
+        this renderer declares is static per scene)."""
+        return _camera_dynamics("fwd", camera, want_inv_vp=False)
+
     def render_to(
         self,
         builder: RenderGraphBuilder,
@@ -283,3 +288,16 @@ class ForwardShadowRenderer:
             )
 
         node2.execute(record_forward)
+
+
+def _camera_dynamics(prefix: str, camera, want_inv_vp: bool) -> dict:
+    vp = np.asarray(camera.render_view_projection, np.float32)
+    d = {
+        f"{prefix}.view_proj": vp,
+        f"{prefix}.camera_pos": np.asarray(camera.location, np.float32),
+    }
+    if want_inv_vp:
+        d[f"{prefix}.inv_vp"] = np.linalg.inv(
+            np.asarray(vp, np.float64)
+        ).astype(np.float32)
+    return d

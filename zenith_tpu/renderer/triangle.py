@@ -82,19 +82,30 @@ class TriangleRenderer:
         )
         self.start_time = time.perf_counter()
 
+    def frame_dynamics(self, time_s: "float | None" = None) -> dict:
+        """Per-frame dynamics for RETAINED execution (engine.py)."""
+        import numpy as _np
+
+        if time_s is None:
+            time_s = time.perf_counter() - self.start_time
+        return {"triangle.time": _np.float32(time_s)}
+
     def render_to(
         self,
         builder: RenderGraphBuilder,
         output: RenderGraphResource,
         width: int,
         height: int,
+        time_s: "float | None" = None,
     ) -> None:
         """(triangle.rs:78-179) Declare the triangle node."""
         vb = builder.import_resource(self.vertex_buffer)
         ib = builder.import_resource(self.index_buffer)
-        builder.set_dynamic(
-            "triangle.time", time.perf_counter() - self.start_time
-        )
+        import numpy as _np
+
+        if time_s is None:
+            time_s = time.perf_counter() - self.start_time
+        builder.set_dynamic("triangle.time", _np.float32(time_s))
 
         node = builder.add_graphic_node("triangle")
         vba = node.read(vb)

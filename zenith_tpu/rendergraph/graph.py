@@ -643,7 +643,8 @@ class RenderGraph:
             dynamics = jax.device_put((flat_dyn, other_dyn))
         else:
             dynamics = (0.0, {})
-        return CompiledRenderGraph(self, cached, imports, dynamics, key)
+        return CompiledRenderGraph(self, cached, imports, dynamics, key,
+                                   dyn_metas=dyn_metas)
 
     def _build_frame_fn(
         self,
@@ -915,20 +916,51 @@ def clear_frame_program_cache() -> None:
 class CompiledRenderGraph:
     """(graph.rs:202-348)"""
 
-    def __init__(self, graph: RenderGraph, fn, imports, dynamics, key: tuple):
+    def __init__(self, graph: RenderGraph, fn, imports, dynamics, key: tuple,
+                 dyn_metas: "Tuple[tuple, ...]" = ()):
         self._graph = graph
         self._fn = fn
         self._imports = imports
         self._dynamics = dynamics
+        self._dyn_metas = dyn_metas
         self.key = key
         self._outputs: Optional[Dict[str, Any]] = None
         self._stats: Optional[FrameStatsOutput] = None
 
-    def execute(self, device: Optional[RenderDevice] = None) -> "RetiredRenderGraph":
+    def execute(
+        self,
+        device: Optional[RenderDevice] = None,
+        dynamics: "Optional[Dict[str, Any]]" = None,
+    ) -> "RetiredRenderGraph":
         """One async dispatch of the frame program (replaces submit #1/#2 +
-        all barriers/fences, graph.rs:203-274)."""
+        all barriers/fences, graph.rs:203-274).
+
+        RETAINED MODE (beyond the reference, the TPU-idiomatic path): pass
+        ``dynamics`` to override per-frame values and re-execute the SAME
+        compiled program without rebuilding the graph — trace once,
+        re-execute. Only values declared via builder.set_dynamic may be
+        overridden, with identical shapes/dtypes (changing the signature
+        requires a rebuild, which recompiles). Host cost per retained frame
+        is one pack + one transfer + one dispatch."""
         if device is not None:
             device.stats.submits += 1
+        if dynamics is not None:
+            merged = dict(self._graph.dynamics)
+            for name, value in dynamics.items():
+                if name not in merged:
+                    raise KeyError(
+                        f"dynamic '{name}' was not declared at build time "
+                        f"(declared: {sorted(merged)})"
+                    )
+                merged[name] = value
+            flat, metas, others = _pack_dynamics(merged)
+            if metas != self._dyn_metas:
+                raise ValueError(
+                    "retained execute: dynamics signature changed (shape/"
+                    "dtype/device-residency of an overridden value differs "
+                    "from build time) — rebuild the graph instead"
+                )
+            self._dynamics = jax.device_put((flat, others))
         self._outputs, self._stats = self._fn(self._imports, self._dynamics)
         return RetiredRenderGraph(self)
 

@@ -111,9 +111,9 @@ class GraphicPipeline:
         # Declared-but-unimplemented state must raise, not silently no-op
         # (the depth-test-without-format check above sets the precedent).
         ms = self.desc.state.multisample
-        if ms.samples not in (1, 2, 4):
+        if ms.samples not in (1, 2, 4, 8):
             raise NotImplementedError(
-                f"multisampling supports 1/2/4 samples (Vulkan standard "
+                f"multisampling supports 1/2/4/8 samples (Vulkan standard "
                 f"sample positions), got samples={ms.samples}"
             )
 

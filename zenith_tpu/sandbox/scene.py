@@ -174,8 +174,14 @@ class SceneApp(RenderableApp):
         parser.add_argument("--lights", type=int, default=100)
         parser.add_argument("--no-post", action="store_true")
         parser.add_argument("--textured", action="store_true")
+        parser.add_argument(
+            "--retained", action="store_true",
+            help="retained mode: build the graph once, re-execute with "
+                 "fresh camera dynamics (trace once, re-execute)",
+        )
         ns, _ = parser.parse_known_args(args.app_args)
         self.textured = ns.textured
+        self.retained = ns.retained
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
         self.post_enabled = not ns.no_post
@@ -212,6 +218,13 @@ class SceneApp(RenderableApp):
         self.camera.set_position(np.array([x, y, self._height], np.float32))
         pitch = -math.atan2(self._height - 5.0, self._radius)
         self.camera.set_yaw_pitch(Radians(self.orbit), Radians(pitch))
+
+    def update_dynamics(self):
+        """Retained-mode hook (engine.py): camera values only — the rest of
+        the scene's dynamics are static. Returns None unless --retained."""
+        if not self.retained or self.renderer is None:
+            return None
+        return self.renderer.frame_dynamics(self.camera)
 
     def render(self, context: RenderContext) -> None:
         width, height = context.extent
