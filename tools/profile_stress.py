@@ -51,7 +51,7 @@ def main() -> None:
 
     def mvp_at(i):
         ang = 0.3 + i * 0.004
-        r = float(np.linalg.norm(camera.location)) * 1.6  # wider framing
+        r = float(np.linalg.norm(camera.location)) * 1.25
         camera.set_position(
             np.array([math.sin(ang) * r, -math.cos(ang) * r,
                       camera.location[2]], np.float32)
@@ -81,11 +81,13 @@ def main() -> None:
         # Replicate the mesh with world-space x offsets (a gun rack) by
         # tiling vertices; one big draw, the instancing-at-setup pattern.
         nv = vb0.shape[0]
-        offs = (np.arange(copies, dtype=np.float32) - (copies - 1) / 2) * 60.0
+        # Compact cluster (x/z jitter ~1 gun apart) so every copy stays in
+        # frame — measuring rasterized scale, not frustum culling.
         vbs = []
         for k in range(copies):
             v = vb0.copy()
-            v[:, 0] += offs[k]
+            v[:, 0] += (k % 4 - 1.5) * 18.0
+            v[:, 1] += (k // 4 - 1.0) * 14.0
             vbs.append(v)
         vb = jnp.asarray(np.concatenate(vbs))
         ib = jnp.asarray(
