@@ -219,6 +219,18 @@ def _capture_key_uncached(v, depth: int, memo: "Optional[dict]"):
         if v.size <= 256:
             return ("cap-np", v.shape, str(v.dtype),
                     _np.ascontiguousarray(v).tobytes())
+        if _validate_enabled():
+            # The one capture-key blind spot: big host arrays key by shape
+            # only (content hashing every frame would defeat the point of
+            # the cache). Two same-shaped big arrays alias to one program —
+            # route big per-frame arrays through set_dynamic/import instead.
+            logger.warning(
+                "[validate] closure captures a %s %s np array — keyed by "
+                "SHAPE ONLY. If its contents vary per frame, the frame-"
+                "program cache will serve stale constants; use "
+                "builder.set_dynamic or import_resource instead.",
+                v.shape, v.dtype,
+            )
         return ("cap-np-big", v.shape, str(v.dtype))
     if isinstance(v, _Shader):
         return ("cap-shader", id(v))
