@@ -100,6 +100,11 @@ class Engine:
     def tick(self, delta_time: float) -> None:
         self._elapsed += delta_time
 
+    def invalidate_retained(self) -> None:
+        """Drop the retained compiled graph (hot-reload, external structure
+        change) so the next frame takes the rebuild path."""
+        self._retained = None
+
     def grow_entry_budget(self) -> int:
         """Double every draw's entry budget (called by the loop when a frame
         reports bin overflow — dropped triangles). Changes the structure key,

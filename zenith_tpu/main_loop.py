@@ -108,7 +108,12 @@ class EngineLoop:
             self._stats_frames = 0
             if self.asset_manager is not None:
                 try:
-                    self.asset_manager.poll_hot_reload()
+                    reloaded = self.asset_manager.poll_hot_reload()
+                    if reloaded:
+                        # Retained frame programs bake build-time imports
+                        # and captures; a reloaded asset must force the
+                        # rebuild path or the screen never updates.
+                        self.engine.invalidate_retained()
                 except Exception:
                     logger.exception("hot-reload poll failed")
         self.engine.tick(dt)

@@ -545,6 +545,12 @@ def draw_indexed_batch(
                     jnp.asarray(res[name], jnp.float32).reshape(-1)
                     for _, _, res in draws
                 ]
+                widths = {int(t.shape[0]) for t in table}
+                assert len(widths) == 1, (
+                    f"per-draw uniform '{name}': draws disagree on width "
+                    f"({sorted(widths)}) — all draws in a batch must bind "
+                    f"the same-shaped value"
+                )
                 plane = jnp.broadcast_to(
                     table[0][None, None, :],
                     draw_id.shape[:2] + (table[0].shape[0],),

@@ -46,9 +46,14 @@ def sun_view_projection(sun: DirectionalLight) -> np.ndarray:
     """Orthographic light camera looking along -direction at the origin.
 
     Memoized per sun identity — called every frame and the sun is static in
-    practice; mutate a DirectionalLight's fields and the cache follows the
-    field values (keyed by them)."""
-    key = (sun.direction, sun.shadow_near, sun.shadow_far, sun.shadow_extent)
+    practice; mutate a DirectionalLight's fields (replace, don't edit
+    arrays in place) and the cache follows the field values."""
+    # Normalize direction to a plain tuple: an ndarray direction would make
+    # the key comparison raise (ambiguous array truth) or false-hit on
+    # in-place mutation.
+    d = tuple(float(x) for x in np.asarray(sun.direction).reshape(-1))
+    key = (d, float(sun.shadow_near), float(sun.shadow_far),
+           float(sun.shadow_extent))
     cached = getattr(sun, "_svp_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]

@@ -136,7 +136,12 @@ class PostProcess:
 
         def record(ctx):
             hdr = ctx.get(src)
-            if ctx.sharded and ctx.num_shards > 1 and hdr.shape[0] >= BLOOM_HALO:
+            if (
+                ctx.sharded
+                and ctx.num_shards > 1
+                and hdr.shape[0] >= BLOOM_HALO
+                and hdr.shape[0] % 2 == 0  # odd bands → gather fallback
+            ):
                 # Row-banded under a mesh: halo-exchange instead of the
                 # row-local contract (bloom's blur crosses band boundaries).
                 out = tone_and_bloom_banded(

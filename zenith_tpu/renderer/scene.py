@@ -122,14 +122,15 @@ class Scene:
     def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
         """(L, 3) positions, (L, 3) colors·intensity, (L,) radii.
 
-        Cached per light-list identity — this is called every frame by the
-        renderers, and rebuilding (100, 3) arrays from the dataclass list
-        cost a measurable slice of the per-frame host budget. Mutating a
-        PointLight in place won't invalidate the cache; replace
-        ``point_lights`` (or call ``invalidate_light_cache``) instead.
+        Cached per light-ELEMENT identity (a tuple of the PointLight
+        object ids) — this is called every frame by the renderers, and
+        rebuilding (100, 3) arrays from the dataclass list cost a
+        measurable slice of the per-frame host budget. Replacing the list
+        or any element invalidates; mutating a PointLight's FIELDS in
+        place does not — call ``invalidate_light_cache`` then.
         """
         cache = getattr(self, "_pl_cache", None)
-        key = (id(self.point_lights), len(self.point_lights))
+        key = tuple(id(pl) for pl in self.point_lights)
         if cache is not None and cache[0] == key:
             return cache[1]
         if not self.point_lights:

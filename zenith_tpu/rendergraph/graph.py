@@ -135,6 +135,18 @@ def _desc_key(desc):
 _SCALAR_TYPES = (int, float, str, bool, bytes, type(None))
 
 
+def _packs_as_f32(v) -> bool:
+    """The single source of truth for _pack_dynamics' packed-vs-passthrough
+    decision — also keyed into the structure key, so two builds whose values
+    pack differently (e.g. np.float64 scalar vs 0-d float64 array) can never
+    collide on one cached program."""
+    if isinstance(v, jax.Array):
+        return False
+    if isinstance(v, (float, _np.floating)):
+        return True
+    return _np.asarray(v).dtype == _np.float32
+
+
 def _pack_dynamics(dyn: Dict[str, Any]):
     """Pack host-side f32 dynamics into ONE flat array (one device_put per
     frame instead of one per dynamic — each tiny transfer pays the full
@@ -152,16 +164,10 @@ def _pack_dynamics(dyn: Dict[str, Any]):
     off = 0
     for name in sorted(dyn):
         v = dyn[name]
-        if isinstance(v, jax.Array):
+        if not _packs_as_f32(v):
             others[name] = v
             continue
-        if isinstance(v, (float, _np.floating)):
-            a = _np.asarray(v, _np.float32)
-        else:
-            a = _np.asarray(v)
-        if a.dtype != _np.float32:
-            others[name] = v
-            continue
+        a = _np.asarray(v, _np.float32)
         metas.append((name, a.shape, off, a.size))
         chunks.append(a.reshape(-1))
         off += a.size
@@ -201,12 +207,17 @@ def _capture_key(v, depth: int = 0, memo: "Optional[dict]" = None):
     if isinstance(v, _SCALAR_TYPES):
         return v
     if memo is not None:
-        hit = memo.get(id(v))
+        # Keyed by (id, depth): an object's key depends on the remaining
+        # recursion budget (a walk that reached it at depth 5 stored only
+        # a 'cap-deep' stub — reusing that for a shallow capture would
+        # under-key the structure and serve a stale program).
+        mk = (id(v), depth)
+        hit = memo.get(mk)
         if hit is not None:
             return hit
     out = _capture_key_uncached(v, depth, memo)
     if memo is not None:
-        memo[id(v)] = out
+        memo[mk] = out
     return out
 
 
@@ -583,11 +594,11 @@ class RenderGraph:
                     add(_capture_key(v, memo=memo))
         for name in sorted(self.dynamics):
             v = self.dynamics[name]
-            # The device-resident flag selects packed-vs-passthrough in
-            # _pack_dynamics, which changes the traced unpack — key it.
+            # The packed-vs-passthrough decision changes the traced unpack —
+            # key the ACTUAL decision (_packs_as_f32), not a proxy.
             # (dtype objects are hashable; str(dtype) cost ~23 µs/frame.)
             add((name, tuple(getattr(v, "shape", ())),
-                 getattr(v, "dtype", None), isinstance(v, jax.Array)))
+                 getattr(v, "dtype", None), _packs_as_f32(v)))
         add(tuple(sorted(self.exports)))
         return tuple(parts)
 
