@@ -67,3 +67,33 @@ class TestRetainedEngineLoop:
         np.testing.assert_array_equal(retained, rebuild)
         # The animation actually moved off the clear color somewhere.
         assert rebuild[..., :3].std() > 1.0
+
+
+class TestRetainedInvalidation:
+    def test_invalidate_retained_forces_rebuild(self):
+        """After invalidate_retained() (hot-reload path), the next frame
+        goes through app.render again instead of the retained program."""
+        from zenith_tpu.engine import Engine
+
+        calls = []
+
+        class App(_TriAppRetained):
+            def render(self, context):
+                calls.append(self.frame)
+                super().render(context)
+
+        from zenith_tpu.core.cli import EngineArgs
+
+        window = Window(width=W, height=H, title="t")
+        engine = Engine(window)
+        app = App(EngineArgs.parse_args([]))
+        app.prepare(engine.render_device, window)
+        engine.render(app)  # frame 0: rebuild (populates retained)
+        app.tick(0.016)
+        engine.render(app)  # frame 1: retained — no render() call
+        assert calls == [0]
+        engine.invalidate_retained()
+        app.tick(0.016)
+        engine.render(app)  # frame 2: rebuild again
+        assert calls == [0, 2]
+        engine.shutdown()

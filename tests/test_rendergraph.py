@@ -651,3 +651,21 @@ class TestRetainedExecute:
             compiled.execute(
                 device, dynamics={"time": np.zeros((4,), np.float32)}
             )
+
+
+class TestCaptureMemoDepth:
+    def test_deep_stub_does_not_alias_shallow_capture(self):
+        """The per-compile memo must not reuse a depth-truncated stub
+        (stored when an object was reached past the recursion cap) for the
+        same object captured directly at shallow depth."""
+        from zenith_tpu.rendergraph.graph import _capture_key
+
+        x = np.array([1.0, 2.0], np.float32)
+        deep = [[[[[x]]]]]  # x is reached at depth 5 -> 'cap-deep' stub
+
+        memo = {}
+        _capture_key(deep, memo=memo)
+        shallow_after_deep = _capture_key(x, memo=memo)
+        shallow_fresh = _capture_key(x, memo={})
+        assert shallow_after_deep == shallow_fresh
+        assert shallow_fresh[0] == "cap-np"  # content, not a stub
