@@ -97,3 +97,38 @@ class TestRetainedInvalidation:
         engine.render(app)  # frame 2: rebuild again
         assert calls == [0, 2]
         engine.shutdown()
+
+
+class TestPresentFrom:
+    def test_present_from_encoded_node(self):
+        """An app using PresentEncode + context.present_from presents the
+        pre-encoded uint8 frame (swapchain skips its own encode), and the
+        delivered frame matches encoding the linear output."""
+        from zenith_tpu.renderer import PresentEncode
+        from zenith_tpu.rhi import Format, TextureDesc
+        from zenith_tpu.rhi.formats import encode_present
+
+        class App(_TriApp):
+            def render(self, context):
+                builder = context.builder()
+                out = builder.import_resource(context.swapchain_texture())
+                w, h = context.extent
+                enc = builder.create(
+                    TextureDesc.color("enc", w, h, Format.BGRA8_SRGB)
+                )
+                builder.export(enc)
+                self.renderer.render_to(builder, out, w, h, time_s=self._time())
+                PresentEncode(Format.BGRA8_SRGB).render_to(builder, out, enc)
+                context.present_from(enc)
+                self._linear_handle = out
+
+        from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+
+        clear_frame_program_cache()
+        window = Window(width=W, height=H, title="t")
+        loop = launch(App, argv=[], window=window, max_frames=3)
+        assert loop.frames_rendered == 3
+        frame = np.asarray(window.last_frame)
+        assert frame.dtype == np.uint8 and frame.shape == (H, W, 4)
+        # Encoded output actually carries the triangle (non-constant image).
+        assert frame[..., :3].std() > 1.0

@@ -23,6 +23,7 @@ class RenderContext:
         self._builder = builder
         self._swapchain_texture = swapchain_texture
         self._extent = extent
+        self.present_source = None  # set via present_from()
 
     @property
     def extent(self) -> "Tuple[int, int]":
@@ -33,6 +34,13 @@ class RenderContext:
 
     def builder(self) -> RenderGraphBuilder:
         return self._builder
+
+    def present_from(self, resource) -> None:
+        """Present this frame from a graph-created (and exported) resource
+        instead of the imported swapchain texture — e.g. the output of a
+        ``PresentEncode`` node, which folds the sRGB swapchain encode into
+        the frame program (one dispatch per frame)."""
+        self.present_source = resource
 
 
 class App:

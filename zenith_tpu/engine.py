@@ -155,20 +155,28 @@ class Engine:
         compiled = graph.compile(device, self.pipeline_cache, self.compile_options)
         self.last_retired = compiled.execute(device)
 
-        # Present: find the imported swapchain texture that some node wrote
-        # (the reference splits nodes at the first swapchain write,
+        # Present: the app's declared present source (PresentEncode output)
+        # wins; otherwise find the imported swapchain texture that some node
+        # wrote (the reference splits nodes at the first swapchain write,
         # graph.rs:156-180; here we just fetch its final value).
-        swap_rid = None
         handle = None
-        for rid, st in enumerate(graph.resources):
-            if st.imported is swap_texture:
-                swap_rid = rid
-                break
-        if swap_rid is not None and str(swap_rid) in (compiled._outputs or {}):
-            from zenith_tpu.rendergraph.resource import RenderGraphResource
-
-            handle = RenderGraphResource(swap_rid, "texture")
+        if (
+            context.present_source is not None
+            and str(context.present_source.id) in (compiled._outputs or {})
+        ):
+            handle = context.present_source
             compiled.present(self.swapchain, handle)
+        else:
+            swap_rid = None
+            for rid, st in enumerate(graph.resources):
+                if st.imported is swap_texture:
+                    swap_rid = rid
+                    break
+            if swap_rid is not None and str(swap_rid) in (compiled._outputs or {}):
+                from zenith_tpu.rendergraph.resource import RenderGraphResource
+
+                handle = RenderGraphResource(swap_rid, "texture")
+                compiled.present(self.swapchain, handle)
         if update_dynamics is not None:
             self._retained = (compiled, handle)
         device.end_frame()
