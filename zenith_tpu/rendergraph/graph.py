@@ -698,6 +698,9 @@ class RenderGraph:
             draws rasterize through a per-device viewport shift, and the
             ``banded`` set lets ctx.get_full all_gather on demand."""
             state: Dict[int, Any] = {}
+            # rid → (samples, (S, ...) array): per-sample attachment planes
+            # persisted across consecutive same-sample-count graphic nodes.
+            msaa_state: Dict[int, tuple] = {}
             banded: set = set()
             for rid, st in enumerate(resources):
                 if st.is_imported:
@@ -722,6 +725,10 @@ class RenderGraph:
                         self, node, state, dynamics, shard_ctx
                     )
                     node.job(ctx)
+                    # A lambda write replaces the resolved surface — any
+                    # stale per-sample planes must not shadow it.
+                    for a in node.outputs:
+                        msaa_state.pop(a.resource_id, None)
                     # Lambda writes to declared outputs stay band-shaped under
                     # a mesh if their inputs were bands (row-local contract).
                     if mesh is not None:
@@ -765,16 +772,28 @@ class RenderGraph:
                     viewport = (0, y0, tdesc.width, full_h)
 
                 # MSAA nodes keep per-sample planes (S, H, W, ...) between
-                # the node's draws; stored state is resolved, so clears and
-                # loads broadcast to the sample dimension here and the
-                # epilogue resolves (color: average; depth: sample 0 —
-                # Vulkan's default resolve mode).
+                # the node's draws. Stored RESOLVED state is what every
+                # consumer (lambda nodes, exports, shader sampling) reads;
+                # additionally, per-sample planes persist in ``msaa_state``
+                # so a LOAD by the NEXT same-sample-count node continues
+                # per-sample (true Vulkan MSAA attachment persistence)
+                # instead of re-broadcasting the resolve. Single-chip only —
+                # under a mesh the band bookkeeping works on resolved
+                # surfaces (documented simplification).
                 samples = pipeline.desc.state.multisample.samples
 
                 def to_samples(arr):
                     if samples == 1:
                         return arr
                     return jnp.broadcast_to(arr, (samples,) + arr.shape)
+
+                def stash_samples(rid):
+                    """Per-sample planes from a previous node, when usable."""
+                    if samples > 1 and mesh is None:
+                        st = msaa_state.get(rid)
+                        if st is not None and st[0] == samples:
+                            return st[1]
+                    return None
 
                 colors = []
                 for rid, cdesc in node.color_attachments:
@@ -784,6 +803,10 @@ class RenderGraph:
                             grid.height, grid.width, cdesc.clear_value
                         )
                     else:
+                        per_sample = stash_samples(rid)
+                        if per_sample is not None:
+                            colors.append(per_sample)
+                            continue
                         arr = band_of(rid, cur, full_h)
                     colors.append(to_samples(arr))
 
@@ -792,13 +815,18 @@ class RenderGraph:
                     rid, ddesc = node.depth_attachment
                     cur = state.get(rid)
                     if ddesc.depth_load_op == LoadOp.CLEAR or cur is None:
-                        depth = blend_ops.clear_depth(
+                        depth = to_samples(blend_ops.clear_depth(
                             grid.height, grid.width, ddesc.depth_clear_value
-                        )
+                        ))
                     else:
-                        cur = band_of(rid, cur, full_h)
-                        depth = cur[..., 0] if cur.ndim == 3 else cur
-                    depth = to_samples(depth)
+                        per_sample = stash_samples(rid)
+                        if per_sample is not None:
+                            depth = per_sample
+                        else:
+                            cur = band_of(rid, cur, full_h)
+                            depth = to_samples(
+                                cur[..., 0] if cur.ndim == 3 else cur
+                            )
 
                 stencil = None
                 if node.stencil_attachment is not None:
@@ -806,13 +834,16 @@ class RenderGraph:
                     sdesc = pipeline.desc.state.depth_stencil
                     cur = state.get(srid)
                     if sdesc.stencil_load_op == LoadOp.CLEAR or cur is None:
-                        stencil = jnp.full(
+                        stencil = to_samples(jnp.full(
                             (grid.height, grid.width),
                             sdesc.stencil_clear_value & 0xFF, jnp.int32,
-                        )
+                        ))
                     else:
-                        stencil = band_of(srid, cur, full_h)
-                    stencil = to_samples(stencil)
+                        per_sample = stash_samples(srid)
+                        if per_sample is not None:
+                            stencil = per_sample
+                        else:
+                            stencil = to_samples(band_of(srid, cur, full_h))
 
                 ctx = GraphicNodeExecutionContext(
                     self, node, state, dynamics, pipeline, grid,
@@ -824,17 +855,26 @@ class RenderGraph:
 
                 # Epilogue: store attachments back (store-op STORE semantics;
                 # DONT_CARE stores too — contents are valid, just unneeded).
+                def keep_samples(rid, arr):
+                    if samples > 1 and mesh is None:
+                        msaa_state[rid] = (samples, arr)
+                    else:
+                        msaa_state.pop(rid, None)
+
                 for (rid, cdesc), arr in zip(node.color_attachments, ctx._colors):
                     state[rid] = arr.mean(axis=0) if samples > 1 else arr
+                    keep_samples(rid, arr)
                     if mesh is not None:
                         banded.add(rid)
                 if node.depth_attachment is not None and ctx._depth is not None:
                     d_out = ctx._depth[0] if samples > 1 else ctx._depth
                     state[node.depth_attachment[0]] = d_out
+                    keep_samples(node.depth_attachment[0], ctx._depth)
                     if mesh is not None:
                         banded.add(node.depth_attachment[0])
                 if node.stencil_attachment is not None and ctx._stencil is not None:
                     s_out = ctx._stencil[0] if samples > 1 else ctx._stencil
+                    keep_samples(node.stencil_attachment, ctx._stencil)
                     state[node.stencil_attachment] = s_out
                     if mesh is not None:
                         banded.add(node.stencil_attachment)
