@@ -150,3 +150,63 @@ class TestCompiledTPUPixels:
         np.testing.assert_allclose(
             col_tpu[covered][:, :3], ref["c"][covered], atol=2e-3
         )
+
+
+class TestCompiledTPUStencil:
+    def test_stencil_kernel_compiled_matches_interpreter(self):
+        """The stencil variant (_segmented_stencil_kernel) is a separate
+        Pallas kernel — verify it where it ships too."""
+        from zenith_tpu.ops import (
+            TileGrid,
+            bin_segmented,
+            corner_attributes,
+            raster_segmented,
+            setup_triangles,
+        )
+        from zenith_tpu.rhi.state import CompareOp, CullMode, StencilOp, StencilOpState
+
+        jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+        grid = TileGrid(width=W, height=H, tile_h=16, tile_w=128)
+        rng = np.random.default_rng(7)
+        nv = 30
+        pos = rng.uniform(-1.0, 1.0, size=(nv, 2)).astype(np.float32)
+        zz = rng.uniform(0.1, 0.9, size=(nv, 1)).astype(np.float32)
+        clip_np = np.concatenate(
+            [pos, zz, np.ones((nv, 1), np.float32)], axis=1
+        )
+        idx_np = rng.integers(0, nv, size=(16, 3)).astype(np.int32)
+        front = StencilOpState(
+            pass_op=StencilOp.INCREMENT_AND_WRAP, compare_op=CompareOp.ALWAYS
+        )
+
+        def run(interpret, device):
+            with jax.default_device(device):
+                clip = jnp.asarray(clip_np)
+                idx = jnp.asarray(idx_np)
+
+                @jax.jit
+                def f(c):
+                    records = setup_triangles(
+                        c, idx, W, H, cull_mode=CullMode.NONE
+                    )
+                    corner = corner_attributes(
+                        records, idx, jnp.zeros((nv, 0), jnp.float32)
+                    )
+                    bins = bin_segmented(records, corner, grid)
+                    z, acc, s = raster_segmented(
+                        bins, grid, jnp.zeros((H, W), jnp.float32),
+                        compare_op=CompareOp.ALWAYS,
+                        init_stencil=jnp.zeros((H, W), jnp.int32),
+                        stencil_front=front,
+                        interpret=interpret,
+                    )
+                    return z, s
+
+                return jax.block_until_ready(f(clip))
+
+        z_tpu, s_tpu = run(False, TPU)
+        cpu = jax.devices("cpu")[0]
+        z_int, s_int = run(True, cpu)
+        np.testing.assert_allclose(np.asarray(z_tpu), np.asarray(z_int), atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(s_tpu), np.asarray(s_int))
+        assert int(np.asarray(s_tpu).max()) >= 2  # overlaps actually counted
