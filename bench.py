@@ -28,7 +28,6 @@ def bench_scene() -> "tuple[str, float] | None":
     from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
     from zenith_tpu.renderer import DeferredRenderer, PostProcess
     from zenith_tpu.rhi import Format, PipelineCache, RhiCore, TextureDesc
-    from zenith_tpu.rhi.formats import encode_present
     from zenith_tpu.core.camera import Camera
     from zenith_tpu.core.mathtypes import Degree, Radians
 

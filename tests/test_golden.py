@@ -121,9 +121,7 @@ def _render_textured_frame():
     from zenith_tpu.sandbox.scene import brushed_texture, checker_texture
 
     device = RhiCore().create_render_device()
-    import numpy as np_
-
-    rng = np_.random.default_rng(7)
+    rng = np.random.default_rng(7)
     ground = SceneObject.quad(
         device, "ground", size=200.0, z=0.0,
         base_color=(0.9, 0.9, 0.95, 1.0), roughness=0.9,

@@ -159,24 +159,25 @@ class Engine:
         # wins; otherwise find the imported swapchain texture that some node
         # wrote (the reference splits nodes at the first swapchain write,
         # graph.rs:156-180; here we just fetch its final value).
+        outputs = compiled._outputs or {}
         handle = None
         if (
             context.present_source is not None
-            and str(context.present_source.id) in (compiled._outputs or {})
+            and str(context.present_source.id) in outputs
         ):
             handle = context.present_source
-            compiled.present(self.swapchain, handle)
         else:
-            swap_rid = None
             for rid, st in enumerate(graph.resources):
                 if st.imported is swap_texture:
-                    swap_rid = rid
-                    break
-            if swap_rid is not None and str(swap_rid) in (compiled._outputs or {}):
-                from zenith_tpu.rendergraph.resource import RenderGraphResource
+                    if str(rid) in outputs:
+                        from zenith_tpu.rendergraph.resource import (
+                            RenderGraphResource,
+                        )
 
-                handle = RenderGraphResource(swap_rid, "texture")
-                compiled.present(self.swapchain, handle)
+                        handle = RenderGraphResource(rid, "texture")
+                    break
+        if handle is not None:
+            compiled.present(self.swapchain, handle)
         if update_dynamics is not None:
             self._retained = (compiled, handle)
         device.end_frame()

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from zenith_tpu.rendergraph import RenderGraphBuilder
+from zenith_tpu.rhi.formats import Format, encode_present
 from zenith_tpu.rendergraph.resource import RenderGraphResource
 
 _GAUSS9 = np.array(
@@ -130,46 +131,29 @@ class PostProcess:
         node = builder.add_lambda_node("post")
         src = node.read(hdr_input)
         dst = node.write(output)
-        threshold = self.bloom_threshold
-        strength = self.bloom_strength
-        tonemap = self.tonemap
+        kwargs = dict(
+            bloom_threshold=self.bloom_threshold,
+            bloom_strength=self.bloom_strength,
+            tonemap=self.tonemap,
+        )
 
         def record(ctx):
             hdr = ctx.get(src)
-            if (
-                ctx.sharded
-                and ctx.num_shards > 1
-                and hdr.shape[0] >= BLOOM_HALO
-                and hdr.shape[0] % 2 == 0  # odd bands → gather fallback
-            ):
+            banded = ctx.sharded and ctx.num_shards > 1
+            if banded and hdr.shape[0] >= BLOOM_HALO and hdr.shape[0] % 2 == 0:
                 # Row-banded under a mesh: halo-exchange instead of the
                 # row-local contract (bloom's blur crosses band boundaries).
-                out = tone_and_bloom_banded(
-                    hdr, ctx.shard_axis,
-                    bloom_threshold=threshold,
-                    bloom_strength=strength,
-                    tonemap=tonemap,
-                )
-            elif ctx.sharded and ctx.num_shards > 1:
-                # Bands thinner than the halo: gather the whole surface,
-                # compute, slice back (correct for any size, more ICI).
+                out = tone_and_bloom_banded(hdr, ctx.shard_axis, **kwargs)
+            elif banded:
+                # Bands thinner than the halo (or odd): gather the whole
+                # surface, compute, slice back (correct for any size).
                 import jax
 
-                full = tone_and_bloom(
-                    ctx.get_full(src),
-                    bloom_threshold=threshold,
-                    bloom_strength=strength,
-                    tonemap=tonemap,
-                )
+                full = tone_and_bloom(ctx.get_full(src), **kwargs)
                 y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
                 out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
             else:
-                out = tone_and_bloom(
-                    hdr,
-                    bloom_threshold=threshold,
-                    bloom_strength=strength,
-                    tonemap=tonemap,
-                )
+                out = tone_and_bloom(hdr, **kwargs)
             ctx.set(dst, out)
 
         node.execute(record)
@@ -187,8 +171,6 @@ class PresentEncode:
     """
 
     def __init__(self, fmt=None):
-        from zenith_tpu.rhi.formats import Format
-
         self.format = fmt if fmt is not None else Format.BGRA8_SRGB
 
     def render_to(
@@ -197,8 +179,6 @@ class PresentEncode:
         linear_input: RenderGraphResource,
         output: RenderGraphResource,
     ) -> None:
-        from zenith_tpu.rhi.formats import encode_present
-
         node = builder.add_lambda_node("present.encode")
         src = node.read(linear_input)
         dst = node.write(output)

@@ -23,7 +23,6 @@ Mirrors zenith-rendergraph/src/graph.rs re-based on XLA:
 from __future__ import annotations
 
 import enum
-import hashlib
 import types as _types
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple

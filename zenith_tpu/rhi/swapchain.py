@@ -129,7 +129,7 @@ class Swapchain:
         format (the frame program folded the present encode in via a
         PresentEncode node) — the extra per-frame encode dispatch is
         skipped, and the slot keeps its previous linear contents."""
-        pre_encoded = str(rendered.dtype) == "uint8"
+        pre_encoded = rendered.dtype == np.uint8
         if not pre_encoded:
             # Keep the (still device-resident) rendered image bound to the
             # slot so LOAD-op graphs can read last frame's contents.
