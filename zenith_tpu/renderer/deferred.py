@@ -43,7 +43,12 @@ from zenith_tpu.rhi import (
     TextureDesc,
     uniform,
 )
-from zenith_tpu.rhi.state import CompareOp, DepthStencilDesc, GraphicPipelineState
+from zenith_tpu.rhi.state import (
+    CompareOp,
+    DepthStencilDesc,
+    GraphicPipelineState,
+    LoadOp,
+)
 
 
 def _gbuffer_vs(attrs, res):
@@ -57,6 +62,33 @@ def _gbuffer_vs(attrs, res):
         "normal": attrs["normal"] @ res["Model"][:3, :3].T,
         "uv": attrs["tex_coord"],
     }
+
+
+def _gbuffer_inst_vs(attrs, res):
+    """Instanced G-buffer vertex stage: per-instance world-space offset
+    (the instance-rate vertex attribute, ops.draw instance_data)."""
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    world_pos = world[:, :3] + attrs["inst_offset"]
+    clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
+    return {
+        "position": clip_hom @ res["ViewProj"].T,
+        "world_pos": world_pos,
+        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+        "uv": attrs["tex_coord"],
+    }
+
+
+def _shadow_inst_vs(attrs, res):
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    world_pos = world[:, :3] + attrs["inst_offset"]
+    clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
+    return {"position": clip_hom @ res["LightViewProj"].T}
 
 
 def _make_gbuffer_fs(textured: bool):
@@ -175,6 +207,16 @@ class DeferredRenderer:
             "shadow.vs", _shadow_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
         )
+        # Instanced variants (only used when a SceneObject carries
+        # instance_offsets): same stages plus the inst_offset attribute.
+        self.gbuffer_inst_vs = Shader.vertex(
+            "gbuffer.inst.vs", _gbuffer_inst_vs,
+            bindings=[uniform("Model"), uniform("ViewProj")],
+        )
+        self.shadow_inst_vs = Shader.vertex(
+            "shadow.inst.vs", _shadow_inst_vs,
+            bindings=[uniform("Model"), uniform("LightViewProj")],
+        )
 
     def frame_dynamics(self, camera: Camera) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
@@ -236,6 +278,17 @@ class DeferredRenderer:
                 f"def.mat.{obj.name}",
                 np.asarray([obj.metallic, obj.roughness, lum, 0.0], np.float32),
             )
+            if obj.instance_offsets is not None:
+                builder.set_dynamic(
+                    f"def.inst.{obj.name}",
+                    np.asarray(obj.instance_offsets, np.float32),
+                )
+        # Instanced objects draw through their own nodes (one pipeline per
+        # node; the instanced vertex stage differs).
+        plain_ix = [i for i, o in enumerate(scene.objects)
+                    if o.instance_offsets is None]
+        inst_ix = [i for i, o in enumerate(scene.objects)
+                   if o.instance_offsets is not None]
 
         handles = [
             (
@@ -287,11 +340,55 @@ class DeferredRenderer:
             def record_shadow(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
                 ctx.draw_indexed_batch([
-                    (vba, iba, {"Model": ctx.dynamic(f"def.model.{obj.name}")})
-                    for obj, (vba, iba) in zip(objects, accesses)
+                    (accesses[i][0], accesses[i][1],
+                     {"Model": ctx.dynamic(f"def.model.{objects[i].name}")})
+                    for i in plain_ix
                 ])
 
             node.execute(record_shadow)
+
+            if inst_ix:
+                node = builder.add_graphic_node("shadow.inst")
+                inst_accesses = {
+                    i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                    for i in inst_ix
+                }
+                node.read(sm_handle)
+                sm2 = node.write(sm_handle)
+                with node.pipeline(
+                    GraphicShaderInput(self.shadow_inst_vs, None, VERTEX_LAYOUT),
+                    GraphicPipelineState(
+                        rasterization=RasterizationState(
+                            cull_mode=CullMode.NONE,
+                            front_face=FrontFace.CLOCKWISE,
+                        )
+                    ),
+                ) as binder:
+                    binder.set_depth(
+                        sm2,
+                        DepthStencilDesc(
+                            depth_test_enable=True,
+                            depth_write_enable=True,
+                            depth_compare_op=CompareOp.LESS,
+                            depth_load_op=LoadOp.LOAD,
+                        ),
+                    )
+
+                def record_shadow_inst(ctx):
+                    ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
+                    for i in inst_ix:
+                        obj = objects[i]
+                        vba, iba = inst_accesses[i]
+                        ctx.draw_indexed(
+                            vba, iba,
+                            {"Model": ctx.dynamic(f"def.model.{obj.name}")},
+                            instance_count=obj.instance_count,
+                            instance_data={
+                                "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
+                            },
+                        )
+
+                node.execute(record_shadow_inst)
 
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
@@ -319,7 +416,8 @@ class DeferredRenderer:
         def record_gbuffer(ctx):
             ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
             draws = []
-            for obj, (vba, iba), texa in zip(objects, accesses, tex_accesses):
+            for i in plain_ix:
+                obj, (vba, iba), texa = objects[i], accesses[i], tex_accesses[i]
                 res = {
                     "Model": ctx.dynamic(f"def.model.{obj.name}"),
                     "BaseColor": ctx.dynamic(f"def.base_color.{obj.name}"),
@@ -333,6 +431,70 @@ class DeferredRenderer:
             )
 
         node.execute(record_gbuffer)
+
+        if inst_ix:
+            node = builder.add_graphic_node("gbuffer.inst")
+            inst_acc = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                for i in inst_ix
+            }
+            inst_tex = {
+                i: (node.read(tex_handles[i]) if tex_handles[i] is not None
+                    else None)
+                for i in inst_ix
+            }
+            for h in (g_albedo, g_normal, g_pos, g_depth):
+                node.read(h)
+            a2 = node.write(g_albedo)
+            n2 = node.write(g_normal)
+            p2 = node.write(g_pos)
+            d2 = node.write(g_depth)
+            with node.pipeline(
+                GraphicShaderInput(
+                    self.gbuffer_inst_vs, self.gbuffer_fs, VERTEX_LAYOUT
+                ),
+                GraphicPipelineState(
+                    rasterization=RasterizationState(
+                        cull_mode=CullMode.BACK,
+                        front_face=FrontFace.COUNTER_CLOCKWISE,
+                    )
+                ),
+            ) as binder:
+                load = ColorAttachmentDesc(load_op=LoadOp.LOAD)
+                binder.push_color(a2, load)
+                binder.push_color(n2, load)
+                binder.push_color(p2, load)
+                from dataclasses import replace as _dc_replace
+
+                binder.set_depth(
+                    d2,
+                    _dc_replace(
+                        DepthStencilDesc().reverse_z(),
+                        depth_load_op=LoadOp.LOAD,
+                    ),
+                )
+
+            def record_gbuffer_inst(ctx):
+                ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+                for i in inst_ix:
+                    obj = objects[i]
+                    vba, iba = inst_acc[i]
+                    res = {
+                        "Model": ctx.dynamic(f"def.model.{obj.name}"),
+                        "BaseColor": ctx.dynamic(f"def.base_color.{obj.name}"),
+                        "MatParams": ctx.dynamic(f"def.mat.{obj.name}"),
+                    }
+                    if textured:
+                        res["BaseColorTex"] = ctx.get(inst_tex[i])
+                    ctx.draw_indexed(
+                        vba, iba, res,
+                        instance_count=obj.instance_count,
+                        instance_data={
+                            "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
+                        },
+                    )
+
+            node.execute(record_gbuffer_inst)
 
         # -- node: lighting resolve (lambda, full-screen) ---------------------------
         sky_handle = (

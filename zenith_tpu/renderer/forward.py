@@ -187,6 +187,12 @@ class ForwardShadowRenderer:
         clear_color=(0.05, 0.06, 0.08, 1.0),
     ) -> None:
         scene = self.scene
+        for o in scene.objects:
+            if o.instance_offsets is not None:
+                raise NotImplementedError(
+                    f"object '{o.name}' is instanced; the forward renderer "
+                    f"has no instanced path (use DeferredRenderer)"
+                )
         sun = scene.sun or DirectionalLight(cast_shadows=False)
         light_vp = sun_view_projection(sun)
         size = sun.shadow_map_size

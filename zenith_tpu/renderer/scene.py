@@ -37,6 +37,14 @@ class SceneObject:
     # Raise when the frame-stats bin-overflow counter fires (close-ups bin
     # each triangle into many tiles).
     entry_budget: "Optional[int]" = None
+    # Instanced rendering (vkCmdDrawIndexed instanceCount): (I, 3) world
+    # translations, one per instance. The renderers draw the object once
+    # with instance_count=I; the vertex stage adds the per-instance offset.
+    instance_offsets: "Optional[np.ndarray]" = None
+
+    @property
+    def instance_count(self) -> int:
+        return 1 if self.instance_offsets is None else len(self.instance_offsets)
 
     @staticmethod
     def from_mesh(device: RenderDevice, mesh: MeshAsset, name: str,
@@ -47,6 +55,42 @@ class SceneObject:
             index_buffer=device.upload_buffer(f"{name}.ib", mesh.indices, BufferUsage.INDEX),
             model_matrix=(np.asarray(model_matrix, np.float32)
                           if model_matrix is not None else np.eye(4, dtype=np.float32)),
+            **kwargs,
+        )
+
+    @staticmethod
+    def cube(device: RenderDevice, name: str, size: float = 10.0,
+             z0: float = 0.0, **kwargs) -> "SceneObject":
+        """Axis-aligned cube (z-up world) sitting on z = z0, outward
+        normals, wound for the glTF pipeline state (CCW fronts)."""
+        s = size * 0.5
+        cz = z0 + s
+        faces = [
+            ((0, 0, 1), [(-s, -s, s), (s, -s, s), (s, s, s), (-s, s, s)]),
+            ((0, 0, -1), [(-s, s, -s), (s, s, -s), (s, -s, -s), (-s, -s, -s)]),
+            ((1, 0, 0), [(s, -s, -s), (s, s, -s), (s, s, s), (s, -s, s)]),
+            ((-1, 0, 0), [(-s, s, -s), (-s, -s, -s), (-s, -s, s), (-s, s, s)]),
+            ((0, 1, 0), [(s, s, -s), (-s, s, -s), (-s, s, s), (s, s, s)]),
+            ((0, -1, 0), [(-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s)]),
+        ]
+        verts, idx = [], []
+        uv = [(0, 0), (1, 0), (1, 1), (0, 1)]
+        for n, corners in faces:
+            base = len(verts)
+            for (x, y, zc), (u, v) in zip(corners, uv):
+                verts.append([x, y, zc + cz, *n, u, v])
+            idx += [base, base + 1, base + 2, base, base + 2, base + 3]
+        v = np.asarray(verts, np.float32)
+        return SceneObject(
+            name=name,
+            vertex_buffer=device.upload_buffer(
+                f"{name}.vb", v, BufferUsage.VERTEX
+            ),
+            index_buffer=device.upload_buffer(
+                f"{name}.ib", np.asarray(idx, np.int32), BufferUsage.INDEX
+            ),
+            model_matrix=np.eye(4, dtype=np.float32),
+            bin_capacity=64,
             **kwargs,
         )
 

@@ -100,7 +100,8 @@ def sky_cube_texture(size: int = 64):
 
 
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
-                textured: bool = False, skybox: bool = True) -> Scene:
+                textured: bool = False, skybox: bool = True,
+                instances: int = 0) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -152,8 +153,26 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
             )
         )
 
+    objects = [gun, ground]
+    if instances > 0:
+        # Instanced rock field: ONE draw, N instances (SceneObject
+        # .instance_offsets → the deferred renderer's *.inst nodes).
+        ring = float(np.linalg.norm(bmax - bmin)) * 0.9
+        offs = []
+        for i in range(instances):
+            a = 2 * math.pi * i / instances + 0.35
+            r = ring * (0.8 + 0.5 * rng.uniform())
+            offs.append([r * math.cos(a), r * math.sin(a), z_min - 2.0])
+        objects.append(
+            SceneObject.cube(
+                render_device, "rocks", size=9.0, z0=0.0,
+                base_color=(0.35, 0.33, 0.3, 1.0), roughness=0.85,
+                instance_offsets=np.asarray(offs, np.float32),
+            )
+        )
+
     return Scene(
-        objects=[gun, ground],
+        objects=objects,
         sun=DirectionalLight(
             direction=(0.35, -0.3, 0.88),
             intensity=2.5,
@@ -174,6 +193,8 @@ class SceneApp(RenderableApp):
         parser.add_argument("--lights", type=int, default=100)
         parser.add_argument("--no-post", action="store_true")
         parser.add_argument("--textured", action="store_true")
+        parser.add_argument("--instances", type=int, default=0,
+                            help="N instanced rocks around the gun (one draw)")
         parser.add_argument(
             "--retained", action="store_true",
             help="retained mode: build the graph once, re-execute with "
@@ -182,6 +203,7 @@ class SceneApp(RenderableApp):
         ns, _ = parser.parse_known_args(args.app_args)
         self.textured = ns.textured
         self.retained = ns.retained
+        self.instances = ns.instances
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
         self.post_enabled = not ns.no_post
@@ -195,7 +217,8 @@ class SceneApp(RenderableApp):
     def prepare(self, render_device, window) -> None:
         rng = np.random.default_rng(42)
         scene = build_scene(render_device, self.num_lights, rng,
-                            textured=self.textured and self.mode == "deferred")
+                            textured=self.textured and self.mode == "deferred",
+                            instances=self.instances if self.mode == "deferred" else 0)
         if self.mode == "deferred":
             self.renderer = DeferredRenderer(scene)
         else:
