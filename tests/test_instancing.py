@@ -245,3 +245,70 @@ class TestInstancedScene:
 
         assert img_inst[..., :3].std() > 0.02  # cubes visible
         np.testing.assert_allclose(img_inst, img_sep, atol=2e-3)
+
+    def test_instanced_forward_matches_separate_objects(self):
+        """Same equivalence through the FORWARD shadow+lit path
+        (shadow.inst + forward.inst nodes)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_renderers import H, OPTS, W, make_camera, make_cube
+
+        from zenith_tpu.core import mathtypes as m
+        from zenith_tpu.renderer import (
+            DirectionalLight,
+            ForwardShadowRenderer,
+            Scene,
+            SceneObject,
+        )
+        from zenith_tpu.rendergraph import RenderGraphBuilder
+        from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        device = RhiCore().create_render_device()
+        cam = make_camera()
+        offsets = np.array(
+            [[-18.0, 0.0, 0.0], [0.0, 6.0, 0.0], [18.0, 0.0, 4.0]], np.float32
+        )
+        cube_kwargs = dict(
+            base_color=(0.2, 0.6, 0.8, 1.0), roughness=0.5, bin_capacity=64,
+        )
+        ground = SceneObject.quad(
+            device, "ground", size=200.0, z=0.0,
+            base_color=(0.4, 0.4, 0.42, 1.0), roughness=0.9,
+        )
+        sun = DirectionalLight(direction=(0.2, -0.1, 1.0), intensity=2.5,
+                               shadow_map_size=128, shadow_extent=70.0)
+
+        def render(scene):
+            clear_frame_program_cache()
+            renderer = ForwardShadowRenderer(scene)
+            builder = RenderGraphBuilder()
+            out = builder.create(TextureDesc.color("rt", W, H))
+            depth = builder.create(TextureDesc.depth("ds", W, H))
+            builder.export(out)
+            renderer.render_to(builder, out, depth, cam)
+            compiled = builder.build().compile(device, PipelineCache(), OPTS)
+            compiled.execute(device)
+            return np.asarray(compiled.value(out))
+
+        inst_cube = SceneObject.from_mesh(
+            device, make_cube(size=8.0, z0=4.0), "cube",
+            instance_offsets=offsets, **cube_kwargs,
+        )
+        img_inst = render(
+            Scene(objects=[inst_cube, ground], sun=sun, ambient=(0.05,) * 3)
+        )
+        separate = [
+            SceneObject.from_mesh(
+                device, make_cube(size=8.0, z0=4.0), f"cube{k}",
+                model_matrix=m.mat4_translation(offsets[k]),
+                **cube_kwargs,
+            )
+            for k in range(3)
+        ]
+        img_sep = render(
+            Scene(objects=[*separate, ground], sun=sun, ambient=(0.05,) * 3)
+        )
+        assert img_inst[..., :3].std() > 0.02
+        np.testing.assert_allclose(img_inst, img_sep, atol=2e-3)

@@ -39,7 +39,12 @@ from zenith_tpu.rhi import (
     texture2d,
     uniform,
 )
-from zenith_tpu.rhi.state import CompareOp, DepthStencilDesc, GraphicPipelineState
+from zenith_tpu.rhi.state import (
+    CompareOp,
+    DepthStencilDesc,
+    GraphicPipelineState,
+    LoadOp,
+)
 
 
 def sun_view_projection(sun: DirectionalLight) -> np.ndarray:
@@ -91,6 +96,32 @@ def _forward_vs(attrs, res):
     return {
         "position": world @ res["ViewProj"].T,
         "world_pos": world[:, :3],
+        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+        "uv": attrs["tex_coord"],
+    }
+
+
+def _shadow_inst_vs(attrs, res):
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    world_pos = world[:, :3] + attrs["inst_offset"]
+    clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
+    return {"position": clip_hom @ res["LightViewProj"].T}
+
+
+def _forward_inst_vs(attrs, res):
+    """Instanced forward vertex stage: per-instance world-space offset."""
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    world_pos = world[:, :3] + attrs["inst_offset"]
+    clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
+    return {
+        "position": clip_hom @ res["ViewProj"].T,
+        "world_pos": world_pos,
         "normal": attrs["normal"] @ res["Model"][:3, :3].T,
         "uv": attrs["tex_coord"],
     }
@@ -163,6 +194,14 @@ class ForwardShadowRenderer:
             "forward.vs", _forward_vs,
             bindings=[uniform("Model"), uniform("ViewProj")],
         )
+        self.shadow_inst_vs = Shader.vertex(
+            "fwd.shadow.inst.vs", _shadow_inst_vs,
+            bindings=[uniform("Model"), uniform("LightViewProj")],
+        )
+        self.forward_inst_vs = Shader.vertex(
+            "forward.inst.vs", _forward_inst_vs,
+            bindings=[uniform("Model"), uniform("ViewProj")],
+        )
         self.forward_fs = Shader.fragment(
             "forward.fs", _forward_fs,
             bindings=[
@@ -187,12 +226,6 @@ class ForwardShadowRenderer:
         clear_color=(0.05, 0.06, 0.08, 1.0),
     ) -> None:
         scene = self.scene
-        for o in scene.objects:
-            if o.instance_offsets is not None:
-                raise NotImplementedError(
-                    f"object '{o.name}' is instanced; the forward renderer "
-                    f"has no instanced path (use DeferredRenderer)"
-                )
         sun = scene.sun or DirectionalLight(cast_shadows=False)
         light_vp = sun_view_projection(sun)
         size = sun.shadow_map_size
@@ -215,6 +248,15 @@ class ForwardShadowRenderer:
             builder.set_dynamic(
                 f"fwd.base_color.{obj.name}", np.asarray(obj.base_color, np.float32)
             )
+            if obj.instance_offsets is not None:
+                builder.set_dynamic(
+                    f"fwd.inst.{obj.name}",
+                    np.asarray(obj.instance_offsets, np.float32),
+                )
+        plain_ix = [i for i, o in enumerate(scene.objects)
+                    if o.instance_offsets is None]
+        inst_ix = [i for i, o in enumerate(scene.objects)
+                   if o.instance_offsets is not None]
 
         # Import each object's buffers once.
         handles = [
@@ -253,11 +295,54 @@ class ForwardShadowRenderer:
         def record_shadow(ctx):
             ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
             ctx.draw_indexed_batch([
-                (vba, iba, {"Model": ctx.dynamic(f"fwd.model.{obj.name}")})
-                for obj, (vba, iba) in zip(objects, accesses)
+                (accesses[i][0], accesses[i][1],
+                 {"Model": ctx.dynamic(f"fwd.model.{objects[i].name}")})
+                for i in plain_ix
             ])
 
         node.execute(record_shadow)
+
+        if inst_ix:
+            node = builder.add_graphic_node("shadow.inst")
+            sh_inst_acc = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                for i in inst_ix
+            }
+            node.read(shadow_map)
+            sm2 = node.write(shadow_map)
+            with node.pipeline(
+                GraphicShaderInput(self.shadow_inst_vs, None, VERTEX_LAYOUT),
+                GraphicPipelineState(
+                    rasterization=RasterizationState(
+                        cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
+                    )
+                ),
+            ) as binder:
+                binder.set_depth(
+                    sm2,
+                    DepthStencilDesc(
+                        depth_test_enable=True,
+                        depth_write_enable=True,
+                        depth_compare_op=CompareOp.LESS,
+                        depth_load_op=LoadOp.LOAD,
+                    ),
+                )
+
+            def record_shadow_inst(ctx):
+                ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
+                for i in inst_ix:
+                    obj = objects[i]
+                    vba, iba = sh_inst_acc[i]
+                    ctx.draw_indexed(
+                        vba, iba,
+                        {"Model": ctx.dynamic(f"fwd.model.{obj.name}")},
+                        instance_count=obj.instance_count,
+                        instance_data={
+                            "inst_offset": ctx.dynamic(f"fwd.inst.{obj.name}")
+                        },
+                    )
+
+            node.execute(record_shadow_inst)
 
         # -- node 2: forward lit ----------------------------------------------
         node2 = builder.add_graphic_node("forward")
@@ -289,16 +374,80 @@ class ForwardShadowRenderer:
             ctx.bind("ShadowMap", ctx.get_full(sm_read))
             ctx.draw_indexed_batch(
                 [
-                    (vba, iba, {
-                        "Model": ctx.dynamic(f"fwd.model.{obj.name}"),
-                        "BaseColor": ctx.dynamic(f"fwd.base_color.{obj.name}"),
+                    (accesses2[i][0], accesses2[i][1], {
+                        "Model": ctx.dynamic(f"fwd.model.{objects[i].name}"),
+                        "BaseColor": ctx.dynamic(
+                            f"fwd.base_color.{objects[i].name}"
+                        ),
                     })
-                    for obj, (vba, iba) in zip(objects, accesses2)
+                    for i in plain_ix
                 ],
                 per_draw_uniforms=("BaseColor",),
             )
 
         node2.execute(record_forward)
+
+        if inst_ix:
+            node3 = builder.add_graphic_node("forward.inst")
+            fw_inst_acc = {
+                i: (node3.read(handles[i][0]), node3.read(handles[i][1]))
+                for i in inst_ix
+            }
+            sm_read3 = node3.read(shadow_map)
+            node3.read(output)
+            node3.read(depth)
+            rt3 = node3.write(output)
+            ds3 = node3.write(depth)
+            with node3.pipeline(
+                GraphicShaderInput(
+                    self.forward_inst_vs, self.forward_fs, VERTEX_LAYOUT
+                ),
+                GraphicPipelineState(
+                    rasterization=RasterizationState(
+                        cull_mode=CullMode.BACK,
+                        front_face=FrontFace.COUNTER_CLOCKWISE,
+                    )
+                ),
+            ) as binder:
+                binder.push_color(rt3, ColorAttachmentDesc(load_op=LoadOp.LOAD))
+                from dataclasses import replace as _dc_replace
+
+                binder.set_depth(
+                    ds3,
+                    _dc_replace(
+                        DepthStencilDesc().reverse_z(),
+                        depth_load_op=LoadOp.LOAD,
+                    ),
+                )
+
+            def record_forward_inst(ctx):
+                ctx.bind("ViewProj", ctx.dynamic("fwd.view_proj"))
+                ctx.bind("CameraPos", ctx.dynamic("fwd.camera_pos"))
+                ctx.bind("LightDir", ctx.dynamic("fwd.light_dir"))
+                ctx.bind("LightColor", ctx.dynamic("fwd.light_color"))
+                ctx.bind("Ambient", ctx.dynamic("fwd.ambient"))
+                ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
+                ctx.bind("ShadowBias", ctx.dynamic("fwd.shadow_bias"))
+                ctx.bind("ShadowNormalOffset", ctx.dynamic("fwd.shadow_noffs"))
+                ctx.bind("ShadowMap", ctx.get_full(sm_read3))
+                for i in inst_ix:
+                    obj = objects[i]
+                    vba, iba = fw_inst_acc[i]
+                    ctx.draw_indexed(
+                        vba, iba,
+                        {
+                            "Model": ctx.dynamic(f"fwd.model.{obj.name}"),
+                            "BaseColor": ctx.dynamic(
+                                f"fwd.base_color.{obj.name}"
+                            ),
+                        },
+                        instance_count=obj.instance_count,
+                        instance_data={
+                            "inst_offset": ctx.dynamic(f"fwd.inst.{obj.name}")
+                        },
+                    )
+
+            node3.execute(record_forward_inst)
 
 
 def _camera_dynamics(prefix: str, camera, want_inv_vp: bool) -> dict:
