@@ -218,7 +218,7 @@ class SceneApp(RenderableApp):
         rng = np.random.default_rng(42)
         scene = build_scene(render_device, self.num_lights, rng,
                             textured=self.textured and self.mode == "deferred",
-                            instances=self.instances if self.mode == "deferred" else 0)
+                            instances=self.instances)
         if self.mode == "deferred":
             self.renderer = DeferredRenderer(scene)
         else:
