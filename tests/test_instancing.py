@@ -312,3 +312,54 @@ class TestInstancedScene:
         )
         assert img_inst[..., :3].std() > 0.02
         np.testing.assert_allclose(img_inst, img_sep, atol=2e-3)
+
+    def test_all_instanced_scene_renders(self):
+        """A scene whose only object is instanced must not trip the empty
+        plain-draw batch (regression: empty draw_indexed_batch assert)."""
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_renderers import H, OPTS, W, make_camera, make_cube
+
+        from zenith_tpu.renderer import (
+            DeferredRenderer,
+            DirectionalLight,
+            ForwardShadowRenderer,
+            Scene,
+            SceneObject,
+        )
+        from zenith_tpu.rendergraph import RenderGraphBuilder
+        from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        device = RhiCore().create_render_device()
+        cam = make_camera()
+        cube = SceneObject.from_mesh(
+            device, make_cube(size=10.0, z0=2.0), "only",
+            base_color=(0.7, 0.3, 0.2, 1.0), bin_capacity=64,
+            instance_offsets=np.array(
+                [[-12.0, 0.0, 0.0], [12.0, 0.0, 0.0]], np.float32
+            ),
+        )
+        sun = DirectionalLight(direction=(0.2, -0.1, 1.0), intensity=2.0,
+                               shadow_map_size=128, shadow_extent=60.0)
+        scene = Scene(objects=[cube], sun=sun, ambient=(0.1,) * 3)
+
+        for make in (
+            lambda: DeferredRenderer(scene),
+            lambda: ForwardShadowRenderer(scene),
+        ):
+            clear_frame_program_cache()
+            renderer = make()
+            builder = RenderGraphBuilder()
+            out = builder.create(TextureDesc.color("rt", W, H))
+            depth = builder.create(TextureDesc.depth("ds", W, H))
+            builder.export(out)
+            if isinstance(renderer, DeferredRenderer):
+                renderer.render_to(builder, out, cam, W, H)
+            else:
+                renderer.render_to(builder, out, depth, cam)
+            compiled = builder.build().compile(device, PipelineCache(), OPTS)
+            compiled.execute(device)
+            img = np.asarray(compiled.value(out))
+            assert img[..., :3].std() > 0.01  # cubes rendered

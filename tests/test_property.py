@@ -1,8 +1,9 @@
 """Property sweep: random fixed-function state combinations vs the oracle.
 
-Each dimension (cull, compare op, depth write, strip decode, w-clipping) has
-its own focused suite; this sweep exercises random COMBINATIONS on random
-geometry — the interactions are where rasterizers rot.
+Each dimension (cull, compare op, depth write, strip decode) has its own
+focused suite; this sweep exercises random COMBINATIONS on random geometry
+— the interactions are where rasterizers rot. (Near clipping is excluded:
+the oracle drops rather than clips w<=0 triangles; test_raster covers it.)
 """
 
 import numpy as np
@@ -52,15 +53,18 @@ def _oracle_compare_name(name):
 def test_random_state_combination_matches_oracle(seed):
     rng = np.random.default_rng(1000 + seed)
     cull, cull_name = CULLS[seed % len(CULLS)]
-    compare, compare_name = COMPARES[(seed // 3) % len(COMPARES)]
+    compare, compare_name = COMPARES[(seed * 3) % len(COMPARES)]
     depth_write = bool(seed % 2)
     use_strip = seed % 4 == 3
     front = FrontFace.COUNTER_CLOCKWISE
 
     nv = 36
+    # Geometry stays strictly in front (w = 1, z in (0, 1)): the NumPy
+    # oracle drops any triangle touching w <= 0 rather than clipping it,
+    # so near-clip interactions are covered by the dedicated clip tests
+    # (test_raster), not this sweep.
     pos = rng.uniform(-1.2, 1.2, size=(nv, 2))
     zz = rng.uniform(0.05, 0.95, size=(nv, 1))
-    # A couple of vertices pushed near/behind the eye exercise clipping.
     w_coord = np.ones((nv, 1))
     clip = np.concatenate([pos, zz, w_coord], axis=1).astype(np.float32)
     vary = rng.uniform(0, 1, size=(nv, 3)).astype(np.float32)

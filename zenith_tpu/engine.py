@@ -161,12 +161,17 @@ class Engine:
         # graph.rs:156-180; here we just fetch its final value).
         outputs = compiled._outputs or {}
         handle = None
-        if (
-            context.present_source is not None
-            and str(context.present_source.id) in outputs
-        ):
-            handle = context.present_source
-        else:
+        if context.present_source is not None:
+            if str(context.present_source.id) in outputs:
+                handle = context.present_source
+            else:
+                logger.warning(
+                    "present_from(#%d): resource is not a frame output — "
+                    "did you forget builder.export()? Falling back to the "
+                    "swapchain texture.",
+                    context.present_source.id,
+                )
+        if handle is None:
             for rid, st in enumerate(graph.resources):
                 if st.imported is swap_texture:
                     if str(rid) in outputs:

@@ -30,7 +30,12 @@ from zenith_tpu.core.camera import Camera
 from zenith_tpu.ops.sampling import sample_shadow_pcf
 from zenith_tpu.rendergraph import RenderGraphBuilder
 from zenith_tpu.rendergraph.resource import RenderGraphResource
-from zenith_tpu.renderer.forward import _SHADOW_SAMPLER, _shadow_vs, sun_view_projection
+from zenith_tpu.renderer.forward import (
+    _SHADOW_SAMPLER,
+    _shadow_inst_vs,
+    _shadow_vs,
+    sun_view_projection,
+)
 from zenith_tpu.renderer.scene import DirectionalLight, Scene
 from zenith_tpu.rhi import (
     ColorAttachmentDesc,
@@ -79,16 +84,6 @@ def _gbuffer_inst_vs(attrs, res):
         "normal": attrs["normal"] @ res["Model"][:3, :3].T,
         "uv": attrs["tex_coord"],
     }
-
-
-def _shadow_inst_vs(attrs, res):
-    pos = attrs["position"]
-    n = pos.shape[0]
-    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-    world = hom @ res["Model"].T
-    world_pos = world[:, :3] + attrs["inst_offset"]
-    clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
-    return {"position": clip_hom @ res["LightViewProj"].T}
 
 
 def _make_gbuffer_fs(textured: bool):
@@ -317,7 +312,10 @@ class DeferredRenderer:
                 TextureDesc.depth("sun.shadow", sun.shadow_map_size, sun.shadow_map_size)
             )
             node = builder.add_graphic_node("shadow")
-            accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
+            accesses = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                for i in plain_ix
+            }
             sm = node.write(sm_handle)
             with node.pipeline(
                 GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT),
@@ -339,11 +337,12 @@ class DeferredRenderer:
 
             def record_shadow(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
-                ctx.draw_indexed_batch([
-                    (accesses[i][0], accesses[i][1],
-                     {"Model": ctx.dynamic(f"def.model.{objects[i].name}")})
-                    for i in plain_ix
-                ])
+                if plain_ix:  # all-instanced scenes: clear-only node
+                    ctx.draw_indexed_batch([
+                        (accesses[i][0], accesses[i][1],
+                         {"Model": ctx.dynamic(f"def.model.{objects[i].name}")})
+                        for i in plain_ix
+                    ])
 
             node.execute(record_shadow)
 
@@ -392,8 +391,15 @@ class DeferredRenderer:
 
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
-        accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
-        tex_accesses = [node.read(th) if th is not None else None for th in tex_handles]
+        accesses = {
+            i: (node.read(handles[i][0]), node.read(handles[i][1]))
+            for i in plain_ix
+        }
+        tex_accesses = {
+            i: (node.read(tex_handles[i]) if tex_handles[i] is not None
+                else None)
+            for i in plain_ix
+        }
         a_rt = node.write(g_albedo)
         n_rt = node.write(g_normal)
         p_rt = node.write(g_pos)
@@ -426,9 +432,10 @@ class DeferredRenderer:
                 if textured:
                     res["BaseColorTex"] = ctx.get(texa)
                 draws.append((vba, iba, res))
-            ctx.draw_indexed_batch(
-                draws, per_draw_uniforms=("BaseColor", "MatParams")
-            )
+            if draws:  # all-instanced scenes: clear-only G-buffer node
+                ctx.draw_indexed_batch(
+                    draws, per_draw_uniforms=("BaseColor", "MatParams")
+                )
 
         node.execute(record_gbuffer)
 

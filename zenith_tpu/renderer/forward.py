@@ -271,7 +271,10 @@ class ForwardShadowRenderer:
 
         # -- node 1: shadow (depth-only) --------------------------------------
         node = builder.add_graphic_node("shadow")
-        accesses = [(node.read(vb), node.read(ib)) for vb, ib in handles]
+        accesses = {
+            i: (node.read(handles[i][0]), node.read(handles[i][1]))
+            for i in plain_ix
+        }
         sm = node.write(shadow_map)
         shader = GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT)
         state = GraphicPipelineState(
@@ -294,11 +297,12 @@ class ForwardShadowRenderer:
 
         def record_shadow(ctx):
             ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
-            ctx.draw_indexed_batch([
-                (accesses[i][0], accesses[i][1],
-                 {"Model": ctx.dynamic(f"fwd.model.{objects[i].name}")})
-                for i in plain_ix
-            ])
+            if plain_ix:  # all-instanced scenes: clear-only shadow node
+                ctx.draw_indexed_batch([
+                    (accesses[i][0], accesses[i][1],
+                     {"Model": ctx.dynamic(f"fwd.model.{objects[i].name}")})
+                    for i in plain_ix
+                ])
 
         node.execute(record_shadow)
 
@@ -346,7 +350,10 @@ class ForwardShadowRenderer:
 
         # -- node 2: forward lit ----------------------------------------------
         node2 = builder.add_graphic_node("forward")
-        accesses2 = [(node2.read(vb), node2.read(ib)) for vb, ib in handles]
+        accesses2 = {
+            i: (node2.read(handles[i][0]), node2.read(handles[i][1]))
+            for i in plain_ix
+        }
         sm_read = node2.read(shadow_map)
         rt = node2.write(output)
         ds = node2.write(depth)
@@ -372,18 +379,19 @@ class ForwardShadowRenderer:
             # Whole-surface read: under an SPMD mesh the shadow map is
             # banded; get_full all_gathers it for PCF sampling.
             ctx.bind("ShadowMap", ctx.get_full(sm_read))
-            ctx.draw_indexed_batch(
-                [
-                    (accesses2[i][0], accesses2[i][1], {
-                        "Model": ctx.dynamic(f"fwd.model.{objects[i].name}"),
-                        "BaseColor": ctx.dynamic(
-                            f"fwd.base_color.{objects[i].name}"
-                        ),
-                    })
-                    for i in plain_ix
-                ],
-                per_draw_uniforms=("BaseColor",),
-            )
+            if plain_ix:  # all-instanced scenes: clear-only lit node
+                ctx.draw_indexed_batch(
+                    [
+                        (accesses2[i][0], accesses2[i][1], {
+                            "Model": ctx.dynamic(f"fwd.model.{objects[i].name}"),
+                            "BaseColor": ctx.dynamic(
+                                f"fwd.base_color.{objects[i].name}"
+                            ),
+                        })
+                        for i in plain_ix
+                    ],
+                    per_draw_uniforms=("BaseColor",),
+                )
 
         node2.execute(record_forward)
 
