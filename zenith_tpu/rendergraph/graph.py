@@ -251,6 +251,17 @@ def _capture_key_uncached(v, depth: int, memo: "Optional[dict]"):
     if isinstance(v, (RenderGraphResource, RenderGraphResourceAccess)):
         return ("cap-handle", v.id if hasattr(v, "id") else v.resource_id)
     if isinstance(getattr(v, "shape", None), tuple) and hasattr(v, "dtype"):
+        if _validate_enabled():
+            # Device arrays key by shape/dtype only (content-hashing would
+            # force a device sync per frame). Same blind spot as big np
+            # arrays: per-frame-varying contents silently serve a stale
+            # program — route such values through set_dynamic instead.
+            logger.warning(
+                "[validate] closure captures a %s %s device array — keyed "
+                "by SHAPE ONLY. If its contents vary per frame, use "
+                "builder.set_dynamic or import_resource instead.",
+                tuple(v.shape), v.dtype,
+            )
         return ("cap-array", tuple(v.shape), str(v.dtype))
     if isinstance(v, (list, tuple)):
         return (
