@@ -21,6 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Honored when no axon sitecustomize pre-initialized the TPU backend.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Validation default-ON under pytest — the reference ships its Vulkan
+# validation layers on by default (zenith-rhi/Cargo.toml:23); tests are
+# where bugs are made. Individual tests may override via monkeypatch.
+os.environ.setdefault("ZENITH_VALIDATE", "1")
 
 import jax  # noqa: E402
 

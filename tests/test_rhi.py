@@ -190,6 +190,41 @@ class TestSwapchain:
         img0 = delivered[0][1]
         assert img0.shape == (4, 8, 4) and img0.dtype == np.uint8
 
+    def test_pre_encoded_explicit_and_stale_slot_warning(self, caplog, monkeypatch):
+        """ADVICE r2 #3: pre-encoding is explicit (pre_encoded=), dtype stays
+        the inference fallback, and validate mode warns about the stale-slot
+        LOAD trap once."""
+        import logging
+
+        import jax.numpy as jnp
+
+        monkeypatch.setenv("ZENITH_VALIDATE", "1")
+        core = RhiCore()
+        device = core.create_render_device()
+        delivered = []
+        sc = Swapchain(
+            device,
+            SwapchainConfig(width=8, height=4, num_images=2),
+            on_present=lambda img, idx: delivered.append(img),
+        )
+        sc.acquire_next_image()
+        pre = jnp.zeros((4, 8, 4), jnp.uint8)
+        with caplog.at_level(logging.WARNING):
+            sc.present(pre)  # inferred pre-encoded → warns
+            sc.acquire_next_image()
+            sc.present(pre, pre_encoded=True)  # explicit → no second warning
+        stale_warnings = [
+            r for r in caplog.records if "LINEAR contents" in r.message
+        ]
+        assert len(stale_warnings) == 1
+        sc.flush()
+        # Pre-encoded frames pass through without a second encode.
+        assert delivered[0].dtype == np.uint8
+        # Forcing the encode on a uint8 image is possible.
+        sc.acquire_next_image()
+        sc.present(jnp.zeros((4, 8, 4), jnp.uint8), pre_encoded=False)
+        sc.flush()
+
     def test_resize_keeps_counter(self):
         core = RhiCore()
         device = core.create_render_device()

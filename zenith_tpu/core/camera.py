@@ -60,8 +60,12 @@ class Camera:
         self._proj = m.perspective_infinite_reverse_rh(
             fov_y, aspect_ratio, max(z_near, 1e-4)
         )
-        self._view = m.mat4_identity()
-        self._update_view()
+        # View / view-projection are computed LAZILY (None = stale): the
+        # render loop typically calls set_position + set_yaw_pitch back to
+        # back every frame, and eagerly rebuilding look_to_rh + the two 4x4
+        # products per setter doubled the per-frame camera cost.
+        self._view = None
+        self._rvp = None
 
     # -- accessors ---------------------------------------------------------
 
@@ -71,6 +75,10 @@ class Camera:
 
     @property
     def view(self) -> np.ndarray:
+        if self._view is None:
+            self._view = m.look_to_rh(
+                self._position, self._forward, WORLD_SPACE_UP
+            )
         return self._view
 
     @property
@@ -80,13 +88,19 @@ class Camera:
     @property
     def view_projection(self) -> np.ndarray:
         """proj @ view (reference camera.rs:85-87), glam conventions."""
-        return (self._proj @ self._view).astype(np.float32)
+        return (self._proj @ self.view).astype(np.float32)
 
     @property
     def render_view_projection(self) -> np.ndarray:
         """view_projection with the Vulkan clip-space Y flip baked in — what
-        renderers feed the rasterizer (see mathtypes.VULKAN_Y_FLIP)."""
-        return (m.VULKAN_Y_FLIP @ self._proj @ self._view).astype(np.float32)
+        renderers feed the rasterizer (see mathtypes.VULKAN_Y_FLIP).
+        Cached until the next camera mutation (renderers read it several
+        times per frame)."""
+        if self._rvp is None:
+            self._rvp = (
+                m.VULKAN_Y_FLIP @ self._proj @ self.view
+            ).astype(np.float32)
+        return self._rvp
 
     @property
     def forward(self) -> np.ndarray:
@@ -104,14 +118,14 @@ class Camera:
 
     def set_position(self, position: np.ndarray) -> None:
         self._position = np.asarray(position, dtype=np.float32).copy()
-        self._update_view()
+        self._view = None
+        self._rvp = None
 
     def set_yaw_pitch(self, yaw: Radians, pitch: Radians) -> None:
         self._yaw = yaw
         self._pitch = pitch
         self._rotation = m.quat_from_euler_zxy(self._yaw.value, self._pitch.value, 0.0)
         self._update_local_basis()
-        self._update_view()
 
     def translate(self, delta_position: np.ndarray) -> None:
         """Move in the camera's local basis (camera.rs:107-113):
@@ -123,6 +137,8 @@ class Camera:
             + self._forward * d[1]
             + self._up * d[2]
         ).astype(np.float32)
+        self._view = None
+        self._rvp = None
 
     def rotate(
         self, delta_yaw: Radians, delta_pitch: Radians, max_pitch: Radians
@@ -132,6 +148,8 @@ class Camera:
         self._yaw = self._yaw + delta_yaw
         self._pitch = (self._pitch + delta_pitch).clamp(-max_pitch, max_pitch)
         self._rotation = m.quat_from_euler_zxy(self._yaw.value, self._pitch.value, 0.0)
+        self._view = None
+        self._rvp = None
 
     def update_local_basis(self) -> None:
         self._update_local_basis()
@@ -143,9 +161,12 @@ class Camera:
         self._forward = m.quat_rotate(self._rotation, WORLD_SPACE_FORWARD)
         self._right = m.quat_rotate(self._rotation, WORLD_SPACE_RIGHT)
         self._up = m.quat_rotate(self._rotation, WORLD_SPACE_UP)
+        self._view = None
+        self._rvp = None
 
     def _update_view(self) -> None:
-        self._view = m.look_to_rh(self._position, self._forward, WORLD_SPACE_UP)
+        self._view = None
+        self._rvp = None
 
 
 class CameraController:

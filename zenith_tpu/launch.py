@@ -22,6 +22,16 @@ def launch(
     args = EngineArgs.parse_args(argv)
     profile.initialize()
     log.initialize(args.log_level.to_logging_level())
+    # Debug log level turns validation on (the reference's validation layers
+    # are a debug-build default, zenith-rhi/Cargo.toml:23); an explicit
+    # ZENITH_VALIDATE env setting still wins inside core.validate.enabled().
+    import os
+
+    from zenith_tpu.core import validate
+    from zenith_tpu.core.cli import LogLevel
+
+    if args.log_level == LogLevel.DEBUG and "ZENITH_VALIDATE" not in os.environ:
+        validate.force(True)
 
     from zenith_tpu import asset
 

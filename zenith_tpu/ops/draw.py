@@ -36,8 +36,12 @@ from zenith_tpu.ops import geometry, shade
 from zenith_tpu.ops.binning import TileGrid, bin_segmented
 from zenith_tpu.ops.raster import raster_segmented
 from zenith_tpu.ops.runtime import round_up
+from zenith_tpu.core import log
+from zenith_tpu.core import validate as _validate
 from zenith_tpu.rhi.pipeline import GraphicPipeline
-from zenith_tpu.rhi.shader import BoundResources
+from zenith_tpu.rhi.shader import BindingError, BoundResources
+
+logger = log.get(__name__)
 from zenith_tpu.rhi.state import (
     ColorAttachmentDesc,
     InputAssemblyState,
@@ -46,6 +50,70 @@ from zenith_tpu.rhi.state import (
 
 # Default per-tile candidate capacity; renderers override per scene.
 DEFAULT_BIN_CAPACITY = 256
+
+
+class _CheckedAttrs(dict):
+    """Vertex-attribute dict with a named error on a missing key — a shader
+    touching an attribute the layout doesn't provide must not die with a raw
+    KeyError mid-trace (the declared-inputs path catches this at pipeline
+    build; this is the safety net for undeclared shaders)."""
+
+    def __init__(self, data, shader_name: str):
+        super().__init__(data)
+        self._shader_name = shader_name
+
+    def __missing__(self, key):
+        raise BindingError(
+            f"vertex shader {self._shader_name!r} reads attribute {key!r} "
+            f"which the vertex layout / instance data does not provide "
+            f"(available: {sorted(k for k in self)}). Declare the shader's "
+            f"inputs (Shader.vertex(..., inputs=[attr(...)])) to catch this "
+            f"at pipeline build time."
+        )
+
+
+# Unused-binding diagnostics (validate mode): warn once per (shader, name).
+_UNUSED_WARNED: "set[tuple[int, str]]" = set()
+
+
+def _warn_unused_bindings(shader, res: BoundResources) -> None:
+    """Declared-but-never-read binding warning — the diagnostic half of the
+    reference's name+type-checked binder (descriptor.rs:298-456). Runs after
+    the shader function traced; ``res.accessed`` is what it actually read."""
+    if not _validate.enabled():
+        return
+    for name in shader.reflection.binding_names():
+        if name in res.accessed:
+            continue
+        k = (id(shader), name)
+        if k not in _UNUSED_WARNED:
+            _UNUSED_WARNED.add(k)
+            logger.warning(
+                "[validate] shader %r declares binding '%s' but never read "
+                "it this draw — drop the declaration or use the resource",
+                shader.name, name,
+            )
+
+
+def _check_instance_inputs(pipeline, instance_data, instance_count) -> None:
+    """Draw-time validation of per_instance vertex inputs (pipeline build
+    cannot see instance_data; Vulkan validates instance-rate bindings at
+    draw record time too)."""
+    declared = pipeline.vertex_shader.vertex_inputs
+    if declared is None:
+        return
+    inst_names = {d.name for d in declared if d.per_instance}
+    if not inst_names:
+        return
+    # instance_index is a builtin (gl_InstanceIndex) — always provided.
+    got = set(instance_data or ()) | {"instance_index"}
+    missing = inst_names - got
+    if missing:
+        raise BindingError(
+            f"vertex shader {pipeline.vertex_shader.name!r} declares "
+            f"per-instance inputs {sorted(missing)} but the draw's "
+            f"instance_data provides {sorted(got)}"
+        )
 
 
 class PerDraw(tuple):
@@ -148,10 +216,12 @@ def draw_indexed(
         attrs = layout.unpack(vertex_buffer)
     else:
         attrs = {"position": vertex_buffer}
+    attrs = _CheckedAttrs(attrs, pipeline.vertex_shader.name)
     vs_res = BoundResources(pipeline.vertex_shader.reflection, resources)
     indices = assemble_triangles(index_buffer, state.input_assembly)
 
     if instance_count > 1 or instance_data:
+        _check_instance_inputs(pipeline, instance_data, instance_count)
         nv = vertex_buffer.shape[0]
         inst = {
             k: jnp.asarray(v, jnp.float32).reshape(instance_count, -1)
@@ -160,7 +230,7 @@ def draw_indexed(
         idx_f = jnp.arange(instance_count, dtype=jnp.float32)[:, None]
 
         def one_instance(inst_vals, iidx):
-            a = dict(attrs)
+            a = _CheckedAttrs(attrs, pipeline.vertex_shader.name)
             for k, v in inst_vals.items():
                 a[k] = jnp.broadcast_to(v[None, :], (nv, v.shape[-1]))
             a["instance_index"] = jnp.broadcast_to(iidx[None, :], (nv, 1))
@@ -178,6 +248,7 @@ def draw_indexed(
     else:
         vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
         clip = vs_out.pop("position")
+    _warn_unused_bindings(pipeline.vertex_shader, vs_res)
     assert clip.ndim == 2 and clip.shape[1] == 4, (
         f"vertex shader must return clip-space 'position' (N, 4), got {clip.shape}"
     )
@@ -282,6 +353,7 @@ def _shade_and_blend(colors, z_out, acc, attr_layout, pipeline, resources):
     if fs is not None:
         fs_res = BoundResources(fs.reflection, resources)
         frag_out = fs.fn(varyings, fs_res, builtins)
+        _warn_unused_bindings(fs, fs_res)
         if isinstance(frag_out, (list, tuple)):
             frag_list = list(frag_out)
         elif isinstance(frag_out, dict):
@@ -449,9 +521,13 @@ def draw_indexed_batch(
     attr_layout = None
     budget_total = 0
     for di, (vb, ib, res) in enumerate(draws):
-        attrs = layout.unpack(vb) if layout is not None else {"position": vb}
+        attrs = _CheckedAttrs(
+            layout.unpack(vb) if layout is not None else {"position": vb},
+            pipeline.vertex_shader.name,
+        )
         vs_res = BoundResources(pipeline.vertex_shader.reflection, res)
         vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+        _warn_unused_bindings(pipeline.vertex_shader, vs_res)
         clip = vs_out.pop("position")
         nv = clip.shape[0]
 
@@ -571,6 +647,7 @@ def draw_indexed_batch(
 
             builtins = _dc_replace(builtins, draw_id=draw_id[..., 0])
         frag_out = fs.fn(varyings, fs_res, builtins)
+        _warn_unused_bindings(fs, fs_res)
         if isinstance(frag_out, (list, tuple)):
             frag_list = list(frag_out)
         elif isinstance(frag_out, dict):

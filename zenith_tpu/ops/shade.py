@@ -139,3 +139,61 @@ def resolve_varyings(
         resolution=(w, h),
     )
     return out, mask, builtins
+
+
+# ---------------------------------------------------------------------------
+# Screen-space derivatives + derivative-based tangent frames
+# ---------------------------------------------------------------------------
+
+
+def dfdx(img: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space x derivative of a dense (H, W, ...) fragment plane —
+    the dFdx/ddx analog (forward difference, last column repeated)."""
+    d = img[:, 1:] - img[:, :-1]
+    return jnp.concatenate([d, d[:, -1:]], axis=1)
+
+
+def dfdy(img: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space y derivative (dFdy analog)."""
+    d = img[1:] - img[:-1]
+    return jnp.concatenate([d, d[-1:]], axis=0)
+
+
+def perturb_normal(
+    n: jnp.ndarray,  # (H, W, 3) geometric world normal (normalized)
+    world_pos: jnp.ndarray,  # (H, W, 3)
+    uv: jnp.ndarray,  # (H, W, 2)
+    normal_sample: jnp.ndarray,  # (H, W, 3) tangent-space map in [0, 1]
+) -> jnp.ndarray:
+    """Apply a tangent-space normal map WITHOUT vertex tangents: the
+    cotangent frame is reconstructed per pixel from screen-space derivatives
+    of world position and UV (Schüler, "Normal Mapping Without Precomputed
+    Tangents"). Exactly what a GPU fragment shader does with dFdx/dFdy —
+    and the asset pipeline's Vertex carries no tangents (render.rs:10-26),
+    so this is also the parity-correct choice. Silhouette pixels see
+    cross-surface derivatives; their frames degrade gracefully to the
+    geometric normal (r clamps when the uv determinant vanishes).
+    """
+    dp1 = dfdx(world_pos)
+    dp2 = dfdy(world_pos)
+    du1 = dfdx(uv)
+    du2 = dfdy(uv)
+    det = du1[..., 0:1] * du2[..., 1:2] - du2[..., 0:1] * du1[..., 1:2]
+    ok = jnp.abs(det) > 1e-12
+    r = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    t = (dp1 * du2[..., 1:2] - dp2 * du1[..., 1:2]) * r
+    b = (dp2 * du1[..., 0:1] - dp1 * du2[..., 0:1]) * r
+    # Gram-Schmidt against the interpolated normal.
+    t = t - n * jnp.sum(n * t, axis=-1, keepdims=True)
+    t_len = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t = t / jnp.maximum(t_len, 1e-8)
+    b = b - n * jnp.sum(n * b, axis=-1, keepdims=True)
+    b = b - t * jnp.sum(t * b, axis=-1, keepdims=True)
+    b_len = jnp.linalg.norm(b, axis=-1, keepdims=True)
+    b = b / jnp.maximum(b_len, 1e-8)
+    nm = normal_sample * 2.0 - 1.0
+    out = t * nm[..., 0:1] + b * nm[..., 1:2] + n * nm[..., 2:3]
+    out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-8)
+    # Degenerate frames (t or b vanished) fall back to the geometric normal.
+    good = (t_len > 1e-6) & (b_len > 1e-6)
+    return jnp.where(good, out, n)

@@ -46,6 +46,7 @@ from zenith_tpu.rhi import (
     RasterizationState,
     Shader,
     TextureDesc,
+    attr,
     uniform,
 )
 from zenith_tpu.rhi.state import (
@@ -86,7 +87,26 @@ def _gbuffer_inst_vs(attrs, res):
     }
 
 
-def _make_gbuffer_fs(textured: bool):
+# Atlas binding name -> its per-draw UV-transform uniform name (each map
+# type has its own atlas cell layout, hence its own transform).
+_UVX_NAME = {
+    "BaseAtlas": "UvxBase",
+    "NormalAtlas": "UvxNormal",
+    "MraAtlas": "UvxMra",
+    "EmissiveAtlas": "UvxEmissive",
+}
+
+
+def _make_gbuffer_fs(textured: bool, use_normal: bool = False,
+                     use_mra: bool = False, use_emissive: bool = False):
+    """G-buffer fragment stage. Textured mode samples per-map ATLASES with
+    a per-draw UV transform (rhi.atlas): one sample per map regardless of
+    how many draws share the batch — the scalable replacement for the
+    round-2 sample-each-and-select-by-draw-id chain. The full baked
+    material set (render.rs:135-176) is consumed: base color, tangent-space
+    normal (derivative-reconstructed frame, no vertex tangents), glTF
+    metallic-roughness (B=metallic, G=roughness) and emissive."""
+
     def _gbuffer_fs(varyings, res, builtins):
         n = varyings["normal"]
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
@@ -96,41 +116,54 @@ def _make_gbuffer_fs(textured: bool):
         base = res["BaseColor"]
         mat = res["MatParams"]  # (metallic, roughness, emissive_luma, _)
         albedo = jnp.broadcast_to(base[..., :3], n.shape)
+        metallic = jnp.broadcast_to(mat[..., 0:1], n[..., :1].shape)
+        roughness = jnp.broadcast_to(mat[..., 1:2], n[..., :1].shape)
+        emissive = jnp.broadcast_to(mat[..., 2:3], n[..., :1].shape)
         if textured:
-            from zenith_tpu.ops.draw import PerDraw
             from zenith_tpu.ops.sampling import sample_texture
             from zenith_tpu.rhi.sampler import SamplerConfig
 
-            tex = res["BaseColorTex"]
-            if isinstance(tex, PerDraw):
-                # Per-draw textures in a batched draw: sample each, select
-                # by the fragment's draw id.
-                did = builtins.draw_id
-                sampled = None
-                for i, t in enumerate(tex):
-                    s_i = sample_texture(
-                        t, varyings["uv"], SamplerConfig.linear()
-                    )[..., :3]
-                    if sampled is None:
-                        sampled = s_i
-                    else:
-                        sel = (jnp.abs(did - i) < 0.5)[..., None]
-                        sampled = jnp.where(sel, s_i, sampled)
-                albedo = albedo * sampled
-            else:
-                albedo = albedo * sample_texture(
-                    tex, varyings["uv"], SamplerConfig.linear()
+            uv = varyings["uv"]
+            lin = SamplerConfig.linear()
+
+            def atlas_uv(x):
+                # x: (4,) or per-draw (H, W, 4) plane — su, sv, ou, ov.
+                # Each map type has its own atlas cell layout, hence its
+                # own transform uniform.
+                return jnp.stack(
+                    [x[..., 2] + uv[..., 0] * x[..., 0],
+                     x[..., 3] + uv[..., 1] * x[..., 1]],
+                    axis=-1,
+                )
+
+            albedo = albedo * sample_texture(
+                res["BaseAtlas"], atlas_uv(res["UvxBase"]), lin
+            )[..., :3]
+            if use_mra:
+                mra = sample_texture(
+                    res["MraAtlas"], atlas_uv(res["UvxMra"]), lin
+                )
+                metallic = metallic * mra[..., 2:3]
+                roughness = roughness * mra[..., 1:2]
+            if use_normal:
+                from zenith_tpu.ops.shade import perturb_normal
+
+                nm = sample_texture(
+                    res["NormalAtlas"], atlas_uv(res["UvxNormal"]), lin
                 )[..., :3]
-        albedo_metal = jnp.concatenate(
-            [albedo, jnp.broadcast_to(mat[..., 0:1], n[..., :1].shape)],
-            axis=-1,
-        )
-        normal_rough = jnp.concatenate(
-            [n, jnp.broadcast_to(mat[..., 1:2], n[..., :1].shape)], axis=-1
-        )
+                n = perturb_normal(n, varyings["world_pos"], uv, nm)
+            if use_emissive:
+                em = sample_texture(
+                    res["EmissiveAtlas"], atlas_uv(res["UvxEmissive"]), lin
+                )[..., :3]
+                emissive = emissive * jnp.sum(
+                    em * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1,
+                    keepdims=True,
+                )
+        albedo_metal = jnp.concatenate([albedo, metallic], axis=-1)
+        normal_rough = jnp.concatenate([n, roughness], axis=-1)
         pos_emissive = jnp.concatenate(
-            [varyings["world_pos"], jnp.broadcast_to(mat[..., 2:3], n[..., :1].shape)],
-            axis=-1,
+            [varyings["world_pos"], emissive], axis=-1
         )
         # MRT outputs in attachment order (draw maps dict keys sorted).
         return {
@@ -173,45 +206,129 @@ class DeferredRenderer:
     def __init__(self, scene: Scene, shadows: bool = True):
         self.scene = scene
         self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
-        # Textured mode: objects without a base-color texture get a shared
-        # 1×1 white fallback (the standard bindless trick), so mixed
-        # textured/plain scenes share one pipeline.
-        self.textured = any(o.base_color_texture is not None for o in scene.objects)
-        self._white_tex = None
-        if self.textured and any(o.base_color_texture is None for o in scene.objects):
-            from zenith_tpu.rhi.formats import Format as _F
-            from zenith_tpu.rhi.resource import Texture as _Tex
+        # Textured mode: the per-draw material textures are packed into one
+        # ATLAS per map type at construction (rhi.atlas) — fragments sample
+        # each map ONCE with a per-draw UV transform, so per-draw texture
+        # cost is independent of draw count (vs the round-2 sample-all-and-
+        # select chain). Objects without a map get a fallback cell (white /
+        # flat-normal / black-emissive — the bindless trick), so mixed
+        # scenes share one pipeline. NOTE: the atlases snapshot the scene's
+        # textures at renderer construction; swap an object's texture →
+        # rebuild the renderer.
+        objs = scene.objects
+        self.textured = any(
+            o.base_color_texture is not None or o.normal_texture is not None
+            or o.mra_texture is not None or o.emissive_texture is not None
+            for o in objs
+        )
+        self.use_normal = any(o.normal_texture is not None for o in objs)
+        self.use_mra = any(o.mra_texture is not None for o in objs)
+        self.use_emissive = any(o.emissive_texture is not None for o in objs)
+        self._atlases: dict = {}
+        if self.textured:
+            from zenith_tpu.rhi.atlas import build_atlas
 
-            self._white_tex = _Tex.from_numpy(
-                "white1x1", np.ones((1, 1, 4), np.float32), _F.RGBA32F
+            self._atlases["BaseAtlas"] = build_atlas(
+                "atlas.base", [o.base_color_texture for o in objs],
+                fallback=(1.0, 1.0, 1.0, 1.0),
             )
+            if self.use_normal:
+                self._atlases["NormalAtlas"] = build_atlas(
+                    "atlas.normal", [o.normal_texture for o in objs],
+                    fallback=(0.5, 0.5, 1.0, 1.0), mip_levels=1,
+                )
+            if self.use_mra:
+                self._atlases["MraAtlas"] = build_atlas(
+                    "atlas.mra", [o.mra_texture for o in objs],
+                    fallback=(1.0, 1.0, 1.0, 1.0),
+                )
+            if self.use_emissive:
+                self._atlases["EmissiveAtlas"] = build_atlas(
+                    "atlas.emissive", [o.emissive_texture for o in objs],
+                    fallback=(0.0, 0.0, 0.0, 1.0),
+                )
         from zenith_tpu.rhi import texture2d
 
         fs_bindings = [uniform("BaseColor"), uniform("MatParams")]
         if self.textured:
-            fs_bindings.append(texture2d("BaseColorTex"))
+            fs_bindings.extend(texture2d(name) for name in self._atlases)
+            fs_bindings.extend(
+                uniform(_UVX_NAME[name]) for name in self._atlases
+            )
         self.gbuffer_vs = Shader.vertex(
-            "gbuffer.vs", _gbuffer_vs, bindings=[uniform("Model"), uniform("ViewProj")]
+            "gbuffer.vs", _gbuffer_vs,
+            bindings=[uniform("Model"), uniform("ViewProj")],
+            inputs=[attr("position", 3), attr("normal", 3), attr("tex_coord", 2)],
         )
         self.gbuffer_fs = Shader.fragment(
-            "gbuffer.fs", _make_gbuffer_fs(self.textured), bindings=fs_bindings
+            "gbuffer.fs",
+            _make_gbuffer_fs(self.textured, self.use_normal, self.use_mra,
+                             self.use_emissive),
+            bindings=fs_bindings,
         )
         from zenith_tpu.renderer.forward import ForwardShadowRenderer
 
         self.shadow_vs = Shader.vertex(
             "shadow.vs", _shadow_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
+            inputs=[attr("position", 3)],
         )
         # Instanced variants (only used when a SceneObject carries
         # instance_offsets): same stages plus the inst_offset attribute.
         self.gbuffer_inst_vs = Shader.vertex(
             "gbuffer.inst.vs", _gbuffer_inst_vs,
             bindings=[uniform("Model"), uniform("ViewProj")],
+            inputs=[attr("position", 3), attr("normal", 3), attr("tex_coord", 2),
+                    attr("inst_offset", 3, per_instance=True)],
         )
         self.shadow_inst_vs = Shader.vertex(
             "shadow.inst.vs", _shadow_inst_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
+            inputs=[attr("position", 3),
+                    attr("inst_offset", 3, per_instance=True)],
         )
+        # Frame-invariant pipeline inputs, built ONCE: render_to runs every
+        # frame (the graph is rebuilt per frame), and reusing the same desc
+        # objects makes the structure key / pipeline-cache probes hit the
+        # per-instance hash memos and identity fast paths.
+        from dataclasses import replace as _dc_replace
+
+        self._shadow_si = GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT)
+        self._shadow_inst_si = GraphicShaderInput(
+            self.shadow_inst_vs, None, VERTEX_LAYOUT
+        )
+        self._gbuffer_si = GraphicShaderInput(
+            self.gbuffer_vs, self.gbuffer_fs, VERTEX_LAYOUT
+        )
+        self._gbuffer_inst_si = GraphicShaderInput(
+            self.gbuffer_inst_vs, self.gbuffer_fs, VERTEX_LAYOUT
+        )
+        self._shadow_state = GraphicPipelineState(
+            rasterization=RasterizationState(
+                cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
+            )
+        )
+        self._gbuffer_state = GraphicPipelineState(
+            rasterization=RasterizationState(
+                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
+            )
+        )
+        self._shadow_depth = DepthStencilDesc(
+            depth_test_enable=True,
+            depth_write_enable=True,
+            depth_compare_op=CompareOp.LESS,
+            depth_clear_value=1.0,
+        )
+        self._shadow_depth_load = _dc_replace(
+            self._shadow_depth, depth_load_op=LoadOp.LOAD
+        )
+        self._gbuffer_depth = DepthStencilDesc().reverse_z()
+        self._gbuffer_depth_load = _dc_replace(
+            self._gbuffer_depth, depth_load_op=LoadOp.LOAD
+        )
+        self._ca_clear0 = ColorAttachmentDesc(clear_value=(0, 0, 0, 0))
+        self._ca_clear01 = ColorAttachmentDesc(clear_value=(0, 0, 0, 1))
+        self._ca_load = ColorAttachmentDesc(load_op=LoadOp.LOAD)
 
     def frame_dynamics(self, camera: Camera) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
@@ -263,8 +380,13 @@ class DeferredRenderer:
             builder.set_dynamic(
                 "def.shadow_noffs", np.float32(sun.effective_normal_offset)
             )
-        for obj in scene.objects:
+        for oi, obj in enumerate(scene.objects):
             builder.set_dynamic(f"def.model.{obj.name}", obj.model_matrix)
+            if self.textured:
+                for aname, a in self._atlases.items():
+                    builder.set_dynamic(
+                        f"def.uvx.{aname}.{obj.name}", a.transform(oi)
+                    )
             builder.set_dynamic(
                 f"def.base_color.{obj.name}", np.asarray(obj.base_color, np.float32)
             )
@@ -273,6 +395,7 @@ class DeferredRenderer:
                 f"def.mat.{obj.name}",
                 np.asarray([obj.metallic, obj.roughness, lum, 0.0], np.float32),
             )
+
             if obj.instance_offsets is not None:
                 builder.set_dynamic(
                     f"def.inst.{obj.name}",
@@ -292,12 +415,11 @@ class DeferredRenderer:
             )
             for o in scene.objects
         ]
-        tex_handles = [
-            builder.import_resource(o.base_color_texture or self._white_tex)
-            if self.textured
-            else None
-            for o in scene.objects
-        ]
+        # Material atlases: imported ONCE, shared by every draw (rhi.atlas).
+        atlas_handles = {
+            name: builder.import_resource(a.texture)
+            for name, a in self._atlases.items()
+        } if self.textured else {}
         objects = scene.objects
 
         g_albedo = builder.create(TextureDesc.color("g.albedo", width, height))
@@ -317,23 +439,8 @@ class DeferredRenderer:
                 for i in plain_ix
             }
             sm = node.write(sm_handle)
-            with node.pipeline(
-                GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT),
-                GraphicPipelineState(
-                    rasterization=RasterizationState(
-                        cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
-                    )
-                ),
-            ) as binder:
-                binder.set_depth(
-                    sm,
-                    DepthStencilDesc(
-                        depth_test_enable=True,
-                        depth_write_enable=True,
-                        depth_compare_op=CompareOp.LESS,
-                        depth_clear_value=1.0,
-                    ),
-                )
+            with node.pipeline(self._shadow_si, self._shadow_state) as binder:
+                binder.set_depth(sm, self._shadow_depth)
 
             def record_shadow(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
@@ -355,23 +462,9 @@ class DeferredRenderer:
                 node.read(sm_handle)
                 sm2 = node.write(sm_handle)
                 with node.pipeline(
-                    GraphicShaderInput(self.shadow_inst_vs, None, VERTEX_LAYOUT),
-                    GraphicPipelineState(
-                        rasterization=RasterizationState(
-                            cull_mode=CullMode.NONE,
-                            front_face=FrontFace.CLOCKWISE,
-                        )
-                    ),
+                    self._shadow_inst_si, self._shadow_state
                 ) as binder:
-                    binder.set_depth(
-                        sm2,
-                        DepthStencilDesc(
-                            depth_test_enable=True,
-                            depth_write_enable=True,
-                            depth_compare_op=CompareOp.LESS,
-                            depth_load_op=LoadOp.LOAD,
-                        ),
-                    )
+                    binder.set_depth(sm2, self._shadow_depth_load)
 
                 def record_shadow_inst(ctx):
                     ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
@@ -395,47 +488,44 @@ class DeferredRenderer:
             i: (node.read(handles[i][0]), node.read(handles[i][1]))
             for i in plain_ix
         }
-        tex_accesses = {
-            i: (node.read(tex_handles[i]) if tex_handles[i] is not None
-                else None)
-            for i in plain_ix
+        atlas_accesses = {
+            name: node.read(h) for name, h in atlas_handles.items()
         }
         a_rt = node.write(g_albedo)
         n_rt = node.write(g_normal)
         p_rt = node.write(g_pos)
         ds = node.write(g_depth)
-        with node.pipeline(
-            GraphicShaderInput(self.gbuffer_vs, self.gbuffer_fs, VERTEX_LAYOUT),
-            GraphicPipelineState(
-                rasterization=RasterizationState(
-                    cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
-                )
-            ),
-        ) as binder:
-            binder.push_color(a_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
-            binder.push_color(n_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 1)))
-            binder.push_color(p_rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
-            binder.set_depth(ds, DepthStencilDesc().reverse_z())
+        with node.pipeline(self._gbuffer_si, self._gbuffer_state) as binder:
+            binder.push_color(a_rt, self._ca_clear0)
+            binder.push_color(n_rt, self._ca_clear01)
+            binder.push_color(p_rt, self._ca_clear0)
+            binder.set_depth(ds, self._gbuffer_depth)
 
         textured = self.textured
 
         def record_gbuffer(ctx):
             ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+            for name, acc in atlas_accesses.items():
+                ctx.bind(name, ctx.get(acc))
             draws = []
             for i in plain_ix:
-                obj, (vba, iba), texa = objects[i], accesses[i], tex_accesses[i]
+                obj, (vba, iba) = objects[i], accesses[i]
                 res = {
                     "Model": ctx.dynamic(f"def.model.{obj.name}"),
                     "BaseColor": ctx.dynamic(f"def.base_color.{obj.name}"),
                     "MatParams": ctx.dynamic(f"def.mat.{obj.name}"),
                 }
                 if textured:
-                    res["BaseColorTex"] = ctx.get(texa)
+                    for aname in atlas_accesses:
+                        res[_UVX_NAME[aname]] = ctx.dynamic(
+                            f"def.uvx.{aname}.{obj.name}"
+                        )
                 draws.append((vba, iba, res))
+            per_draw = ("BaseColor", "MatParams") + tuple(
+                _UVX_NAME[aname] for aname in atlas_accesses
+            )
             if draws:  # all-instanced scenes: clear-only G-buffer node
-                ctx.draw_indexed_batch(
-                    draws, per_draw_uniforms=("BaseColor", "MatParams")
-                )
+                ctx.draw_indexed_batch(draws, per_draw_uniforms=per_draw)
 
         node.execute(record_gbuffer)
 
@@ -445,10 +535,8 @@ class DeferredRenderer:
                 i: (node.read(handles[i][0]), node.read(handles[i][1]))
                 for i in inst_ix
             }
-            inst_tex = {
-                i: (node.read(tex_handles[i]) if tex_handles[i] is not None
-                    else None)
-                for i in inst_ix
+            inst_atlas = {
+                name: node.read(h) for name, h in atlas_handles.items()
             }
             for h in (g_albedo, g_normal, g_pos, g_depth):
                 node.read(h)
@@ -457,32 +545,17 @@ class DeferredRenderer:
             p2 = node.write(g_pos)
             d2 = node.write(g_depth)
             with node.pipeline(
-                GraphicShaderInput(
-                    self.gbuffer_inst_vs, self.gbuffer_fs, VERTEX_LAYOUT
-                ),
-                GraphicPipelineState(
-                    rasterization=RasterizationState(
-                        cull_mode=CullMode.BACK,
-                        front_face=FrontFace.COUNTER_CLOCKWISE,
-                    )
-                ),
+                self._gbuffer_inst_si, self._gbuffer_state
             ) as binder:
-                load = ColorAttachmentDesc(load_op=LoadOp.LOAD)
-                binder.push_color(a2, load)
-                binder.push_color(n2, load)
-                binder.push_color(p2, load)
-                from dataclasses import replace as _dc_replace
-
-                binder.set_depth(
-                    d2,
-                    _dc_replace(
-                        DepthStencilDesc().reverse_z(),
-                        depth_load_op=LoadOp.LOAD,
-                    ),
-                )
+                binder.push_color(a2, self._ca_load)
+                binder.push_color(n2, self._ca_load)
+                binder.push_color(p2, self._ca_load)
+                binder.set_depth(d2, self._gbuffer_depth_load)
 
             def record_gbuffer_inst(ctx):
                 ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+                for name, acc in inst_atlas.items():
+                    ctx.bind(name, ctx.get(acc))
                 for i in inst_ix:
                     obj = objects[i]
                     vba, iba = inst_acc[i]
@@ -492,7 +565,10 @@ class DeferredRenderer:
                         "MatParams": ctx.dynamic(f"def.mat.{obj.name}"),
                     }
                     if textured:
-                        res["BaseColorTex"] = ctx.get(inst_tex[i])
+                        for aname in inst_atlas:
+                            res[_UVX_NAME[aname]] = ctx.dynamic(
+                                f"def.uvx.{aname}.{obj.name}"
+                            )
                     ctx.draw_indexed(
                         vba, iba, res,
                         instance_count=obj.instance_count,

@@ -36,6 +36,7 @@ from zenith_tpu.rhi import (
     RasterizationState,
     Shader,
     TextureDesc,
+    attr,
     texture2d,
     uniform,
 )
@@ -189,18 +190,24 @@ class ForwardShadowRenderer:
         self.shadow_vs = Shader.vertex(
             "shadow.vs", _shadow_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
+            inputs=[attr("position", 3)],
         )
         self.forward_vs = Shader.vertex(
             "forward.vs", _forward_vs,
             bindings=[uniform("Model"), uniform("ViewProj")],
+            inputs=[attr("position", 3), attr("normal", 3), attr("tex_coord", 2)],
         )
         self.shadow_inst_vs = Shader.vertex(
             "fwd.shadow.inst.vs", _shadow_inst_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
+            inputs=[attr("position", 3),
+                    attr("inst_offset", 3, per_instance=True)],
         )
         self.forward_inst_vs = Shader.vertex(
             "forward.inst.vs", _forward_inst_vs,
             bindings=[uniform("Model"), uniform("ViewProj")],
+            inputs=[attr("position", 3), attr("normal", 3), attr("tex_coord", 2),
+                    attr("inst_offset", 3, per_instance=True)],
         )
         self.forward_fs = Shader.fragment(
             "forward.fs", _forward_fs,
@@ -211,6 +218,45 @@ class ForwardShadowRenderer:
                 uniform("ShadowNormalOffset"), texture2d("ShadowMap"),
             ],
         )
+        # Frame-invariant pipeline inputs, built ONCE (render_to runs every
+        # frame; identical desc objects hit the hash memos / identity
+        # fast paths in the structure key and pipeline cache).
+        from dataclasses import replace as _dc_replace
+
+        self._shadow_si = GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT)
+        self._shadow_inst_si = GraphicShaderInput(
+            self.shadow_inst_vs, None, VERTEX_LAYOUT
+        )
+        self._forward_si = GraphicShaderInput(
+            self.forward_vs, self.forward_fs, VERTEX_LAYOUT
+        )
+        self._forward_inst_si = GraphicShaderInput(
+            self.forward_inst_vs, self.forward_fs, VERTEX_LAYOUT
+        )
+        self._shadow_state = GraphicPipelineState(
+            rasterization=RasterizationState(
+                cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
+            )
+        )
+        self._forward_state = GraphicPipelineState(
+            rasterization=RasterizationState(
+                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
+            )
+        )
+        self._shadow_depth = DepthStencilDesc(
+            depth_test_enable=True,
+            depth_write_enable=True,
+            depth_compare_op=CompareOp.LESS,
+            depth_clear_value=1.0,
+        )
+        self._shadow_depth_load = _dc_replace(
+            self._shadow_depth, depth_load_op=LoadOp.LOAD
+        )
+        self._forward_depth = DepthStencilDesc().reverse_z()
+        self._forward_depth_load = _dc_replace(
+            self._forward_depth, depth_load_op=LoadOp.LOAD
+        )
+        self._ca_load = ColorAttachmentDesc(load_op=LoadOp.LOAD)
 
     def frame_dynamics(self, camera: Camera) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
@@ -276,22 +322,8 @@ class ForwardShadowRenderer:
             for i in plain_ix
         }
         sm = node.write(shadow_map)
-        shader = GraphicShaderInput(self.shadow_vs, None, VERTEX_LAYOUT)
-        state = GraphicPipelineState(
-            rasterization=RasterizationState(
-                cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
-            )
-        )
-        with node.pipeline(shader, state) as binder:
-            binder.set_depth(
-                sm,
-                DepthStencilDesc(
-                    depth_test_enable=True,
-                    depth_write_enable=True,
-                    depth_compare_op=CompareOp.LESS,
-                    depth_clear_value=1.0,
-                ),
-            )
+        with node.pipeline(self._shadow_si, self._shadow_state) as binder:
+            binder.set_depth(sm, self._shadow_depth)
 
         objects = scene.objects
 
@@ -315,22 +347,9 @@ class ForwardShadowRenderer:
             node.read(shadow_map)
             sm2 = node.write(shadow_map)
             with node.pipeline(
-                GraphicShaderInput(self.shadow_inst_vs, None, VERTEX_LAYOUT),
-                GraphicPipelineState(
-                    rasterization=RasterizationState(
-                        cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
-                    )
-                ),
+                self._shadow_inst_si, self._shadow_state
             ) as binder:
-                binder.set_depth(
-                    sm2,
-                    DepthStencilDesc(
-                        depth_test_enable=True,
-                        depth_write_enable=True,
-                        depth_compare_op=CompareOp.LESS,
-                        depth_load_op=LoadOp.LOAD,
-                    ),
-                )
+                binder.set_depth(sm2, self._shadow_depth_load)
 
             def record_shadow_inst(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
@@ -357,15 +376,9 @@ class ForwardShadowRenderer:
         sm_read = node2.read(shadow_map)
         rt = node2.write(output)
         ds = node2.write(depth)
-        shader2 = GraphicShaderInput(self.forward_vs, self.forward_fs, VERTEX_LAYOUT)
-        state2 = GraphicPipelineState(
-            rasterization=RasterizationState(
-                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
-            )
-        )
-        with node2.pipeline(shader2, state2) as binder:
+        with node2.pipeline(self._forward_si, self._forward_state) as binder:
             binder.push_color(rt, ColorAttachmentDesc(clear_value=tuple(clear_color)))
-            binder.set_depth(ds, DepthStencilDesc().reverse_z())
+            binder.set_depth(ds, self._forward_depth)
 
         def record_forward(ctx):
             ctx.bind("ViewProj", ctx.dynamic("fwd.view_proj"))
@@ -407,26 +420,10 @@ class ForwardShadowRenderer:
             rt3 = node3.write(output)
             ds3 = node3.write(depth)
             with node3.pipeline(
-                GraphicShaderInput(
-                    self.forward_inst_vs, self.forward_fs, VERTEX_LAYOUT
-                ),
-                GraphicPipelineState(
-                    rasterization=RasterizationState(
-                        cull_mode=CullMode.BACK,
-                        front_face=FrontFace.COUNTER_CLOCKWISE,
-                    )
-                ),
+                self._forward_inst_si, self._forward_state
             ) as binder:
-                binder.push_color(rt3, ColorAttachmentDesc(load_op=LoadOp.LOAD))
-                from dataclasses import replace as _dc_replace
-
-                binder.set_depth(
-                    ds3,
-                    _dc_replace(
-                        DepthStencilDesc().reverse_z(),
-                        depth_load_op=LoadOp.LOAD,
-                    ),
-                )
+                binder.push_color(rt3, self._ca_load)
+                binder.set_depth(ds3, self._forward_depth_load)
 
             def record_forward_inst(ctx):
                 ctx.bind("ViewProj", ctx.dynamic("fwd.view_proj"))

@@ -33,6 +33,7 @@ from zenith_tpu.rhi import (
     Shader,
     Texture,
     TextureDesc,
+    attr,
     sampler as sampler_binding,
     texture2d,
     uniform,
@@ -136,7 +137,9 @@ class MeshRenderer:
         if textured:
             bindings += [texture2d("BaseColorTex"), sampler_binding("BaseColorSampler")]
         self.vertex_shader = Shader.vertex(
-            "mesh.vs", _vs, bindings=[uniform("Model"), uniform("ViewProj")]
+            "mesh.vs", _vs, bindings=[uniform("Model"), uniform("ViewProj")],
+            inputs=[attr("position", 3), attr("normal", 3),
+                    attr("tex_coord", 2)],
         )
         self.fragment_shader = Shader.fragment(
             "mesh.fs", _make_fs(textured), bindings=bindings

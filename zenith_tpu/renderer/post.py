@@ -114,15 +114,119 @@ def tone_and_bloom_banded(
 
 
 class PostProcess:
-    """Declares the post node: HDR color in → LDR swapchain image out."""
+    """Declares the post node(s): HDR color in → LDR swapchain image out.
+
+    Two bloom implementations:
+
+    - default (``bloom_mips=0``): single lambda node, one half-res blur —
+      the round-1 design, cheapest host-side.
+    - ``bloom_mips=N`` (N ≥ 2): a REAL downsampled mip chain through
+      render-to-mip sub-resource writes (texture.rs:536-559): bright-pass
+      into mip 0 of a graph-managed mip texture, then N-1 downsample+blur
+      nodes each writing mip k from mip k-1, then an upsample-accumulate
+      walk back to mip 0 — the standard production bloom (wide, stable
+      highlights from the coarse levels). All nodes trace into the ONE
+      jitted frame program like everything else.
+    """
 
     def __init__(self, bloom_threshold: float = 1.0, bloom_strength: float = 0.35,
-                 tonemap: str = "aces"):
+                 tonemap: str = "aces", bloom_mips: int = 0):
         self.bloom_threshold = bloom_threshold
         self.bloom_strength = bloom_strength
         self.tonemap = tonemap
+        self.bloom_mips = bloom_mips
 
     def render_to(
+        self,
+        builder: RenderGraphBuilder,
+        hdr_input: RenderGraphResource,
+        output: RenderGraphResource,
+    ) -> None:
+        if self.bloom_mips >= 2:
+            self._render_mip_chain(builder, hdr_input, output)
+            return
+        self._render_single_node(builder, hdr_input, output)
+
+    def _render_mip_chain(
+        self,
+        builder: RenderGraphBuilder,
+        hdr_input: RenderGraphResource,
+        output: RenderGraphResource,
+    ) -> None:
+        from zenith_tpu.rhi.resource import TextureDesc as _TD
+
+        storage = builder.resources[hdr_input.id]
+        tdesc = storage.texture_desc()
+        assert tdesc is not None, "post input must be a texture"
+        h, w = tdesc.height, tdesc.width
+        n_mips = self.bloom_mips
+        assert min(h, w) >> n_mips >= 1, (
+            f"bloom_mips={n_mips} too deep for {w}x{h}"
+        )
+        chain = builder.create(_TD(
+            "bloom.chain", w, h, tdesc.format, mip_levels=n_mips + 1
+        ))
+
+        # Node: bright-pass into mip 0.
+        node = builder.add_lambda_node("post.bright")
+        src = node.read(hdr_input)
+        dst0 = node.write(chain, mip=0)
+        threshold = self.bloom_threshold
+
+        def record_bright(ctx):
+            rgb = ctx.get(src)[..., :3]
+            luma = jnp.sum(
+                rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1,
+                keepdims=True,
+            )
+            bright = rgb * jnp.maximum(luma - threshold, 0.0) / jnp.maximum(
+                luma, 1e-4
+            )
+            ctx.set(dst0, jnp.concatenate(
+                [bright, jnp.zeros_like(bright[..., :1])], axis=-1
+            ))
+
+        node.execute(record_bright)
+
+        # Downsample+blur cascade: mip k-1 → mip k.
+        for k in range(1, n_mips + 1):
+            node = builder.add_lambda_node(f"post.down{k}")
+            src_k = node.read(chain, mip=k - 1)
+            dst_k = node.write(chain, mip=k)
+
+            def record_down(ctx, src_k=src_k, dst_k=dst_k):
+                img = _downsample2(ctx.get(src_k))
+                ctx.set(dst_k, _blur_axis(_blur_axis(img, 0), 1))
+
+            node.execute(record_down)
+
+        # Upsample-accumulate + tonemap combine.
+        node = builder.add_lambda_node("post.combine")
+        hdr_in = node.read(hdr_input)
+        mip_reads = [node.read(chain, mip=k) for k in range(n_mips + 1)]
+        dst = node.write(output)
+        strength = self.bloom_strength
+        tonemap = self.tonemap
+
+        def record_combine(ctx):
+            hdr = ctx.get(hdr_in)
+            # Coarse→fine accumulation (each level upsampled into the next).
+            acc = ctx.get(mip_reads[-1])[..., :3]
+            for k in range(n_mips - 1, -1, -1):
+                lvl = ctx.get(mip_reads[k])[..., :3]
+                acc = lvl + _upsample2(acc, lvl.shape[0], lvl.shape[1])
+            bloom = _upsample2(acc, hdr.shape[0], hdr.shape[1]) \
+                if acc.shape[:2] != hdr.shape[:2] else acc
+            combined = hdr[..., :3] + bloom * (strength / (n_mips + 1))
+            mapped = (
+                aces_tonemap(combined) if tonemap == "aces"
+                else reinhard_tonemap(combined)
+            )
+            ctx.set(dst, jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1))
+
+        node.execute(record_combine)
+
+    def _render_single_node(
         self,
         builder: RenderGraphBuilder,
         hdr_input: RenderGraphResource,

@@ -32,6 +32,13 @@ class SceneObject:
     roughness: float = 0.6
     emissive: "tuple" = (0.0, 0.0, 0.0)
     base_color_texture: "Optional[Texture]" = None
+    # Full PBR material texture set (reference render.rs:135-176 bakes all
+    # four; the deferred renderer samples them via per-map atlases):
+    # normal = tangent-space RGB (0.5,0.5,1 = flat), mra = glTF
+    # metallic-roughness (B=metallic, G=roughness, R=occlusion), emissive RGB.
+    normal_texture: "Optional[Texture]" = None
+    mra_texture: "Optional[Texture]" = None
+    emissive_texture: "Optional[Texture]" = None
     bin_capacity: int = 1024
     # tile×record pair budget for the segmented binner; None → 2×records.
     # Raise when the frame-stats bin-overflow counter fires (close-ups bin
@@ -46,6 +53,29 @@ class SceneObject:
     def instance_count(self) -> int:
         return 1 if self.instance_offsets is None else len(self.instance_offsets)
 
+    def __zenith_capture_key__(self):
+        """Trace-shaping fields only (the render-graph capture-key protocol,
+        rendergraph.graph._capture_key). The np arrays (model_matrix,
+        instance_offsets) and material VALUES ride through builder dynamics
+        in every framework renderer, so only their shapes + the scalar
+        fields that a custom closure could bake are keyed — this runs every
+        frame, and content-walking the arrays cost a measurable slice of
+        the host frame budget."""
+        return (
+            "scene-obj", self.name,
+            ("b", self.vertex_buffer.desc.shape, self.index_buffer.desc.shape),
+            self.bin_capacity, self.entry_budget,
+            None if self.instance_offsets is None
+            else tuple(self.instance_offsets.shape),
+            self.base_color_texture is not None,
+            self.normal_texture is not None,
+            self.mra_texture is not None,
+            self.emissive_texture is not None,
+            float(self.metallic), float(self.roughness),
+            tuple(map(float, self.base_color)),
+            tuple(map(float, self.emissive)),
+        )
+
     @staticmethod
     def from_mesh(device: RenderDevice, mesh: MeshAsset, name: str,
                   model_matrix: "Optional[np.ndarray]" = None, **kwargs) -> "SceneObject":
@@ -55,6 +85,48 @@ class SceneObject:
             index_buffer=device.upload_buffer(f"{name}.ib", mesh.indices, BufferUsage.INDEX),
             model_matrix=(np.asarray(model_matrix, np.float32)
                           if model_matrix is not None else np.eye(4, dtype=np.float32)),
+            **kwargs,
+        )
+
+    @staticmethod
+    def from_mesh_with_material(
+        device: RenderDevice, mesh: MeshAsset, material, name: str,
+        model_matrix: "Optional[np.ndarray]" = None, **kwargs,
+    ) -> "SceneObject":
+        """Build a SceneObject from a baked ``asset.Material`` — maps the
+        full texture set (reference render.rs:135-176: baseColor, MRA,
+        normal, emissive) onto the renderer-facing fields. Color/emissive
+        maps decode as sRGB; normal and metallic-roughness data is LINEAR
+        (glTF 2.0 §3.9.3) regardless of the 8-bit container."""
+        from zenith_tpu.rhi.formats import Format
+        from zenith_tpu.rhi.resource import Texture as _Tex
+
+        def upload(tex_asset, srgb: bool, generate_mips: bool = True):
+            if tex_asset is None:
+                return None
+            fmt = tex_asset.format.device_format
+            if not srgb and fmt == Format.RGBA8_SRGB:
+                fmt = Format.RGBA8_UNORM
+            return _Tex.from_numpy(
+                str(tex_asset.url), tex_asset.pixels, fmt,
+                generate_mips=generate_mips,
+            )
+
+        emissive_luma_factor = material.emissive_factor
+        return SceneObject.from_mesh(
+            device, mesh, name, model_matrix=model_matrix,
+            base_color=material.base_color_factor,
+            metallic=material.metallic_factor,
+            roughness=material.roughness_factor,
+            emissive=emissive_luma_factor,
+            base_color_texture=upload(material.base_color_texture, srgb=True),
+            normal_texture=upload(
+                material.normal_texture, srgb=False, generate_mips=False
+            ),
+            mra_texture=upload(
+                material.metallic_roughness_texture, srgb=False
+            ),
+            emissive_texture=upload(material.emissive_texture, srgb=True),
             **kwargs,
         )
 
@@ -172,6 +244,11 @@ class Scene:
         measurable slice of the per-frame host budget. Replacing the list
         or any element invalidates; mutating a PointLight's FIELDS in
         place does not — call ``invalidate_light_cache`` then.
+
+        The cache holds strong references to the keyed PointLight objects:
+        ids are only unique among LIVE objects (CPython recycles freed
+        slots), so an id-tuple key alone could false-hit after dropping old
+        lights and allocating new ones.
         """
         cache = getattr(self, "_pl_cache", None)
         key = tuple(id(pl) for pl in self.point_lights)
@@ -192,7 +269,9 @@ class Scene:
             )
             rad = np.array([pl.radius for pl in self.point_lights], np.float32)
             arrays = (pos, col, rad)
-        object.__setattr__(self, "_pl_cache", (key, arrays))
+        object.__setattr__(
+            self, "_pl_cache", (key, arrays, list(self.point_lights))
+        )
         return arrays
 
     def invalidate_light_cache(self) -> None:

@@ -27,6 +27,7 @@ from zenith_tpu.rhi import (
     RasterizationState,
     Shader,
     VertexLayout,
+    attr,
     uniform,
 )
 from zenith_tpu.rhi.device import RenderDevice
@@ -76,7 +77,10 @@ class TriangleRenderer:
             "triangle.index", indices, BufferUsage.INDEX
         )
         # Shader::from_file + reflection (triangle.rs:52-66) → shader fns.
-        self.vertex_shader = Shader.vertex("shader.triangle.vs", _vs)
+        self.vertex_shader = Shader.vertex(
+            "shader.triangle.vs", _vs,
+            inputs=[attr("position", 3), attr("color", 3)],
+        )
         self.fragment_shader = Shader.fragment(
             "shader.triangle.ps", _fs, bindings=[uniform("Time")]
         )

@@ -46,10 +46,15 @@ logger = log.get(__name__)
 
 @dataclass
 class ResourceAccessStorage:
-    """(builder.rs:15-19, minus the vk stage hint — no barriers to derive)"""
+    """(builder.rs:15-19, minus the vk stage hint — no barriers to derive).
+    ``mip``/``layer``/``brange`` mirror the access's sub-resource selectors
+    (texture.rs:536-559, buffer.rs:276-322) into the structure key."""
 
     resource_id: int
     view: ViewKind
+    mip: Optional[int] = None
+    layer: Optional[int] = None
+    brange: "Optional[Tuple[int, int]]" = None
 
 
 @dataclass
@@ -61,10 +66,11 @@ class GraphNode:
     kind: str  # "graphic" | "lambda"
     inputs: List[ResourceAccessStorage] = field(default_factory=list)
     outputs: List[ResourceAccessStorage] = field(default_factory=list)
-    # Graphic-only:
+    # Graphic-only. Attachment tuples carry the sub-resource selectors
+    # (mip, layer) of the bound access — (0, None) = whole surface.
     pipeline_desc: Optional[GraphicPipelineDesc] = None
-    color_attachments: List[Tuple[int, ColorAttachmentDesc]] = field(default_factory=list)
-    depth_attachment: Optional[Tuple[int, DepthStencilDesc]] = None
+    color_attachments: "List[Tuple[int, ColorAttachmentDesc, int, Optional[int]]]" = field(default_factory=list)
+    depth_attachment: "Optional[Tuple[int, DepthStencilDesc, int, Optional[int]]]" = None
     stencil_attachment: Optional[int] = None  # resource id of the S8 plane
     # The record callback, run at trace time with an execution context.
     job: Optional[Callable[[Any], Any]] = None
@@ -85,24 +91,57 @@ class NodeBuilder:
         self._builder = builder
         self._node = node
 
-    def read(self, resource: RenderGraphResource) -> RenderGraphResourceAccess:
-        access = RenderGraphResourceAccess(resource, ViewKind.SRV, self._node.index)
-        if any(a.resource_id == resource.id for a in self._node.inputs):
+    def read(
+        self,
+        resource: RenderGraphResource,
+        mip: "Optional[int]" = None,
+        layer: "Optional[int]" = None,
+        brange: "Optional[Tuple[int, int]]" = None,
+    ) -> RenderGraphResourceAccess:
+        """Declare a read; ``mip``/``layer``/``brange`` select a
+        sub-resource (texture.rs:536-559, buffer.rs:276-322)."""
+        access = RenderGraphResourceAccess(
+            resource, ViewKind.SRV, self._node.index, mip, layer, brange
+        )
+        sel = (mip, layer, brange)
+        if any(
+            a.resource_id == resource.id and (a.mip, a.layer, a.brange) == sel
+            for a in self._node.inputs
+        ):
             logger.warning(
                 "node '%s': duplicate read of resource #%d", self._node.name, resource.id
             )
             return access
-        self._node.inputs.append(ResourceAccessStorage(resource.id, ViewKind.SRV))
+        self._node.inputs.append(
+            ResourceAccessStorage(resource.id, ViewKind.SRV, mip, layer, brange)
+        )
         return access
 
-    def write(self, resource: RenderGraphResource) -> RenderGraphResourceAccess:
-        access = RenderGraphResourceAccess(resource, ViewKind.UAV, self._node.index)
-        if any(a.resource_id == resource.id for a in self._node.outputs):
+    def write(
+        self,
+        resource: RenderGraphResource,
+        mip: "Optional[int]" = None,
+        layer: "Optional[int]" = None,
+        brange: "Optional[Tuple[int, int]]" = None,
+    ) -> RenderGraphResourceAccess:
+        """Declare a write; ``mip``/``layer`` select the render-to
+        sub-resource (render-to-mip bloom chains, render-to-layer cube
+        faces / shadow cascades)."""
+        access = RenderGraphResourceAccess(
+            resource, ViewKind.UAV, self._node.index, mip, layer, brange
+        )
+        sel = (mip, layer, brange)
+        if any(
+            a.resource_id == resource.id and (a.mip, a.layer, a.brange) == sel
+            for a in self._node.outputs
+        ):
             logger.warning(
                 "node '%s': duplicate write of resource #%d", self._node.name, resource.id
             )
             return access
-        self._node.outputs.append(ResourceAccessStorage(resource.id, ViewKind.UAV))
+        self._node.outputs.append(
+            ResourceAccessStorage(resource.id, ViewKind.UAV, mip, layer, brange)
+        )
         return access
 
     def execute(self, job: Callable[[Any], Any]) -> None:
@@ -133,13 +172,17 @@ class AttachmentBinder:
     def push_color(
         self, access: RenderGraphResourceAccess, desc: ColorAttachmentDesc
     ) -> "AttachmentBinder":
-        self._node.color_attachments.append((access.id, desc))
+        self._node.color_attachments.append(
+            (access.id, desc, access.mip or 0, access.layer)
+        )
         return self
 
     def set_depth(
         self, access: RenderGraphResourceAccess, desc: DepthStencilDesc
     ) -> "AttachmentBinder":
-        self._node.depth_attachment = (access.id, desc)
+        self._node.depth_attachment = (
+            access.id, desc, access.mip or 0, access.layer
+        )
         return self
 
     def set_stencil(
@@ -156,7 +199,7 @@ class AttachmentBinder:
             return
         self._finished = True
         color_formats = []
-        for rid, _ in self._node.color_attachments:
+        for rid, *_ in self._node.color_attachments:
             tdesc = self._builder.resources[rid].texture_desc()
             assert tdesc is not None, "color attachment must be a texture"
             color_formats.append(tdesc.format)
@@ -170,7 +213,7 @@ class AttachmentBinder:
             )
             stencil_format = tdesc.format
         if self._node.depth_attachment is not None:
-            rid, ddesc = self._node.depth_attachment
+            rid, ddesc, *_ = self._node.depth_attachment
             tdesc = self._builder.resources[rid].texture_desc()
             assert tdesc is not None and tdesc.format.is_depth, (
                 "depth attachment must be a depth-format texture"
@@ -181,7 +224,9 @@ class AttachmentBinder:
             from dataclasses import replace
 
             state = replace(state, depth_stencil=ddesc)
-        self._node.pipeline_desc = GraphicPipelineDesc(
+        from zenith_tpu.rhi.pipeline import intern_desc
+
+        self._node.pipeline_desc = intern_desc(GraphicPipelineDesc(
             shader_input=self._shader_input,
             state=state,
             attachments=GraphicPipelineAttachments(
@@ -189,11 +234,13 @@ class AttachmentBinder:
                 depth_format=depth_format,
                 stencil_format=stencil_format,
             ),
-            color_attachment_descs=tuple(d for _, d in self._node.color_attachments),
+            color_attachment_descs=tuple(
+                d for _, d, *_ in self._node.color_attachments
+            ),
             depth_attachment_desc=(
                 self._node.depth_attachment[1] if self._node.depth_attachment else None
             ),
-        )
+        ))
 
     def __enter__(self) -> "AttachmentBinder":
         return self

@@ -54,10 +54,12 @@ def _validate_enabled() -> bool:
     """ZENITH_VALIDATE=1 turns on graph-level validation — the analog of the
     reference's default-on Vulkan validation layers (core.rs:15-16,180-198):
     static access checks at compile time plus traced NaN screening of every
-    node's attachment writes (reported in FrameStatsOutput.nan_pixels)."""
-    import os
+    node's attachment writes (reported in FrameStatsOutput.nan_pixels).
+    Defaults ON under pytest (tests/conftest.py) and the sandbox's --debug
+    log level, mirroring the reference's debug-build default."""
+    from zenith_tpu.core import validate
 
-    return os.environ.get("ZENITH_VALIDATE", "0") not in ("", "0", "false")
+    return validate.enabled()
 
 
 def _validate_graph(resources, nodes, exports) -> None:
@@ -132,6 +134,30 @@ def _desc_key(desc):
 
 
 _SCALAR_TYPES = (int, float, str, bool, bytes, type(None))
+
+
+class _HKey:
+    """Hash-once wrapper for the frame-program cache key.
+
+    The nested structure-key tuple is hashed by every dict touch (``get`` +
+    ``move_to_end`` = 2-3 full traversals/frame, ~600 element hashes each).
+    Wrapping it caches the hash; equality still compares the full tuples
+    (identity fast paths make a hit cheap: interned descs, module-level
+    code objects and scalars compare by pointer)."""
+
+    __slots__ = ("t", "h")
+
+    def __init__(self, t: tuple):
+        self.t = t
+        self.h = hash(t)
+
+    def __hash__(self) -> int:
+        return self.h
+
+    def __eq__(self, other) -> bool:
+        return self is other or (
+            isinstance(other, _HKey) and self.h == other.h and self.t == other.t
+        )
 
 
 def _packs_as_f32(v) -> bool:
@@ -223,6 +249,13 @@ def _capture_key(v, depth: int = 0, memo: "Optional[dict]" = None):
 def _capture_key_uncached(v, depth: int, memo: "Optional[dict]"):
     if depth > 4:
         return ("cap-deep", type(v).__name__)
+    # Framework capture-key protocol: a type that knows which of its fields
+    # shape the trace returns them directly (SceneObject keys its descs and
+    # scalar material fields but NOT its np arrays — those ride as dynamics
+    # by renderer contract, so content-walking them every frame was waste).
+    zck = getattr(type(v), "__zenith_capture_key__", None)
+    if zck is not None:
+        return zck(v)
     if isinstance(v, _np.ndarray):
         # Host arrays are cheap to fingerprint when small (uniform values
         # like light params often ride in captured np arrays).
@@ -373,12 +406,28 @@ class _NodeContextBase:
 
     def get(self, access: RenderGraphResourceAccess):
         """Current traced value of a resource (array, or tuple of mip arrays
-        for imported mip-mapped textures)."""
+        for mip-mapped textures). Accesses declared with ``mip``/``layer``/
+        ``brange`` selectors resolve to the sub-resource view
+        (texture.rs:536-559, buffer.rs:276-322)."""
         rid = self._check_access(access)
         val = self._state.get(rid)
         if val is None:
             val = self._graph._materialize_default(rid)
             self._state[rid] = val
+        mip = getattr(access, "mip", None)
+        layer = getattr(access, "layer", None)
+        brange = getattr(access, "brange", None)
+        if mip is not None:
+            assert layer is None, "mip+layer sub-views are unsupported"
+            assert isinstance(val, tuple), (
+                f"resource #{rid} has no mip chain (read with mip={mip})"
+            )
+            return val[mip]
+        if layer is not None:
+            return val[layer]
+        if brange is not None:
+            off, size = brange
+            return val[off:off + size]
         return val
 
 
@@ -392,7 +441,25 @@ class LambdaNodeExecutionContext(_NodeContextBase):
                 f"node '{self._node.name}' writes resource #{rid} without "
                 f"declaring write()"
             )
-        self._state[rid] = value
+        mip = getattr(access, "mip", None)
+        layer = getattr(access, "layer", None)
+        brange = getattr(access, "brange", None)
+        if mip is None and layer is None and brange is None:
+            self._state[rid] = value
+            return
+        cur = self._state.get(rid)
+        if cur is None:
+            cur = self._graph._materialize_default(rid)
+        if mip is not None:
+            assert isinstance(cur, tuple), (
+                f"resource #{rid} has no mip chain (write with mip={mip})"
+            )
+            self._state[rid] = cur[:mip] + (value,) + cur[mip + 1:]
+        elif layer is not None:
+            self._state[rid] = cur.at[layer].set(value)
+        else:
+            off, size = brange
+            self._state[rid] = cur.at[off:off + size].set(value)
 
 
 class GraphicNodeExecutionContext(_NodeContextBase):
@@ -540,10 +607,26 @@ class RenderGraph:
     # -- helpers --------------------------------------------------------------
 
     def _materialize_default(self, rid: int):
-        """Managed resource first touched by a read: zero contents."""
+        """Managed resource first touched by a read: zero contents. A
+        mip-mapped managed texture materializes as a TUPLE of per-level
+        arrays (the same convention imported mip textures use), so
+        render-to-mip nodes can address individual levels."""
         storage = self.resources[rid]
         desc = storage.desc
         assert desc is not None, "imported resources are always pre-seeded"
+        if isinstance(desc, TextureDesc) and desc.mip_levels > 1:
+            assert desc.array_layers == 1 and desc.depth == 1, (
+                "mip chains on layered/3D managed textures are unsupported"
+            )
+            c = desc.format.channels
+            dtype = desc.format.compute_dtype
+            return tuple(
+                jnp.zeros(
+                    (max(1, desc.height >> k), max(1, desc.width >> k), c),
+                    dtype,
+                )
+                for k in range(desc.mip_levels)
+            )
         sds = desc.shape_dtype()
         return jnp.zeros(sds.shape, sds.dtype)
 
@@ -555,7 +638,9 @@ class RenderGraph:
                     out.append(a.resource_id)
         return out
 
-    def _structure_key(self, options: CompileOptions):
+    def _structure_key(self, options: CompileOptions,
+                       dyn_metas: "Tuple[tuple, ...]" = (),
+                       other_dyn: "Optional[Dict[str, Any]]" = None):
         """Build the frame-program cache key as a nested HASHABLE TUPLE.
 
         This runs every frame (the graph is rebuilt per frame,
@@ -563,6 +648,13 @@ class RenderGraph:
         when the dict probes them, with no repr()/serialize step (round 1
         hashed repr() strings — milliseconds of Python per frame on the
         deferred scene, 24x the jit dispatch floor; VERDICT weak #2).
+
+        Dynamics are keyed by the ACTUAL packed layout (`_pack_dynamics`
+        metas) plus the passthrough signature — keying a proxy like
+        ``getattr(v, 'shape', ())`` mis-keyed shape-less f32-packables (a
+        list of np.float32 scalars keys as () while packing its true size),
+        colliding two builds on one cached program whose baked unpack
+        offsets no longer match.
         """
         parts = [options, _validate_enabled()]
         add = parts.append
@@ -582,8 +674,10 @@ class RenderGraph:
                 add(("managed", rid, _desc_key(st.desc)))
         for node in self.nodes:
             add((node.index, node.kind, node.name))
-            add(tuple((a.resource_id, a.view) for a in node.inputs))
-            add(tuple((a.resource_id, a.view) for a in node.outputs))
+            add(tuple((a.resource_id, a.view, a.mip, a.layer, a.brange)
+                      for a in node.inputs))
+            add(tuple((a.resource_id, a.view, a.mip, a.layer, a.brange)
+                      for a in node.outputs))
             add(tuple(node.color_attachments))
             add(node.depth_attachment)
             add(node.stencil_attachment)
@@ -602,13 +696,13 @@ class RenderGraph:
                         add("<empty-cell>")
                         continue
                     add(_capture_key(v, memo=memo))
-        for name in sorted(self.dynamics):
-            v = self.dynamics[name]
-            # The packed-vs-passthrough decision changes the traced unpack —
-            # key the ACTUAL decision (_packs_as_f32), not a proxy.
-            # (dtype objects are hashable; str(dtype) cost ~23 µs/frame.)
-            add((name, tuple(getattr(v, "shape", ())),
-                 getattr(v, "dtype", None), _packs_as_f32(v)))
+        add(dyn_metas)
+        if other_dyn:
+            for name in sorted(other_dyn):
+                v = other_dyn[name]
+                # (dtype objects are hashable; str(dtype) cost ~23 µs/frame.)
+                add((name, tuple(getattr(v, "shape", ())),
+                     getattr(v, "dtype", None)))
         add(tuple(sorted(self.exports)))
         return tuple(parts)
 
@@ -637,7 +731,7 @@ class RenderGraph:
 
         flat_dyn, dyn_metas, other_dyn = _pack_dynamics(self.dynamics)
 
-        key = self._structure_key(options)
+        key = _HKey(self._structure_key(options, dyn_metas, other_dyn))
         cached = _FRAME_PROGRAM_CACHE.get(key)
         global _MISS_STREAK
         if cached is not None:
@@ -671,9 +765,12 @@ class RenderGraph:
         # ONE host→device transfer for all per-frame f32 dynamics (camera
         # matrices, light params, time), packed into a single flat array —
         # even a batched device_put of N tiny leaves pays per-leaf dispatch
-        # cost (~1 ms/frame at ~19 dynamics on the deferred scene).
+        # cost (~1 ms/frame at ~19 dynamics on the deferred scene). The flat
+        # array rides as a PLAIN np argument: jit's C argument path moves it
+        # during dispatch ~3x cheaper than an explicit jax.device_put
+        # (measured 0.04 vs 0.13 ms/frame on this backend).
         if dyn_metas or other_dyn:
-            dynamics = jax.device_put((flat_dyn, other_dyn))
+            dynamics = (flat_dyn, other_dyn)
         else:
             dynamics = (0.0, {})
         return CompiledRenderGraph(self, cached, imports, dynamics, key,
@@ -757,13 +854,31 @@ class RenderGraph:
                 # RenderingAttachmentInfo load-op handling, graph.rs:539-601).
                 pipeline = pipelines[node.index]
                 if node.color_attachments:
-                    first_rid = node.color_attachments[0][0]
+                    first_rid, _, first_mip, first_layer = node.color_attachments[0]
                 elif node.depth_attachment is not None:
-                    first_rid = node.depth_attachment[0]
+                    first_rid, _, first_mip, first_layer = node.depth_attachment
                 else:
                     first_rid = node.stencil_attachment
+                    first_mip, first_layer = 0, None
                 tdesc = resources[first_rid].texture_desc()
-                full_h = tdesc.height
+                # Sub-resource render targets (render-to-mip / render-to-
+                # layer, texture.rs:536-559): the attachment surface is one
+                # mip level / array layer; single-chip, single-sample.
+                subres = any(
+                    m != 0 or l is not None
+                    for _, _, m, l in node.color_attachments
+                ) or (
+                    node.depth_attachment is not None
+                    and (node.depth_attachment[2] != 0
+                         or node.depth_attachment[3] is not None)
+                )
+                if subres:
+                    assert mesh is None, (
+                        "render-to-mip/-layer attachments are single-chip "
+                        "(no SPMD mesh)"
+                    )
+                att_w = max(1, tdesc.width >> first_mip)
+                full_h = max(1, tdesc.height >> first_mip)
                 if mesh is not None:
                     assert full_h % (n_shards * options.tile_h) == 0, (
                         f"attachment height {full_h} must divide by mesh "
@@ -771,15 +886,48 @@ class RenderGraph:
                     )
                 local_h = full_h // n_shards
                 grid = TileGrid(
-                    width=tdesc.width,
+                    width=att_w,
                     height=local_h,
                     tile_h=options.tile_h,
                     tile_w=options.tile_w,
                 )
+
+                def att_load(rid, amip, alayer):
+                    """Current contents of an attachment sub-surface (None
+                    when untouched)."""
+                    cur = state.get(rid)
+                    if cur is None:
+                        return None
+                    if isinstance(cur, tuple):  # mip-chain texture
+                        return cur[amip]
+                    if alayer is not None:
+                        return cur[alayer]
+                    return cur
+
+                def att_store(rid, amip, alayer, arr):
+                    """Write an attachment sub-surface back into state."""
+                    if isinstance(state.get(rid), tuple) or (
+                        resources[rid].texture_desc() is not None
+                        and resources[rid].texture_desc().mip_levels > 1
+                    ):
+                        cur = state.get(rid)
+                        if cur is None or not isinstance(cur, tuple):
+                            cur = self._materialize_default(rid)
+                        state[rid] = cur[:amip] + (arr,) + cur[amip + 1:]
+                    elif alayer is not None:
+                        cur = state.get(rid)
+                        if cur is None:
+                            cur = self._materialize_default(rid)
+                        if cur.ndim == arr.ndim + 2:
+                            # (H, W) depth plane into a (L, H, W, 1) array.
+                            arr = arr[..., None]
+                        state[rid] = cur.at[alayer].set(arr)
+                    else:
+                        state[rid] = arr
                 viewport = None
                 if mesh is not None:
                     y0 = jax.lax.axis_index(axis) * local_h
-                    viewport = (0, y0, tdesc.width, full_h)
+                    viewport = (0, y0, att_w, full_h)
 
                 # MSAA nodes keep per-sample planes (S, H, W, ...) between
                 # the node's draws. Stored RESOLVED state is what every
@@ -791,6 +939,10 @@ class RenderGraph:
                 # under a mesh the band bookkeeping works on resolved
                 # surfaces (documented simplification).
                 samples = pipeline.desc.state.multisample.samples
+                if subres:
+                    assert samples == 1, (
+                        "render-to-mip/-layer attachments do not support MSAA"
+                    )
 
                 def to_samples(arr):
                     if samples == 1:
@@ -806,8 +958,8 @@ class RenderGraph:
                     return None
 
                 colors = []
-                for rid, cdesc in node.color_attachments:
-                    cur = state.get(rid)
+                for rid, cdesc, amip, alayer in node.color_attachments:
+                    cur = att_load(rid, amip, alayer)
                     if cdesc.load_op == LoadOp.CLEAR or cur is None:
                         arr = blend_ops.clear_color(
                             grid.height, grid.width, cdesc.clear_value
@@ -822,8 +974,8 @@ class RenderGraph:
 
                 depth = None
                 if node.depth_attachment is not None:
-                    rid, ddesc = node.depth_attachment
-                    cur = state.get(rid)
+                    rid, ddesc, dmip, dlayer = node.depth_attachment
+                    cur = att_load(rid, dmip, dlayer)
                     if ddesc.depth_load_op == LoadOp.CLEAR or cur is None:
                         depth = to_samples(blend_ops.clear_depth(
                             grid.height, grid.width, ddesc.depth_clear_value
@@ -871,17 +1023,21 @@ class RenderGraph:
                     else:
                         msaa_state.pop(rid, None)
 
-                for (rid, cdesc), arr in zip(node.color_attachments, ctx._colors):
-                    state[rid] = arr.mean(axis=0) if samples > 1 else arr
+                for (rid, cdesc, amip, alayer), arr in zip(
+                    node.color_attachments, ctx._colors
+                ):
+                    att_store(rid, amip, alayer,
+                              arr.mean(axis=0) if samples > 1 else arr)
                     keep_samples(rid, arr)
                     if mesh is not None:
                         banded.add(rid)
                 if node.depth_attachment is not None and ctx._depth is not None:
                     d_out = ctx._depth[0] if samples > 1 else ctx._depth
-                    state[node.depth_attachment[0]] = d_out
-                    keep_samples(node.depth_attachment[0], ctx._depth)
+                    drid, _dd, dmip, dlayer = node.depth_attachment
+                    att_store(drid, dmip, dlayer, d_out)
+                    keep_samples(drid, ctx._depth)
                     if mesh is not None:
-                        banded.add(node.depth_attachment[0])
+                        banded.add(drid)
                 if node.stencil_attachment is not None and ctx._stencil is not None:
                     s_out = ctx._stencil[0] if samples > 1 else ctx._stencil
                     keep_samples(node.stencil_attachment, ctx._stencil)
@@ -893,7 +1049,7 @@ class RenderGraph:
                 if validate:
                     # NaN screening of this node's attachment writes — a NaN
                     # escaping a shader poisons every downstream blend.
-                    for (rid, _cd), arr in zip(
+                    for (rid, _cd, _m, _l), arr in zip(
                         node.color_attachments, ctx._colors
                     ):
                         nan_pixels = nan_pixels + jnp.isnan(arr).sum().astype(
@@ -1033,7 +1189,7 @@ class CompiledRenderGraph:
                     "dtype/device-residency of an overridden value differs "
                     "from build time) — rebuild the graph instead"
                 )
-            self._dynamics = jax.device_put((flat, others))
+            self._dynamics = (flat, others)
         self._outputs, self._stats = self._fn(self._imports, self._dynamics)
         return RetiredRenderGraph(self)
 

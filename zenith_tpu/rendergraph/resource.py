@@ -15,6 +15,8 @@ become jit inputs.
 from __future__ import annotations
 
 import enum
+
+from zenith_tpu.core.collections import FastEnum
 from dataclasses import dataclass
 from typing import Generic, Optional, TypeVar, Union
 
@@ -23,7 +25,7 @@ from zenith_tpu.rhi.resource import Buffer, BufferDesc, Texture, TextureDesc
 R = TypeVar("R")  # Buffer | Texture
 
 
-class ViewKind(enum.Enum):
+class ViewKind(FastEnum):
     """View markers (resource.rs:36-43)."""
 
     SRV = "srv"  # read
@@ -44,15 +46,38 @@ class RenderGraphResource(Generic[R]):
 
 @dataclass(frozen=True)
 class RenderGraphResourceAccess(Generic[R]):
-    """A declared access to a resource from one node (resource.rs:69-92)."""
+    """A declared access to a resource from one node (resource.rs:69-92).
+
+    Sub-resource selectors — the analog of the reference's cached
+    per-subresource image views (texture.rs:536-559) and buffer ranges
+    (buffer.rs:276-322):
+
+    - ``mip``: which mip level of a mip-mapped texture this access touches
+      (render-to-mip for bloom chains; reads of one level).
+    - ``layer``: which array layer / cube face (render-to-layer for shadow
+      cascades and rendered cube maps). None = whole resource.
+    - ``brange``: (offset, size) element range of a buffer. None = whole.
+
+    Selectors are static Python ints, so they shape the traced program and
+    ride in the structure key.
+    """
 
     resource: RenderGraphResource
     view: ViewKind
     node_index: int
+    # None = whole resource (a mip-mapped texture reads as its full chain);
+    # an int selects one level explicitly — including 0.
+    mip: Optional[int] = None
+    layer: Optional[int] = None
+    brange: "Optional[tuple[int, int]]" = None
 
     @property
     def id(self) -> int:
         return self.resource.id
+
+    @property
+    def selector(self) -> tuple:
+        return (self.mip, self.layer, self.brange)
 
 
 @dataclass

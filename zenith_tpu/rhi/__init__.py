@@ -65,6 +65,8 @@ from zenith_tpu.rhi.shader import (
     ShaderBinding,
     ShaderReflection,
     ShaderStage,
+    VertexInput,
+    attr,
     sampler,
     storage,
     texture2d,

@@ -10,13 +10,15 @@ aspect classification (color vs depth) for the render graph.
 from __future__ import annotations
 
 import enum
+
+from zenith_tpu.core.collections import FastEnum
 from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
 
 
-class FormatAspect(enum.Enum):
+class FormatAspect(FastEnum):
     COLOR = "color"
     DEPTH = "depth"
     STENCIL = "stencil"
@@ -30,7 +32,7 @@ class FormatInfo:
     aspect: FormatAspect
 
 
-class Format(enum.Enum):
+class Format(FastEnum):
     """Subset of vk::Format the framework speaks (reference swapchain prefers
     B8G8R8A8_SRGB, swapchain.rs:72; assets use R8G8B8A8 variants,
     zenith-asset/src/render.rs:72-108)."""

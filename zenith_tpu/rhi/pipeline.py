@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 from zenith_tpu.core import log
+from zenith_tpu.core.collections import cached_hash
 from zenith_tpu.rhi.shader import BindingError, Shader, ShaderReflection, ShaderStage
 from zenith_tpu.rhi.state import (
     ColorAttachmentDesc,
@@ -43,7 +44,12 @@ class GraphicShaderInput:
     vertex_layout: Optional[VertexLayout] = None
 
     def __hash__(self) -> int:
-        return hash((id(self.vertex_shader), id(self.fragment_shader), self.vertex_layout))
+        h = self.__dict__.get("_zh_")
+        if h is None:
+            h = hash((id(self.vertex_shader), id(self.fragment_shader),
+                      self.vertex_layout))
+            object.__setattr__(self, "_zh_", h)
+        return h
 
     def __eq__(self, other: object) -> bool:
         return (
@@ -60,6 +66,7 @@ class GraphicShaderInput:
         return refl
 
 
+@cached_hash
 @dataclass(frozen=True)
 class GraphicPipelineDesc:
     """The full pipeline cache key (reference pipeline.rs:900-920)."""
@@ -69,6 +76,26 @@ class GraphicPipelineDesc:
     attachments: GraphicPipelineAttachments
     color_attachment_descs: Tuple[ColorAttachmentDesc, ...] = ()
     depth_attachment_desc: Optional[DepthStencilDesc] = None
+
+
+# Desc interning: the AttachmentBinder finalizes a fresh GraphicPipelineDesc
+# every frame (the graph is rebuilt per frame, engine.rs:93-102), but the
+# contents recur — interning returns THE canonical instance so downstream
+# hashing (frame-program structure key, pipeline cache probe) hits the
+# per-instance hash memo and tuple-equality identity fast paths. Bounded
+# like a pipeline cache would be: render loops create a finite desc set.
+_DESC_INTERN: "dict[GraphicPipelineDesc, GraphicPipelineDesc]" = {}
+_DESC_INTERN_MAX = 4096
+
+
+def intern_desc(desc: GraphicPipelineDesc) -> GraphicPipelineDesc:
+    got = _DESC_INTERN.get(desc)
+    if got is not None:
+        return got
+    if len(_DESC_INTERN) >= _DESC_INTERN_MAX:
+        _DESC_INTERN.clear()  # rare; next frames re-intern the live set
+    _DESC_INTERN[desc] = desc
+    return desc
 
 
 class GraphicPipeline:
@@ -92,6 +119,7 @@ class GraphicPipeline:
                 f"fragment_shader {si.fragment_shader.name!r} has stage "
                 f"{si.fragment_shader.stage}"
             )
+        self._validate_vertex_inputs()
         n_colors = len(self.desc.attachments.color_formats)
         n_descs = len(self.desc.color_attachment_descs)
         if n_descs and n_descs != n_colors:
@@ -116,6 +144,48 @@ class GraphicPipeline:
                 f"multisampling supports 1/2/4/8 samples (Vulkan standard "
                 f"sample positions), got samples={ms.samples}"
             )
+
+    def _validate_vertex_inputs(self) -> None:
+        """Reject vertex-layout/shader mismatches at pipeline build — the
+        analog of the reference's validate_vertex_inputs
+        (zenith-rhi/src/pipeline.rs:228-287), which checks the derive-macro
+        layout against SPIR-V-reflected inputs. Shaders that declare no
+        ``inputs`` skip this (a missing attribute then surfaces at draw
+        time); per_instance inputs are validated at draw time against
+        ``instance_data`` instead of the layout."""
+        si = self.desc.shader_input
+        declared = si.vertex_shader.vertex_inputs
+        if declared is None:
+            return
+        per_vertex = [d for d in declared if not d.per_instance]
+        layout = si.vertex_layout
+        if layout is None:
+            if per_vertex:
+                raise BindingError(
+                    f"pipeline with vertex shader {si.vertex_shader.name!r}: "
+                    f"shader declares vertex inputs "
+                    f"{[d.name for d in per_vertex]} but the pipeline has no "
+                    f"vertex layout"
+                )
+            return
+        provided = {a.name: a.components for a in layout.attributes}
+        for d in per_vertex:
+            got = provided.get(d.name)
+            if got is None:
+                raise BindingError(
+                    f"pipeline with vertex shader {si.vertex_shader.name!r}: "
+                    f"shader input '{d.name}' ({d.components} components) is "
+                    f"not provided by the vertex layout "
+                    f"(layout attributes: {sorted(provided)})"
+                )
+            if got != d.components:
+                raise BindingError(
+                    f"pipeline with vertex shader {si.vertex_shader.name!r}: "
+                    f"shader input '{d.name}' wants {d.components} "
+                    f"components but the vertex layout provides {got}"
+                )
+        # Extra layout attributes are fine (the reference also allows
+        # unconsumed attributes; the GPU simply never fetches them).
 
     @property
     def vertex_shader(self) -> Shader:

@@ -15,6 +15,8 @@ read-after-write hazards cannot exist by construction.
 from __future__ import annotations
 
 import enum
+
+from zenith_tpu.core.collections import FastFlag
 from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
@@ -25,7 +27,7 @@ import numpy as np
 from zenith_tpu.rhi.formats import Format, decode_stored
 
 
-class BufferUsage(enum.Flag):
+class BufferUsage(FastFlag):
     """(reference buffer.rs:47-94 preset ctors)"""
 
     VERTEX = enum.auto()
@@ -37,7 +39,7 @@ class BufferUsage(enum.Flag):
     TRANSFER_DST = enum.auto()
 
 
-class TextureUsage(enum.Flag):
+class TextureUsage(FastFlag):
     SAMPLED = enum.auto()
     STORAGE = enum.auto()
     COLOR_ATTACHMENT = enum.auto()

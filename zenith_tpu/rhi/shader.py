@@ -29,11 +29,13 @@ Both stages must be pure jnp (traced into the frame program).
 from __future__ import annotations
 
 import enum
+
+from zenith_tpu.core.collections import FastEnum, FastFlag
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional, Tuple
 
 
-class ShaderStage(enum.Flag):
+class ShaderStage(FastFlag):
     """(reference shader.rs ShaderStage)"""
 
     VERTEX = enum.auto()
@@ -41,7 +43,7 @@ class ShaderStage(enum.Flag):
     COMPUTE = enum.auto()
 
 
-class BindingKind(enum.Enum):
+class BindingKind(FastEnum):
     """(reference shader.rs ShaderBinding descriptor types)"""
 
     UNIFORM_BUFFER = "uniform_buffer"
@@ -64,6 +66,30 @@ class ShaderBinding:
 class BindingError(Exception):
     """(reference descriptor.rs BindingError) raised on unknown names or
     kind mismatches at bind time."""
+
+
+@dataclass(frozen=True)
+class VertexInput:
+    """One vertex attribute a vertex shader consumes — the analog of the
+    reference's SPIR-V-reflected ``VertexInputAttr`` (location, vk::Format)
+    (zenith-rhi/src/shader.rs:446-748). Here the declaration is explicit
+    (shaders are Python functions; there is no bytecode to reflect), checked
+    against the pipeline's VertexLayout at pipeline build time
+    (pipeline.rs:228-287).
+
+    ``per_instance`` marks an instance-rate attribute (Vulkan
+    VK_VERTEX_INPUT_RATE_INSTANCE): it is supplied via ``instance_data`` at
+    draw time rather than by the vertex layout, and validated there.
+    """
+
+    name: str
+    components: int  # f32 component count (1..4)
+    per_instance: bool = False
+
+
+def attr(name: str, components: int, per_instance: bool = False) -> VertexInput:
+    """Declare a vertex-shader input (see VertexInput)."""
+    return VertexInput(name, components, per_instance)
 
 
 @dataclass(frozen=True)
@@ -163,10 +189,17 @@ class Shader:
         stage: ShaderStage,
         fn: Callable[..., Any],
         bindings: "tuple[ShaderBinding, ...] | list[ShaderBinding]" = (),
+        inputs: "tuple[VertexInput, ...] | list[VertexInput] | None" = None,
     ):
         self.name = name
         self.stage = stage
         self.fn = fn
+        # Declared vertex inputs (vertex stage only). None = undeclared:
+        # pipeline-time layout validation is skipped and a missing attribute
+        # surfaces as a draw-time error instead (legacy/loose mode).
+        self.vertex_inputs: "Optional[Tuple[VertexInput, ...]]" = (
+            tuple(inputs) if inputs is not None else None
+        )
         # Auto-assign binding indices in declaration order (set 0), like the
         # derive macro assigns vertex locations by field order.
         indexed = []
@@ -177,8 +210,9 @@ class Shader:
         self.reflection = ShaderReflection(tuple(indexed), stages=stage)
 
     @staticmethod
-    def vertex(name: str, fn: Callable[..., Any], bindings=()) -> "Shader":
-        return Shader(name, ShaderStage.VERTEX, fn, bindings)
+    def vertex(name: str, fn: Callable[..., Any], bindings=(),
+               inputs=None) -> "Shader":
+        return Shader(name, ShaderStage.VERTEX, fn, bindings, inputs=inputs)
 
     @staticmethod
     def fragment(name: str, fn: Callable[..., Any], bindings=()) -> "Shader":

@@ -19,21 +19,22 @@ import enum
 from dataclasses import dataclass, field, replace
 from typing import Optional, Tuple
 
+from zenith_tpu.core.collections import FastEnum, cached_hash
 from zenith_tpu.rhi.formats import Format
 
 
-class LoadOp(enum.Enum):
+class LoadOp(FastEnum):
     LOAD = "load"
     CLEAR = "clear"
     DONT_CARE = "dont_care"
 
 
-class StoreOp(enum.Enum):
+class StoreOp(FastEnum):
     STORE = "store"
     DONT_CARE = "dont_care"
 
 
-class CompareOp(enum.Enum):
+class CompareOp(FastEnum):
     NEVER = "never"
     LESS = "less"
     EQUAL = "equal"
@@ -44,7 +45,7 @@ class CompareOp(enum.Enum):
     ALWAYS = "always"
 
 
-class BlendFactor(enum.Enum):
+class BlendFactor(FastEnum):
     ZERO = "zero"
     ONE = "one"
     SRC_COLOR = "src_color"
@@ -57,7 +58,7 @@ class BlendFactor(enum.Enum):
     ONE_MINUS_DST_ALPHA = "one_minus_dst_alpha"
 
 
-class BlendOp(enum.Enum):
+class BlendOp(FastEnum):
     ADD = "add"
     SUBTRACT = "subtract"
     REVERSE_SUBTRACT = "reverse_subtract"
@@ -65,27 +66,28 @@ class BlendOp(enum.Enum):
     MAX = "max"
 
 
-class CullMode(enum.Enum):
+class CullMode(FastEnum):
     NONE = "none"
     FRONT = "front"
     BACK = "back"
 
 
-class FrontFace(enum.Enum):
+class FrontFace(FastEnum):
     COUNTER_CLOCKWISE = "ccw"
     CLOCKWISE = "cw"
 
 
-class PolygonMode(enum.Enum):
+class PolygonMode(FastEnum):
     FILL = "fill"
     # LINE/POINT intentionally unsupported (reference only uses FILL).
 
 
-class PrimitiveTopology(enum.Enum):
+class PrimitiveTopology(FastEnum):
     TRIANGLE_LIST = "triangle_list"
     TRIANGLE_STRIP = "triangle_strip"
 
 
+@cached_hash
 @dataclass(frozen=True)
 class ColorAttachmentDesc:
     """Per-color-attachment blend + load/store + clear state
@@ -132,7 +134,7 @@ class ColorAttachmentDesc:
         )
 
 
-class StencilOp(enum.Enum):
+class StencilOp(FastEnum):
     """(VkStencilOp, consumed via reference pipeline.rs:426-433)"""
 
     KEEP = "keep"
@@ -145,6 +147,7 @@ class StencilOp(enum.Enum):
     DECREMENT_AND_WRAP = "decrement_and_wrap"
 
 
+@cached_hash
 @dataclass(frozen=True)
 class StencilOpState:
     """Per-face stencil state (vk::StencilOpState; referenced by
@@ -171,6 +174,7 @@ class StencilOpState:
         )
 
 
+@cached_hash
 @dataclass(frozen=True)
 class DepthStencilDesc:
     """Depth + stencil test/write state (reference pipeline.rs:414-480;
@@ -242,6 +246,7 @@ class DepthStencilDesc:
         )
 
 
+@cached_hash
 @dataclass(frozen=True)
 class InputAssemblyState:
     """(reference pipeline.rs:483-506)"""
@@ -250,6 +255,7 @@ class InputAssemblyState:
     primitive_restart: bool = False
 
 
+@cached_hash
 @dataclass(frozen=True)
 class RasterizationState:
     """(reference pipeline.rs:508-586; defaults cull=BACK, front=CCW)"""
@@ -264,14 +270,17 @@ class RasterizationState:
     line_width: float = 1.0
 
 
+@cached_hash
 @dataclass(frozen=True)
 class MultisampleState:
-    """(reference pipeline.rs:589-615) — only 1 sample supported, like the
-    reference's default; kept for desc parity."""
+    """(reference pipeline.rs:589-615). 1/2/4/8 samples (Vulkan standard
+    sample positions); the rasterizer keeps per-sample planes and the graph
+    persists them across same-sample-count nodes."""
 
     samples: int = 1
 
 
+@cached_hash
 @dataclass(frozen=True)
 class ColorBlendState:
     """(reference pipeline.rs:618-704) — logic op unsupported; per-attachment
@@ -280,6 +289,7 @@ class ColorBlendState:
     blend_constants: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
 
 
+@cached_hash
 @dataclass(frozen=True)
 class GraphicPipelineState:
     """Complete fixed-function state (reference pipeline.rs:713-737)."""
@@ -291,6 +301,7 @@ class GraphicPipelineState:
     color_blend: ColorBlendState = field(default_factory=ColorBlendState)
 
 
+@cached_hash
 @dataclass(frozen=True)
 class GraphicPipelineAttachments:
     """Attachment formats — part of the pipeline cache key (reference
@@ -301,12 +312,14 @@ class GraphicPipelineAttachments:
     stencil_format: Optional[Format] = None
 
 
+@cached_hash
 @dataclass(frozen=True)
 class VertexAttribute:
     name: str
     components: int  # f32 component count (1..4)
 
 
+@cached_hash
 @dataclass(frozen=True)
 class VertexLayout:
     """Vertex buffer layout: named float32 fields, tightly packed, binding 0

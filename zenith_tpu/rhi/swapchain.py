@@ -121,15 +121,38 @@ class Swapchain:
         idx = self._image_index
         return idx, self._textures[idx]
 
-    def present(self, rendered: jax.Array) -> None:
+    def present(
+        self, rendered: jax.Array, pre_encoded: "Optional[bool]" = None
+    ) -> None:
         """Encode + start async readback; advances the ring
         (reference swapchain.rs:243-264).
 
-        A uint8 ``rendered`` is taken as ALREADY encoded to the swapchain
-        format (the frame program folded the present encode in via a
-        PresentEncode node) — the extra per-frame encode dispatch is
-        skipped, and the slot keeps its previous linear contents."""
-        pre_encoded = rendered.dtype == np.uint8
+        ``pre_encoded=True`` marks ``rendered`` as ALREADY encoded to the
+        swapchain format (the frame program folded the present encode in via
+        a PresentEncode node) — the extra per-frame encode dispatch is
+        skipped. Default (None) infers from dtype: uint8 ⇒ pre-encoded.
+        Pass ``pre_encoded=False`` to force the encode for a uint8 image
+        that is NOT swapchain-formatted.
+
+        Trap (warned under validation): a pre-encoded present leaves the
+        swapchain slot holding the PREVIOUS frame's linear contents — a
+        LOAD-op graph reading the swapchain image afterwards silently sees a
+        stale frame. Keep the linear surface as a graph-managed resource in
+        that case."""
+        if pre_encoded is None:
+            pre_encoded = bool(rendered.dtype == np.uint8)
+        if pre_encoded:
+            from zenith_tpu.core import validate
+
+            if validate.enabled() and not getattr(self, "_warned_stale", False):
+                self._warned_stale = True
+                logger.warning(
+                    "[validate] pre-encoded present: swapchain slot %d keeps "
+                    "its previous LINEAR contents — a LOAD-op graph reading "
+                    "the swapchain image next frame sees a stale frame. Use "
+                    "a graph-managed linear resource for feedback loops.",
+                    self._image_index,
+                )
         if not pre_encoded:
             # Keep the (still device-resident) rendered image bound to the
             # slot so LOAD-op graphs can read last frame's contents.

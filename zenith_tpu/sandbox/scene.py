@@ -49,6 +49,44 @@ def checker_texture(size: int = 512, cells: int = 16,
     return Texture.from_numpy("checker", px, Format.RGBA8_SRGB, generate_mips=True)
 
 
+def bump_normal_texture(size: int = 256, bumps: int = 10) -> Texture:
+    """Tangent-space normal map: a grid of spherical bumps (linear
+    RGBA8_UNORM — normal maps are never sRGB). Exercises the deferred
+    renderer's derivative-reconstructed tangent frame."""
+    ys, xs = np.mgrid[0:size, 0:size].astype(np.float32)
+    fx = (xs / size * bumps) % 1.0 - 0.5
+    fy = (ys / size * bumps) % 1.0 - 0.5
+    r2 = fx * fx + fy * fy
+    br = 0.4
+    inside = r2 < br * br
+    nz = np.sqrt(np.clip(br * br - r2, 0.0, None))
+    n = np.stack(
+        [np.where(inside, -fx, 0.0), np.where(inside, -fy, 0.0),
+         np.where(inside, nz, 1.0)],
+        axis=-1,
+    )
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    px = np.concatenate(
+        [((n * 0.5 + 0.5) * 255).astype(np.uint8),
+         np.full((size, size, 1), 255, np.uint8)],
+        axis=-1,
+    )
+    return Texture.from_numpy("bumps", px, Format.RGBA8_UNORM)
+
+
+def mra_stripe_texture(size: int = 256, stripes: int = 8) -> Texture:
+    """glTF metallic-roughness map (B=metallic, G=roughness): alternating
+    rough-dielectric / polished-metal stripes."""
+    ys = np.mgrid[0:size, 0:size][0]
+    band = ((ys * stripes) // size) % 2 == 0
+    px = np.zeros((size, size, 4), np.uint8)
+    px[..., 0] = 255  # occlusion (unused) = 1
+    px[..., 1] = np.where(band, 230, 60)  # roughness
+    px[..., 2] = np.where(band, 0, 255)  # metallic
+    px[..., 3] = 255
+    return Texture.from_numpy("mra.stripes", px, Format.RGBA8_UNORM)
+
+
 def brushed_texture(size: int = 256, rng=None) -> Texture:
     """Procedural brushed-metal stripes (subtle horizontal noise bands)."""
     rng = rng or np.random.default_rng(7)
@@ -128,8 +166,13 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
     ground = SceneObject.quad(
         render_device, "ground", size=400.0, z=z_min - 2.0,
         base_color=(0.9, 0.9, 0.95, 1.0) if textured else (0.28, 0.3, 0.33, 1.0),
-        metallic=0.0, roughness=0.9,
+        metallic=0.0 if not textured else 0.6,  # modulated by the MRA map
+        roughness=0.9,
         base_color_texture=checker_texture() if textured else None,
+        # Full material set in textured mode: bump normal map + MRA
+        # stripes on the ground (visible response under the point lights).
+        normal_texture=bump_normal_texture() if textured else None,
+        mra_texture=mra_stripe_texture() if textured else None,
     )
 
     lights = []
