@@ -1,0 +1,223 @@
+"""Order-correct transparency in BATCHED draws (VERDICT r2 weak #5): the
+per-tile in-order blend kernel (ops.raster._segmented_blend_kernel) must
+reproduce the sequential draw-by-draw reference exactly — including
+cross-draw overlap order, intra-draw overlap, and per-draw uniforms."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenith_tpu.ops.binning import TileGrid
+from zenith_tpu.ops.draw import draw_indexed, draw_indexed_batch
+from zenith_tpu.rhi import (
+    ColorAttachmentDesc,
+    Format,
+    GraphicPipelineAttachments,
+    GraphicShaderInput,
+    Shader,
+    attr,
+    uniform,
+)
+from zenith_tpu.rhi.pipeline import GraphicPipeline, GraphicPipelineDesc
+from zenith_tpu.rhi.state import (
+    CompareOp,
+    CullMode,
+    DepthStencilDesc,
+    GraphicPipelineState,
+    RasterizationState,
+    VertexLayout,
+)
+
+W, H = 128, 32
+GRID = TileGrid(width=W, height=H, tile_h=8, tile_w=128)
+LAYOUT = VertexLayout.from_fields(("position", 3), ("rgba", 4))
+
+
+def _vs(attrs, res):
+    p = attrs["position"]
+    return {
+        "position": jnp.concatenate(
+            [p, jnp.ones((p.shape[0], 1), jnp.float32)], 1
+        ),
+        "rgba": attrs["rgba"],
+    }
+
+
+def _fs(varyings, res, builtins):
+    return varyings["rgba"] * res["Tint"]
+
+
+VS = Shader.vertex(
+    "bb.vs", _vs, inputs=[attr("position", 3), attr("rgba", 4)]
+)
+FS_SAFE = Shader.fragment(
+    "bb.fs", _fs, bindings=[uniform("Tint")], kernel_safe=True
+)
+FS_UNSAFE = Shader.fragment("bb.fs.unsafe", _fs, bindings=[uniform("Tint")])
+
+
+def _pipeline(fs, translucent=True, ca=None):
+    if ca is None:
+        ca = ColorAttachmentDesc().translucent() if translucent else \
+            ColorAttachmentDesc()
+    ds = DepthStencilDesc(
+        depth_test_enable=True,
+        depth_write_enable=False,
+        depth_compare_op=CompareOp.GREATER,
+    )
+    return GraphicPipeline(GraphicPipelineDesc(
+        shader_input=GraphicShaderInput(VS, fs, LAYOUT),
+        state=GraphicPipelineState(
+            rasterization=RasterizationState(cull_mode=CullMode.NONE),
+            depth_stencil=ds,
+        ),
+        attachments=GraphicPipelineAttachments(
+            color_formats=(Format.RGBA32F,), depth_format=Format.D32F
+        ),
+        color_attachment_descs=(ca,),
+        depth_attachment_desc=ds,
+    ))
+
+
+def tri(z, rgba, scale=0.5, dx=0.0, dy=0.0):
+    return jnp.asarray(
+        [
+            [dx, dy - scale, z, *rgba],
+            [dx + scale, dy + scale, z, *rgba],
+            [dx - scale, dy + scale, z, *rgba],
+        ],
+        jnp.float32,
+    )
+
+
+IB = jnp.asarray([0, 1, 2], jnp.int32)
+TINT = jnp.asarray([1.0, 1.0, 1.0, 1.0], jnp.float32)
+
+
+def _seq_reference(pipe, draws):
+    """Sequential draw-by-draw reference (the round-2 correct path)."""
+    colors = [jnp.zeros((H, W, 4), jnp.float32)]
+    depth = jnp.zeros((H, W), jnp.float32)
+    for vb, ib, res in draws:
+        colors, depth, _ = draw_indexed(
+            colors, depth, pipe, vb, ib, res, GRID
+        )
+    return np.asarray(colors[0])
+
+
+def _batched(pipe, draws):
+    colors = [jnp.zeros((H, W, 4), jnp.float32)]
+    depth = jnp.zeros((H, W), jnp.float32)
+    colors, depth, stats = draw_indexed_batch(
+        colors, depth, pipe, draws, GRID
+    )
+    return np.asarray(colors[0])
+
+
+class TestBatchedBlend:
+    def _draws(self, order=(0, 1, 2)):
+        ds = [
+            (tri(0.5, (1.0, 0.0, 0.0, 0.6)), IB, {"Tint": TINT}),
+            (tri(0.6, (0.0, 1.0, 0.0, 0.5), dx=0.2), IB, {"Tint": TINT}),
+            (tri(0.4, (0.0, 0.0, 1.0, 0.4), dx=-0.2), IB, {"Tint": TINT}),
+        ]
+        return [ds[i] for i in order]
+
+    def test_batch_equals_sequential(self):
+        pipe = _pipeline(FS_SAFE)
+        draws = self._draws()
+        np.testing.assert_allclose(
+            _batched(pipe, draws), _seq_reference(pipe, draws),
+            atol=1e-5,
+        )
+
+    def test_submission_order_matters_and_is_respected(self):
+        pipe = _pipeline(FS_SAFE)
+        fwd = self._draws((0, 1, 2))
+        rev = self._draws((2, 1, 0))
+        b_fwd = _batched(pipe, fwd)
+        b_rev = _batched(pipe, rev)
+        # Order-dependence is real for src-alpha blending...
+        assert np.abs(b_fwd - b_rev).max() > 1e-3
+        # ...and each order matches its sequential reference.
+        np.testing.assert_allclose(b_rev, _seq_reference(pipe, rev), atol=1e-5)
+
+    def test_intra_draw_overlap_blends_both_fragments(self):
+        """Two overlapping triangles in ONE draw: the winner-resolve path
+        can only blend one of them; the in-order kernel blends both (GPU
+        semantics)."""
+        from zenith_tpu.rhi.state import BlendFactor
+
+        # Standard "over" operator (the translucent() preset uses the
+        # reference's DST_ALPHA variant, which zeroes out on a 0-alpha
+        # background — fine for parity, wrong for this proof).
+        over = ColorAttachmentDesc(
+            blend_enable=True,
+            src_color_blend=BlendFactor.SRC_ALPHA,
+            dst_color_blend=BlendFactor.ONE_MINUS_SRC_ALPHA,
+            src_alpha_blend=BlendFactor.ONE,
+            dst_alpha_blend=BlendFactor.ONE_MINUS_SRC_ALPHA,
+        )
+        pipe = _pipeline(FS_SAFE, ca=over)
+        vb = jnp.concatenate([
+            tri(0.5, (1.0, 0.0, 0.0, 0.5)),
+            tri(0.6, (0.0, 1.0, 0.0, 0.5)),
+        ])
+        ib = jnp.asarray([0, 1, 2, 3, 4, 5], jnp.int32)
+        colors, _, _ = draw_indexed_batch(
+            [jnp.zeros((H, W, 4), jnp.float32)],
+            jnp.zeros((H, W), jnp.float32),
+            pipe, [(vb, ib, {"Tint": TINT})], GRID,
+        )
+        out = np.asarray(colors[0])
+        # Center pixel: red blended over black, then green over that.
+        cx, cy = W // 2, H // 2
+        expect_after_red = np.array([0.5, 0.0, 0.0])
+        expect = expect_after_red * 0.5 + np.array([0.0, 1.0, 0.0]) * 0.5
+        np.testing.assert_allclose(out[cy, cx, :3], expect, atol=1e-5)
+
+    def test_per_draw_uniform_rides_constant_columns(self):
+        pipe = _pipeline(FS_SAFE)
+        red_tint = jnp.asarray([1.0, 0.0, 0.0, 1.0], jnp.float32)
+        draws = [
+            (tri(0.5, (1.0, 1.0, 1.0, 0.5)), IB, {"Tint": red_tint}),
+            (tri(0.6, (1.0, 1.0, 1.0, 0.5), dx=0.2), IB, {"Tint": TINT}),
+        ]
+        np.testing.assert_allclose(
+            _batched(pipe, draws), _seq_reference(pipe, draws), atol=1e-5
+        )
+
+    def test_depth_test_against_opaque(self):
+        """Translucents behind an opaque surface are rejected by the depth
+        test in the blend kernel."""
+        pipe = _pipeline(FS_SAFE)
+        colors = [jnp.full((H, W, 4), 0.25, jnp.float32)]
+        depth = jnp.full((H, W), 0.7, jnp.float32)  # opaque at z=0.7
+        draws = [
+            (tri(0.5, (1.0, 0.0, 0.0, 1.0)), IB, {"Tint": TINT}),  # behind
+            (tri(0.9, (0.0, 1.0, 0.0, 0.5), dx=0.1), IB, {"Tint": TINT}),
+        ]
+        out, _, _ = draw_indexed_batch(colors, depth, pipe, draws, GRID)
+        img = np.asarray(out[0])
+        cx, cy = W // 2, H // 2
+        # Red (z=0.5 < 0.7 reverse-Z) is rejected; green blends.
+        assert img[cy, cx, 0] < 0.3
+        assert img[cy, cx, 1] > 0.3
+
+    def test_non_kernel_safe_fs_rejected(self):
+        pipe = _pipeline(FS_UNSAFE)
+        with pytest.raises(ValueError, match="KERNEL-SAFE"):
+            _batched(pipe, self._draws())
+
+    def test_opaque_batch_unaffected(self):
+        """blend_enable=False batches keep the winner-resolve path."""
+        pipe = _pipeline(FS_SAFE, translucent=False)
+        draws = [
+            (tri(0.5, (1.0, 0.0, 0.0, 1.0)), IB, {"Tint": TINT}),
+            (tri(0.6, (0.0, 1.0, 0.0, 1.0), dx=0.2), IB, {"Tint": TINT}),
+        ]
+        out = _batched(pipe, draws)
+        cx, cy = W // 2, H // 2
+        np.testing.assert_allclose(out[cy, cx, :3], [0.0, 1.0, 0.0], atol=1e-5)

@@ -49,15 +49,15 @@ def _blend_op(op: BlendOp, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     }[op]()
 
 
-def apply_color_output(
-    dst: jnp.ndarray,  # (H, W, 4) current attachment contents
-    src: jnp.ndarray,  # (H, W, 4) fragment shader output (linear)
-    mask: jnp.ndarray,  # (H, W) bool coverage
+def blend_colors(
+    dst: jnp.ndarray,  # (..., 4)
+    src: jnp.ndarray,  # (..., 4)
     desc: ColorAttachmentDesc,
     blend_constants=(0.0, 0.0, 0.0, 0.0),
 ) -> jnp.ndarray:
-    """Blend + write-mask covered pixels of src over dst (Vulkan output
-    merger semantics, in linear space)."""
+    """The blend equation + static write mask, WITHOUT coverage masking —
+    split out so the in-order blend kernel can apply its own per-channel
+    2-D select (Mosaic cannot insert a minor dim on a bool mask)."""
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
     if desc.blend_enable:
@@ -79,6 +79,29 @@ def apply_color_output(
     else:
         out = src
 
-    wm = jnp.asarray(desc.write_mask, dtype=bool)
-    out = jnp.where(wm[None, None, :], out, dst)
-    return jnp.where(mask[..., None], out, dst)
+    # Write mask applied STATICALLY per channel (desc.write_mask is a
+    # Python tuple): no (4,) constant array materializes, which also keeps
+    # this body kernel-safe for the in-order blend kernel (Pallas rejects
+    # captured non-scalar constants).
+    if not all(desc.write_mask):
+        out = jnp.concatenate(
+            [
+                out[..., k:k + 1] if desc.write_mask[k] else dst[..., k:k + 1]
+                for k in range(4)
+            ],
+            axis=-1,
+        )
+    return out
+
+
+def apply_color_output(
+    dst: jnp.ndarray,  # (H, W, 4) current attachment contents
+    src: jnp.ndarray,  # (H, W, 4) fragment shader output (linear)
+    mask: jnp.ndarray,  # (H, W) bool coverage
+    desc: ColorAttachmentDesc,
+    blend_constants=(0.0, 0.0, 0.0, 0.0),
+) -> jnp.ndarray:
+    """Blend + write-mask covered pixels of src over dst (Vulkan output
+    merger semantics, in linear space)."""
+    out = blend_colors(dst, src, desc, blend_constants)
+    return jnp.where(mask[..., None], out, dst.astype(jnp.float32))

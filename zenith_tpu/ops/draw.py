@@ -503,13 +503,33 @@ def draw_indexed_batch(
     n_draws = len(draws)
     assert n_draws >= 1
 
-    if n_draws > 1:
-        for desc in pipeline.desc.color_attachment_descs or ():
-            if desc.blend_enable:
-                raise ValueError(
-                    "draw_indexed_batch: blending is order-dependent across "
-                    "overlapping draws; submit blended draws individually"
-                )
+    blend_enabled = any(
+        desc.blend_enable
+        for desc in pipeline.desc.color_attachment_descs or ()
+    )
+    if blend_enabled:
+        # Order-dependent blending cannot ride the winner-resolve kernel
+        # (one fragment per pixel); it takes the per-tile in-order blend
+        # kernel instead — fragment shader inlined per record, blend
+        # equation applied in submission order.
+        fs = pipeline.fragment_shader
+        if fs is None or not fs.kernel_safe:
+            raise ValueError(
+                "draw_indexed_batch with blending needs a KERNEL-SAFE "
+                "fragment shader (Shader.fragment(..., kernel_safe=True): "
+                "pure elementwise jnp, no texture sampling) — the blend "
+                "runs per fragment in submission order inside the raster "
+                "kernel. Alternatively submit blended draws individually "
+                "(one full-screen shade+blend per draw)."
+            )
+        assert len(colors) == 1, "blend batch: exactly one color attachment"
+        assert state.multisample.samples == 1, "blend batch: MSAA unsupported"
+        assert not ds.stencil_test_enable, "blend batch: stencil unsupported"
+        return _draw_batch_blend(
+            colors, depth, pipeline, draws, grid,
+            interpret=interpret, viewport=viewport,
+            entry_budget=entry_budget, budget_scale=budget_scale,
+        )
 
     layout = pipeline.vertex_layout
     depth_bias = None
@@ -668,3 +688,159 @@ def draw_indexed_batch(
     return new_colors, new_depth, DrawStats(
         bin_overflow=bins.overflow, stencil=stencil_out
     )
+
+
+def _draw_batch_blend(
+    colors, depth, pipeline, draws, grid,
+    interpret=None, viewport=None, entry_budget=None, budget_scale=1,
+):
+    """Order-correct transparency for batched draws: one binning over every
+    draw's records (submission order preserved by the (tile, record) sort),
+    then the per-tile in-order blend kernel (raster._segmented_blend_kernel)
+    which shades + blends each covered fragment in order.
+
+    Uniform bindings ride as CONSTANT varying columns (same value at all
+    three corners interpolates to itself), so per-draw uniforms need no
+    draw-id select and the kernel needs no side-band uniform plumbing. The
+    fragment shader must be kernel-safe (elementwise jnp only)."""
+    from zenith_tpu.ops.raster import raster_segmented_blend
+    from zenith_tpu.rhi.shader import FragmentBuiltins
+
+    state = pipeline.desc.state
+    rast_state = state.rasterization
+    ds = state.depth_stencil
+    fs = pipeline.fragment_shader
+    layout = pipeline.vertex_layout
+    n_draws = len(draws)
+    depth_bias = None
+    if rast_state.depth_bias_enable:
+        depth_bias = (rast_state.depth_bias_constant, rast_state.depth_bias_slope)
+
+    uniform_names = tuple(fs.reflection.binding_names())
+
+    rec_parts = []
+    corner_parts = []
+    attr_layout = None
+    budget_total = 0
+    for di, (vb, ib, res) in enumerate(draws):
+        attrs = _CheckedAttrs(
+            layout.unpack(vb) if layout is not None else {"position": vb},
+            pipeline.vertex_shader.name,
+        )
+        vs_res = BoundResources(pipeline.vertex_shader.reflection, res)
+        vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+        clip = vs_out.pop("position")
+        nv = clip.shape[0]
+
+        this_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
+                       for name, v in vs_out.items()]
+        vary_cols = [v.reshape(nv, -1).astype(jnp.float32)
+                     for v in vs_out.values()]
+        this_layout.append(("__draw_id", 1))
+        vary_cols.append(jnp.full((nv, 1), float(di), jnp.float32))
+        # Uniforms as constant per-vertex columns (see docstring).
+        for uname in uniform_names:
+            if uname not in res:
+                raise BindingError(
+                    f"blend batch draw {di}: fragment binding '{uname}' "
+                    f"not provided"
+                )
+            uval = jnp.asarray(res[uname], jnp.float32).reshape(-1)
+            this_layout.append((f"__u_{uname}", int(uval.shape[0])))
+            vary_cols.append(jnp.broadcast_to(
+                uval[None, :], (nv, uval.shape[0])
+            ))
+
+        if attr_layout is None:
+            attr_layout = this_layout
+        else:
+            assert attr_layout == this_layout, (
+                f"blend batch draw {di}: varying/uniform layout differs "
+                f"from draw 0's — batched draws share one pipeline"
+            )
+        flat_vary = jnp.concatenate(vary_cols, axis=1)
+        indices = assemble_triangles(ib, state.input_assembly)
+        records, corner = geometry.setup_with_attrs(
+            clip, indices, flat_vary, grid.width, grid.height,
+            cull_mode=rast_state.cull_mode,
+            front_face=rast_state.front_face,
+            viewport=viewport,
+            depth_bias=depth_bias,
+            depth_clamp=rast_state.depth_clamp,
+        )
+        rec_parts.append(records)
+        corner_parts.append(corner)
+        budget_total += max(2 * records.rast16.shape[0], 8192)
+    attr_layout.append(("__front", 1))
+
+    records = geometry.TriangleRecords(
+        rast16=jnp.concatenate([r.rast16 for r in rec_parts]),
+        shade16=jnp.concatenate([r.shade16 for r in rec_parts]),
+        tri_id=jnp.concatenate([r.tri_id for r in rec_parts]),
+        valid=jnp.concatenate([r.valid for r in rec_parts]),
+        aabb=jnp.concatenate([r.aabb for r in rec_parts]),
+    )
+    corner_data = jnp.concatenate(corner_parts)
+    bins = bin_segmented(
+        records, corner_data, grid,
+        entry_budget=entry_budget or budget_total,
+        budget_scale=budget_scale,
+    )
+
+    cdesc = (pipeline.desc.color_attachment_descs or
+             (ColorAttachmentDesc(),))[0]
+    constants = state.color_blend.blend_constants
+    full_res = (grid.width, grid.height)
+    layout_final = list(attr_layout)
+
+    def shade_blend(planes, passed, x, y, zpx, c_planes):
+        iw = planes[-1]
+        ok = iw > 0.0
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, iw, 1.0), 0.0)
+        varyings = {}
+        res_vals = {}
+        front = None
+        draw_id = None
+        off = 0
+        for name, ch in layout_final:
+            img = jnp.stack([planes[off + k] * inv for k in range(ch)],
+                            axis=-1)
+            if name == "__front":
+                front = img[..., 0] > 0.5
+            elif name == "__draw_id":
+                draw_id = img[..., 0]
+            elif name.startswith("__u_"):
+                res_vals[name[4:]] = img
+            else:
+                varyings[name] = img
+            off += ch
+        builtins = FragmentBuiltins(
+            frag_coord=jnp.stack([x, y], axis=-1),
+            depth=zpx,
+            front_facing=front if front is not None else passed,
+            resolution=full_res,
+            draw_id=draw_id,
+        )
+        src = fs.fn(varyings, BoundResources(fs.reflection, res_vals),
+                    builtins)
+        dst = jnp.stack(c_planes, axis=-1)
+        out = blend_ops.blend_colors(dst, src, cdesc, constants)
+        # Per-channel 2-D select: Mosaic cannot insert a minor dim on the
+        # bool coverage mask (apply_color_output's mask[..., None]).
+        return tuple(
+            jnp.where(passed, out[..., k], c_planes[k]) for k in range(4)
+        )
+
+    init_z = depth if depth is not None else jnp.zeros(
+        (grid.height, grid.width), jnp.float32
+    )
+    z_out, color = raster_segmented_blend(
+        bins, grid, init_z, colors[0], shade_blend,
+        depth_test=ds.depth_test_enable,
+        depth_write=ds.depth_write_enable,
+        compare_op=ds.depth_compare_op,
+        depth_clamp=rast_state.depth_clamp,
+        interpret=interpret,
+    )
+    new_depth = z_out if depth is not None else None
+    return [color], new_depth, DrawStats(bin_overflow=bins.overflow)

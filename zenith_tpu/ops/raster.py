@@ -407,6 +407,217 @@ def _segmented_kernel(
             acc_ref[a] = out[1 + a]
 
 
+def _segmented_blend_kernel(
+    # scalar prefetch
+    ty_ref,  # SMEM (B,)
+    tx_ref,  # SMEM (B,)
+    cnt_ref,  # SMEM (B,)
+    init_ref,  # SMEM (B,)
+    # streamed blocks
+    rast_ref,  # SMEM (CHUNK, 16 + D)
+    initz_ref,  # VMEM (TH, TW)
+    initc_ref,  # VMEM (4, TH, TW)
+    z_alias_ref,  # ANY — aliased init buffer
+    c_alias_ref,  # ANY — aliased init buffer
+    # outputs
+    z_ref,  # VMEM (TH, TW)
+    c_ref,  # VMEM (4, TH, TW)
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_attrs: int,
+    compare: Callable,
+    depth_write: bool,
+    depth_clamp: bool = False,
+    shade_blend: Callable = None,
+):
+    """ORDER-CORRECT per-tile blending: streams this tile's records in
+    submission order (binning's (tile, record) sort guarantees it) and, for
+    every covered+depth-passing fragment, runs the inlined fragment shader
+    + blend equation against a carried color accumulator — the Vulkan
+    output merger executed in-kernel, per fragment, in order. This is what
+    lifts the batched-draw blending restriction: the winner-resolve kernel
+    keeps one fragment per pixel, which cannot reproduce order-dependent
+    blends across overlapping draws.
+
+    ``shade_blend(attr_planes, passed, x, y, zpx, c_planes)`` is provided
+    by ops.draw: it finalizes varyings (divide by the interpolated 1/w),
+    evaluates the fragment shader (KERNEL-SAFE contract: pure elementwise
+    jnp — no texture sampling/gathers), applies the blend equation, and
+    returns the new 4 color planes. The unroll factor is small (4) because
+    the shader body is inlined per record.
+    """
+    del z_alias_ref, c_alias_ref
+    b = pl.program_id(0)
+    a_n = num_attrs + 1
+
+    @pl.when(init_ref[b] == 1)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        c_ref[:] = initc_ref[:]
+
+    count = cnt_ref[b]
+
+    @pl.when(count > 0)
+    def _process():
+        tx = tx_ref[b]
+        ty = ty_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
+        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+
+        sub = 4  # fragment shader is inlined per record: keep unroll small
+
+        def body(s, carry):
+            z, c0, c1, c2, c3 = carry
+            base = s * sub
+            for jj in range(sub):
+                i = base + jj
+                e01 = rast_ref[i, 0] * x + rast_ref[i, 1] * y + rast_ref[i, 2]
+                e12 = rast_ref[i, 3] * x + rast_ref[i, 4] * y + rast_ref[i, 5]
+                e20 = rast_ref[i, 6] * x + rast_ref[i, 7] * y + rast_ref[i, 8]
+                cov = (
+                    ((e01 > 0.0) | ((e01 == 0.0) & (rast_ref[i, 9] > 0.0)))
+                    & ((e12 > 0.0) | ((e12 == 0.0) & (rast_ref[i, 10] > 0.0)))
+                    & ((e20 > 0.0) | ((e20 == 0.0) & (rast_ref[i, 11] > 0.0)))
+                )
+                inv_det = rast_ref[i, 12]
+                w0 = e12 * inv_det
+                w1 = e20 * inv_det
+                w2 = e01 * inv_det
+                zpx = (
+                    w0 * rast_ref[i, 13]
+                    + w1 * rast_ref[i, 14]
+                    + w2 * rast_ref[i, 15]
+                )
+                cov &= i < count
+                if depth_clamp:
+                    zpx = jnp.clip(zpx, 0.0, 1.0)
+                else:
+                    cov &= (zpx >= 0.0) & (zpx <= 1.0)
+                passed = cov & compare(zpx, z)
+                if depth_write:
+                    z = jnp.where(passed, zpx, z)
+                planes = [
+                    w0 * rast_ref[i, 16 + a]
+                    + w1 * rast_ref[i, 16 + a_n + a]
+                    + w2 * rast_ref[i, 16 + 2 * a_n + a]
+                    for a in range(a_n)
+                ]
+                c0, c1, c2, c3 = shade_blend(
+                    planes, passed, x, y, zpx, (c0, c1, c2, c3)
+                )
+            return (z, c0, c1, c2, c3)
+
+        n_sub = pl.cdiv(count, sub)
+        init_carry = (z_ref[:], c_ref[0], c_ref[1], c_ref[2], c_ref[3])
+        out = jax.lax.fori_loop(0, n_sub, body, init_carry)
+        z_ref[:] = out[0]
+        for a in range(4):
+            c_ref[a] = out[1 + a]
+
+
+def raster_segmented_blend(
+    bins,  # SegmentedBins
+    grid: TileGrid,
+    init_z: jnp.ndarray,  # (H, W)
+    init_color: jnp.ndarray,  # (H, W, 4)
+    shade_blend: Callable,
+    depth_test: bool = True,
+    depth_write: bool = False,
+    compare_op: CompareOp = CompareOp.GREATER,
+    depth_clamp: bool = False,
+    interpret: Optional[bool] = None,
+) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Order-correct blending raster pass → (z (H, W), color (H, W, 4)).
+    See _segmented_blend_kernel."""
+    from zenith_tpu.ops.binning import ENTRY_CHUNK
+
+    if interpret is None:
+        interpret = pallas_interpret()
+    h, w = grid.height, grid.width
+    th, tw = grid.tile_h, grid.tile_w
+    b_max = bins.blk_count.shape[0]
+    chunk = ENTRY_CHUNK
+    d_total = bins.rast_pad.shape[-1]
+    d = d_total - 16
+    assert d % 3 == 0
+    a_n = d // 3
+    num_attrs = a_n - 1
+
+    effective_compare = compare_op if depth_test else CompareOp.ALWAYS
+    effective_write = depth_write and depth_test
+
+    init_z = init_z.astype(jnp.float32)
+    hp = grid.tiles_y * th
+    wp = grid.tiles_x * tw
+    z_seed = init_z
+    c_seed = jnp.moveaxis(init_color.astype(jnp.float32), -1, 0)  # (4, H, W)
+    if (hp, wp) != (h, w):
+        z_seed = jnp.pad(init_z, ((0, hp - h), (0, wp - w)))
+        c_seed = jnp.pad(c_seed, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    kernel = functools.partial(
+        _segmented_blend_kernel,
+        tile_h=th,
+        tile_w=tw,
+        num_attrs=num_attrs,
+        compare=_compare_fn(effective_compare),
+        depth_write=effective_write,
+        depth_clamp=depth_clamp,
+        shade_blend=shade_blend,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b_max,),
+        in_specs=[
+            pl.BlockSpec((chunk, d_total), lambda i, ty, tx, cnt, ini: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, th, tw),
+                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # z seed (aliased → out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # c seed (aliased → out 1)
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, th, tw),
+                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    out_z, out_c = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+        ],
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(
+        bins.blk_tile_y,
+        bins.blk_tile_x,
+        bins.blk_count,
+        bins.blk_init,
+        bins.rast_pad,
+        z_seed,
+        c_seed,
+        z_seed,
+        c_seed,
+    )
+    if (hp, wp) != (h, w):
+        out_z = out_z[:h, :w]
+        out_c = out_c[:, :h, :w]
+    return out_z, jnp.moveaxis(out_c, 0, -1)
+
+
 def _stencil_apply(op, s: jnp.ndarray, reference: int) -> jnp.ndarray:
     """One VkStencilOp over an int32 stencil plane (8-bit semantics)."""
     from zenith_tpu.rhi.state import StencilOp
@@ -642,8 +853,8 @@ def raster_segmented(
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # z init (aliased → out 0)
-                pl.BlockSpec(memory_space=pltpu.ANY),  # acc init (aliased → out 1)
+                pl.BlockSpec(memory_space=pl.ANY),  # z init (aliased → out 0)
+                pl.BlockSpec(memory_space=pl.ANY),  # acc init (aliased → out 1)
             ],
             out_specs=[
                 pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
@@ -714,9 +925,9 @@ def raster_segmented(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # z seed (aliased → out 0)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # acc seed (aliased → out 1)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stencil seed (→ out 2)
+            pl.BlockSpec(memory_space=pl.ANY),  # z seed (aliased → out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # acc seed (aliased → out 1)
+            pl.BlockSpec(memory_space=pl.ANY),  # stencil seed (→ out 2)
         ],
         out_specs=[
             pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),

@@ -190,10 +190,17 @@ class Shader:
         fn: Callable[..., Any],
         bindings: "tuple[ShaderBinding, ...] | list[ShaderBinding]" = (),
         inputs: "tuple[VertexInput, ...] | list[VertexInput] | None" = None,
+        kernel_safe: bool = False,
     ):
         self.name = name
         self.stage = stage
         self.fn = fn
+        # kernel_safe (fragment stage): the function body is pure elementwise
+        # jnp over its varyings/uniforms — no texture sampling, gathers, or
+        # global reductions — so it can be inlined into the per-fragment
+        # blend kernel (ops.raster._segmented_blend_kernel) for
+        # order-correct transparency.
+        self.kernel_safe = kernel_safe
         # Declared vertex inputs (vertex stage only). None = undeclared:
         # pipeline-time layout validation is skipped and a missing attribute
         # surfaces as a draw-time error instead (legacy/loose mode).
@@ -215,8 +222,10 @@ class Shader:
         return Shader(name, ShaderStage.VERTEX, fn, bindings, inputs=inputs)
 
     @staticmethod
-    def fragment(name: str, fn: Callable[..., Any], bindings=()) -> "Shader":
-        return Shader(name, ShaderStage.FRAGMENT, fn, bindings)
+    def fragment(name: str, fn: Callable[..., Any], bindings=(),
+                 kernel_safe: bool = False) -> "Shader":
+        return Shader(name, ShaderStage.FRAGMENT, fn, bindings,
+                      kernel_safe=kernel_safe)
 
     def __repr__(self) -> str:
         return f"Shader({self.name!r}, {self.stage})"
