@@ -1,0 +1,177 @@
+"""Shade-once-per-pixel MSAA (vk sampleShadingEnable=False — VERDICT r2
+weak #6): per-sample visibility, one fragment-shader evaluation per pixel.
+Interior pixels must be bit-equal to the 1x render; edges stay
+coverage-antialiased."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from zenith_tpu.ops.binning import TileGrid
+from zenith_tpu.ops.draw import draw_indexed
+from zenith_tpu.rhi import (
+    ColorAttachmentDesc,
+    Format,
+    GraphicPipelineAttachments,
+    GraphicShaderInput,
+    Shader,
+    attr,
+)
+from zenith_tpu.rhi.pipeline import GraphicPipeline, GraphicPipelineDesc
+from zenith_tpu.rhi.state import (
+    CompareOp,
+    CullMode,
+    DepthStencilDesc,
+    GraphicPipelineState,
+    MultisampleState,
+    RasterizationState,
+    VertexLayout,
+)
+
+W, H = 128, 32
+GRID = TileGrid(width=W, height=H, tile_h=8, tile_w=128)
+LAYOUT = VertexLayout.from_fields(("position", 3), ("color", 3))
+
+
+def _vs(attrs, res):
+    p = attrs["position"]
+    return {
+        "position": jnp.concatenate(
+            [p, jnp.ones((p.shape[0], 1), jnp.float32)], 1
+        ),
+        "color": attrs["color"],
+    }
+
+
+def _fs(varyings, res, builtins):
+    c = varyings["color"]
+    return jnp.concatenate([c, jnp.ones_like(c[..., :1])], axis=-1)
+
+
+VS = Shader.vertex("mp.vs", _vs, inputs=[attr("position", 3), attr("color", 3)])
+FS = Shader.fragment("mp.fs", _fs)
+
+VB = jnp.asarray(
+    [
+        [-0.6, -0.7, 0.5, 1.0, 0.2, 0.1],
+        [0.7, -0.1, 0.5, 0.2, 1.0, 0.1],
+        [-0.1, 0.8, 0.5, 0.1, 0.2, 1.0],
+    ],
+    jnp.float32,
+)
+IB = jnp.asarray([0, 1, 2], jnp.int32)
+
+
+def _pipe(samples, sample_shading=True):
+    ds = DepthStencilDesc(
+        depth_test_enable=True, depth_write_enable=True,
+        depth_compare_op=CompareOp.GREATER, depth_clear_value=0.0,
+    )
+    return GraphicPipeline(GraphicPipelineDesc(
+        shader_input=GraphicShaderInput(VS, FS, LAYOUT),
+        state=GraphicPipelineState(
+            rasterization=RasterizationState(cull_mode=CullMode.NONE),
+            depth_stencil=ds,
+            multisample=MultisampleState(
+                samples=samples, sample_shading=sample_shading
+            ),
+        ),
+        attachments=GraphicPipelineAttachments(
+            color_formats=(Format.RGBA32F,), depth_format=Format.D32F
+        ),
+        color_attachment_descs=(ColorAttachmentDesc(clear_value=(0, 0, 0, 1)),),
+        depth_attachment_desc=ds,
+    ))
+
+
+def _render(samples, sample_shading=True):
+    if samples == 1:
+        colors = [jnp.zeros((H, W, 4), jnp.float32)]
+        depth = jnp.zeros((H, W), jnp.float32)
+    else:
+        colors = [jnp.zeros((samples, H, W, 4), jnp.float32)]
+        depth = jnp.zeros((samples, H, W), jnp.float32)
+    pipe = _pipe(samples, sample_shading)
+    colors, depth, _ = draw_indexed(colors, depth, pipe, VB, IB, {}, GRID)
+    img = colors[0]
+    if samples > 1:
+        img = img.mean(axis=0)  # standard resolve
+    return np.asarray(img)
+
+
+class TestShadeOncePerPixel:
+    def test_interior_bit_equal_to_1x(self):
+        one = _render(1)
+        per_pixel = _render(4, sample_shading=False)
+        # Interior = pixels where the 4x resolve is fully covered AND the
+        # 1x render agrees on coverage (alpha == 1 everywhere inside).
+        interior = (per_pixel[..., 3] > 0.999) & (one[..., 3] > 0.999)
+        assert interior.sum() > 200
+        np.testing.assert_array_equal(
+            per_pixel[interior], one[interior]
+        )
+
+    def test_edges_coverage_antialiased(self):
+        one = _render(1)
+        per_pixel = _render(4, sample_shading=False)
+        partial = (per_pixel[..., 3] > 0.1) & (per_pixel[..., 3] < 0.9)
+        assert partial.sum() > 10  # edge pixels carry fractional coverage
+        # 1x has no fractional coverage anywhere.
+        assert not ((one[..., 3] > 0.01) & (one[..., 3] < 0.99)).any()
+
+    def test_close_to_supersampled(self):
+        ss = _render(4, sample_shading=True)
+        pp = _render(4, sample_shading=False)
+        diff = np.abs(ss - pp)
+        # Interior: identical varyings differ only by sample-position
+        # evaluation; mean-resolved supersampling ≈ center shading.
+        assert np.median(diff) < 1e-3
+        # Edge-pixel deviation bounded: worst case is a sample-covered,
+        # center-uncovered silhouette pixel ((S-1)/S of the coverage
+        # weight, = 0.75 at 4x); such pixels must be rare.
+        assert diff.max() <= 0.75 + 1e-6
+        assert (diff.max(axis=-1) > 0.25).mean() < 0.01
+
+    def test_8x_runs(self):
+        out = _render(8, sample_shading=False)
+        assert out.shape == (H, W, 4)
+        assert (out[..., 3] > 0.999).sum() > 200
+
+    def test_graph_level_per_pixel_msaa(self):
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        device = RhiCore().create_render_device()
+        builder = RenderGraphBuilder()
+        vb = builder.import_resource(
+            device.upload_buffer("vb", np.asarray(VB))
+        )
+        ib = builder.import_resource(
+            device.upload_buffer("ib", np.asarray(IB))
+        )
+        color = builder.create(TextureDesc.color("rt", W, H))
+        depth = builder.create(TextureDesc.depth("ds", W, H))
+        builder.export(color)
+        node = builder.add_graphic_node("msaa")
+        vba, iba = node.read(vb), node.read(ib)
+        rt, ds_w = node.write(color), node.write(depth)
+        dsd = DepthStencilDesc().reverse_z()
+        with node.pipeline(
+            GraphicShaderInput(VS, FS, LAYOUT),
+            GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE),
+                multisample=MultisampleState(samples=4, sample_shading=False),
+            ),
+        ) as binder:
+            binder.push_color(rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
+            binder.set_depth(ds_w, dsd)
+        node.execute(lambda ctx: ctx.draw_indexed(vba, iba, {}))
+        compiled = builder.build().compile(
+            device, PipelineCache(), CompileOptions(tile_h=8, tile_w=128)
+        )
+        compiled.execute(device)
+        img = np.asarray(compiled.value(color))
+        assert img.shape == (H, W, 4)
+        assert (img[..., 3] > 0.999).sum() > 200  # resolved interior

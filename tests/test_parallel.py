@@ -320,3 +320,73 @@ class TestBandedPost:
         img8 = render(CompileOptions(tile_h=8, tile_w=128, mesh=mesh), 8)
         assert img1[..., :3].std() > 0.01  # bloom actually did something
         np.testing.assert_allclose(img8, img1, atol=1e-6)
+
+
+class TestBinarySwapCompositor:
+    """composite_depth (binary swap, O(H·W) ICI) must be BIT-EQUAL to the
+    all_gather reference compositor — including equal-z ties, which must
+    resolve to the lowest device rank (earliest submission)."""
+
+    def test_bit_equal_to_all_gather_with_ties(self, cpu_devices, rng):
+        from jax.sharding import PartitionSpec as P
+
+        from zenith_tpu.parallel import default_mesh
+        from zenith_tpu.parallel.sharding import (
+            composite_depth,
+            composite_depth_all_gather,
+        )
+
+        n, h, w = 8, 32, 64
+        mesh = default_mesh(n, backend="cpu")
+        # Quantized depths force plenty of exact cross-device ties.
+        z_np = np.round(
+            rng.uniform(0.0, 1.0, size=(n, h, w)).astype(np.float32) * 4
+        ) / 4.0
+        c_np = rng.uniform(0, 1, size=(n, h, w, 4)).astype(np.float32)
+
+        def run(fn):
+            def body(z, c):
+                # shard_map splits the leading axis: each device gets its
+                # own (1, h, w) plane.
+                return fn(c[0], z[0], "rows")
+
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=(P("rows"), P("rows")),
+                out_specs=(P(), P()), check_vma=False,
+            ))(jnp.asarray(z_np), jnp.asarray(c_np))
+
+        c_ref, z_ref = run(composite_depth_all_gather)
+        c_bs, z_bs = run(composite_depth)
+        np.testing.assert_array_equal(np.asarray(z_bs), np.asarray(z_ref))
+        np.testing.assert_array_equal(np.asarray(c_bs), np.asarray(c_ref))
+        # Sanity: ties actually occurred (same max-z on >1 device somewhere).
+        zmax = z_np.max(axis=0)
+        assert ((z_np == zmax[None]).sum(axis=0) > 1).any()
+
+    def test_non_power_of_two_falls_back(self, cpu_devices, rng):
+        from jax.sharding import PartitionSpec as P
+
+        from zenith_tpu.parallel.sharding import (
+            composite_depth,
+            composite_depth_all_gather,
+            default_mesh,
+        )
+
+        n, h, w = 3, 30, 16
+        mesh = default_mesh(n, backend="cpu")
+        z_np = rng.uniform(0, 1, size=(n, h, w)).astype(np.float32)
+        c_np = rng.uniform(0, 1, size=(n, h, w, 4)).astype(np.float32)
+
+        def run(fn):
+            def body(z, c):
+                return fn(c[0], z[0], "rows")
+
+            return jax.jit(jax.shard_map(
+                body, mesh=mesh, in_specs=(P("rows"), P("rows")),
+                out_specs=(P(), P()), check_vma=False,
+            ))(jnp.asarray(z_np), jnp.asarray(c_np))
+
+        c_ref, z_ref = run(composite_depth_all_gather)
+        c_bs, z_bs = run(composite_depth)
+        np.testing.assert_array_equal(np.asarray(z_bs), np.asarray(z_ref))
+        np.testing.assert_array_equal(np.asarray(c_bs), np.asarray(c_ref))

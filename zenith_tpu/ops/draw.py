@@ -408,6 +408,12 @@ def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
     assert offsets is not None, f"unsupported sample count {samples}"
     with_stencil = ds.stencil_test_enable
 
+    if not state.multisample.sample_shading:
+        return _raster_shade_msaa_per_pixel(
+            colors, depth, pipeline, resources, bins, grid, attr_layout,
+            samples, offsets, interpret, stencil=stencil,
+        )
+
     out_colors = [[] for _ in colors]
     out_z = []
     out_s = []
@@ -456,6 +462,111 @@ def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
     new_colors = [jnp.stack(cs) for cs in out_colors]
     new_depth = jnp.stack(out_z) if depth is not None else None
     new_stencil = jnp.stack(out_s) if with_stencil else None
+    return new_colors, new_depth, new_stencil
+
+
+def _raster_shade_msaa_per_pixel(colors, depth, pipeline, resources, bins,
+                                 grid, attr_layout, samples, offsets,
+                                 interpret, stencil=None):
+    """Shade-ONCE-per-pixel MSAA (vk sampleShadingEnable=False — the GPU
+    default cost model): one raster per sample position resolves per-sample
+    visibility/depth (+stencil), one additional raster at the pixel CENTER
+    resolves the shaded surface's attributes, the fragment shader runs once
+    per pixel, and the result broadcasts into each covered sample through
+    that sample's own blend. Shading cost at 4x/8x ≈ the 1x render.
+
+    Quality contract (vs the supersampled sample_shading=True path): pixels
+    fully covered by one surface are bit-equal to the 1x render; silhouette
+    samples whose winner differs from the center winner receive the center
+    surface's color (the standard non-centroid MSAA artifact); samples
+    covered where the CENTER is not keep their previous contents (thin-
+    feature undercoverage — GPUs extrapolate the attribute plane instead,
+    which a resolved-attribute architecture cannot)."""
+    state = pipeline.desc.state
+    ds = state.depth_stencil
+    rast_state = state.rasterization
+    with_stencil = ds.stencil_test_enable
+
+    zs, accs, stens = [], [], []
+    for s, off in enumerate(offsets):
+        init_z = (
+            depth[s] if depth is not None
+            else jnp.zeros((grid.height, grid.width), jnp.float32)
+        )
+        common = dict(
+            depth_test=ds.depth_test_enable,
+            depth_write=ds.depth_write_enable,
+            compare_op=ds.depth_compare_op,
+            depth_clamp=rast_state.depth_clamp,
+            sample_offset=off,
+            interpret=interpret,
+        )
+        if with_stencil:
+            init_s = (
+                stencil[s] if stencil is not None
+                else jnp.full((grid.height, grid.width),
+                              ds.stencil_clear_value & 0xFF, jnp.int32)
+            )
+            z_s, acc_s, st_s = raster_segmented(
+                bins, grid, init_z,
+                init_stencil=init_s,
+                stencil_front=ds.stencil_front,
+                stencil_back=ds.stencil_back,
+                **common,
+            )
+            stens.append(st_s)
+        else:
+            z_s, acc_s = raster_segmented(bins, grid, init_z, **common)
+        zs.append(z_s)
+        accs.append(acc_s)
+
+    # Center raster: resolves WHICH surface shades each pixel + its attrs.
+    init_zc = (
+        depth[0] if depth is not None
+        else jnp.zeros((grid.height, grid.width), jnp.float32)
+    )
+    z_c, acc_c = raster_segmented(
+        bins, grid, init_zc,
+        depth_test=ds.depth_test_enable,
+        depth_write=ds.depth_write_enable,
+        compare_op=ds.depth_compare_op,
+        depth_clamp=rast_state.depth_clamp,
+        sample_offset=(0.5, 0.5),
+        interpret=interpret,
+    )
+
+    varyings, center_mask, builtins = shade.finalize_attrs(
+        z_c, acc_c, attr_layout
+    )
+    fs = pipeline.fragment_shader
+    out_colors = [[c[s] for s in range(samples)] for c in colors]
+    if fs is not None:
+        fs_res = BoundResources(fs.reflection, resources)
+        frag_out = fs.fn(varyings, fs_res, builtins)
+        _warn_unused_bindings(fs, fs_res)
+        if isinstance(frag_out, (list, tuple)):
+            frag_list = list(frag_out)
+        elif isinstance(frag_out, dict):
+            frag_list = [frag_out[k] for k in sorted(frag_out)]
+        else:
+            frag_list = [frag_out]
+        descs = pipeline.desc.color_attachment_descs or tuple(
+            None for _ in colors
+        )
+        assert len(frag_list) == len(colors)
+        for s in range(samples):
+            covered_s = accs[s][-1] > 0.0
+            mask_s = covered_s & center_mask
+            for i, src in enumerate(frag_list):
+                desc = descs[i] if descs[i] is not None else ColorAttachmentDesc()
+                out_colors[i][s] = blend_ops.apply_color_output(
+                    out_colors[i][s], src, mask_s, desc,
+                    state.color_blend.blend_constants,
+                )
+
+    new_colors = [jnp.stack(cs) for cs in out_colors]
+    new_depth = jnp.stack(zs) if depth is not None else None
+    new_stencil = jnp.stack(stens) if with_stencil else None
     return new_colors, new_depth, new_stencil
 
 

@@ -89,13 +89,7 @@ def make_sort_last_frame(
             colors, depth, pipeline, vb, ib, resources, grid,
             interpret=interpret,
         )
-        # Composite: gather every device's planes, pick the depth winner.
-        z_all = jax.lax.all_gather(depth, axis)  # (n, H, W)
-        c_all = jax.lax.all_gather(colors[0], axis)  # (n, H, W, 4)
-        winner = jnp.argmax(z_all, axis=0)  # first max → earliest device
-        z_out = jnp.max(z_all, axis=0)
-        c_out = jnp.take_along_axis(c_all, winner[None, ..., None], axis=0)[0]
-        return c_out, z_out
+        return composite_depth(colors[0], depth, axis)
 
     sharded = jax.shard_map(
         shard_body,
@@ -105,6 +99,82 @@ def make_sort_last_frame(
         check_vma=False,
     )
     return jax.jit(sharded)
+
+
+def composite_depth_all_gather(color, depth, axis_name: str):
+    """Reference (non-scalable) depth compositor: all_gather every device's
+    full-resolution (z, color) planes and take the depth-argmax —
+    O(n·H·W) ICI traffic per device. Kept as the oracle the binary-swap
+    compositor is tested bit-equal against."""
+    z_all = jax.lax.all_gather(depth, axis_name)  # (n, H, W)
+    c_all = jax.lax.all_gather(color, axis_name)  # (n, H, W, 4)
+    winner = jnp.argmax(z_all, axis=0)  # first max → earliest device
+    z_out = jnp.max(z_all, axis=0)
+    c_out = jnp.take_along_axis(c_all, winner[None, ..., None], axis=0)[0]
+    return c_out, z_out
+
+
+def composite_depth(color, depth, axis_name: str):
+    """Scalable sort-last depth compositing: BINARY SWAP (recursive
+    halving) + tiled reassembly.
+
+    log2(n) rounds; in round k every device pairs with ``rank ^ d``
+    (d = n/2, n/4, …, 1), keeps the half of its current region selected by
+    that rank bit, sends the other half over ICI (one ppermute of
+    (rows/2, W) planes), and depth-composites what it receives. After the
+    rounds device r holds the fully-composited rows of piece r, and one
+    tiled all_gather reassembles the frame. Per-device ICI volume:
+    Σ_k H·W/2^k ≈ 2·H·W plus the H·W gather — O(H·W), vs the all_gather
+    reference's O(n·H·W).
+
+    Tie-breaking matches the reference compositor exactly: on equal z the
+    LOWER device rank wins (triangles shard contiguously, so that is
+    earliest-submission — the first-wins rule of sequential GREATER
+    draws). The lexicographic (z, -rank) max is associative, so the
+    pairwise tournament is exact, not approximate. Requires n a power of
+    two and H divisible by n; other configurations fall back to the
+    all_gather reference.
+    """
+    n = jax.lax.axis_size(axis_name)
+    h = depth.shape[0]
+    if n == 1:
+        return color, depth
+    if n & (n - 1) != 0 or h % n != 0:
+        return composite_depth_all_gather(color, depth, axis_name)
+
+    rank = jax.lax.axis_index(axis_name)
+    z = depth
+    c = color
+    # Origin-rank plane: pairwise "lower-rank-side wins ties" is NOT
+    # associative once a value from a higher rank survives a round on a
+    # lower-rank device — the lexicographic (z, -origin_rank) max IS, so
+    # each fragment carries the rank that produced it.
+    rk = jnp.full(z.shape, rank, jnp.int32)
+    d = n // 2
+    while d >= 1:
+        half = z.shape[0] // 2
+        bit0 = (rank & d) == 0  # traced scalar bool: am I the lower rank?
+        # Lower rank keeps the TOP half, sends the bottom (and vice versa).
+        z_send = jnp.where(bit0, z[half:], z[:half])
+        c_send = jnp.where(bit0, c[half:], c[:half])
+        r_send = jnp.where(bit0, rk[half:], rk[:half])
+        perm = [(i, i ^ d) for i in range(n)]
+        z_recv = jax.lax.ppermute(z_send, axis_name, perm)
+        c_recv = jax.lax.ppermute(c_send, axis_name, perm)
+        r_recv = jax.lax.ppermute(r_send, axis_name, perm)
+        z_mine = jnp.where(bit0, z[:half], z[half:])
+        c_mine = jnp.where(bit0, c[:half], c[half:])
+        r_mine = jnp.where(bit0, rk[:half], rk[half:])
+        take_recv = (z_recv > z_mine) | ((z_recv == z_mine) & (r_recv < r_mine))
+        z = jnp.where(take_recv, z_recv, z_mine)
+        c = jnp.where(take_recv[..., None], c_recv, c_mine)
+        rk = jnp.where(take_recv, r_recv, r_mine)
+        d //= 2
+    # Device r now holds piece r (rank bits MSB→LSB selected top/bottom):
+    # a tiled gather reassembles rows in order.
+    z_out = jax.lax.all_gather(z, axis_name, axis=0, tiled=True)
+    c_out = jax.lax.all_gather(c, axis_name, axis=0, tiled=True)
+    return c_out, z_out
 
 
 def make_row_sharded_frame(

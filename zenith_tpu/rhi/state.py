@@ -275,9 +275,19 @@ class RasterizationState:
 class MultisampleState:
     """(reference pipeline.rs:589-615). 1/2/4/8 samples (Vulkan standard
     sample positions); the rasterizer keeps per-sample planes and the graph
-    persists them across same-sample-count nodes."""
+    persists them across same-sample-count nodes.
+
+    ``sample_shading`` mirrors vk sampleShadingEnable: True (this
+    framework's default) shades at EVERY sample position — supersampling-
+    grade quality. False is the GPU-default cost model: per-sample
+    visibility/depth, but the fragment shader runs ONCE per pixel at the
+    pixel center and broadcasts to covered samples — shading cost at 4×
+    ≈ 1× non-MSAA, interior pixels bit-equal to the single-sample render.
+    (Vulkan defaults to off; the quality-biased default here is deliberate
+    and documented.)"""
 
     samples: int = 1
+    sample_shading: bool = True
 
 
 @cached_hash
