@@ -33,6 +33,13 @@ class EngineLoop:
         self.frames_rendered = 0
         # Apps set this (usually in prepare) to get 1 Hz hot-reload polling.
         self.asset_manager = None
+        import os
+
+        # Sync stats fetches (bin overflow → adaptive budgets) poison async
+        # dispatch permanently on this backend — opt-in only (see tick()).
+        self._stats_sync = os.environ.get("ZENITH_STATS_SYNC", "0") not in (
+            "", "0", "false"
+        )
 
     def _resumed(self) -> None:
         """(main_loop.rs:21-62) create engine + app.prepare."""
@@ -86,20 +93,30 @@ class EngineLoop:
         window = now - self._stats_window_start
         if window >= 1.0:
             fps = self._stats_frames / window
-            overflow = 0
-            if self.engine.last_retired is not None:
+            # DISPATCH-POISON WARNING (measured, this backend): ANY
+            # device→host copy — even one int32 scalar, even once —
+            # permanently degrades every later dispatch in the process from
+            # ~0.03 ms to a per-call sync handshake (~1.6 ms/call floor;
+            # ~128 ms/frame on the full scene). Fences (block_until_ready)
+            # are safe; literal fetches are not. The 1 Hz overflow fetch —
+            # and with it adaptive budget growth — is therefore OPT-IN via
+            # ZENITH_STATS_SYNC=1 (debugging/content tuning, where the
+            # throughput loss is acceptable).
+            overflow = None
+            if self._stats_sync and self.engine.last_retired is not None:
                 try:
                     overflow = int(self.engine.last_retired.bin_overflow)
                 except Exception:
-                    overflow = 0
+                    overflow = None
             logger.info(
-                "FPS: %.1f | pipelines: %d | frame programs: %d | bin overflow: %d",
+                "FPS: %.1f | pipelines: %d | frame programs: %d | "
+                "bin overflow: %s",
                 fps,
                 self.engine.pipeline_cache_size,
                 self.engine.frame_program_count,
-                overflow,
+                "async-off" if overflow is None else overflow,
             )
-            if overflow > 0:
+            if overflow is not None and overflow > 0:
                 # Perf/correctness hazard, like the reference's ALL_COMMANDS
                 # barrier warning (graph.rs:383-385): triangles were dropped.
                 # Adaptive response: double the budgets and recompile once.

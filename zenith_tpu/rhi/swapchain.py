@@ -225,9 +225,15 @@ class Swapchain:
     # -- internals -----------------------------------------------------------
 
     def _deliver(self, frame: _PendingFrame) -> None:
+        if self.on_present is None:
+            # No sink: FENCE only. A device→host copy — even once —
+            # permanently degrades async dispatch on this backend (see
+            # main_loop.tick's dispatch-poison note); fences are safe and
+            # preserve the ring backpressure semantics.
+            jax.block_until_ready(frame.encoded)
+            return
         host = np.asarray(frame.encoded)  # blocks until device + copy done
-        if self.on_present is not None:
-            self.on_present(host, frame.frame_counter)
+        self.on_present(host, frame.frame_counter)
 
     def _pace(self) -> None:
         period = 1.0 / self.config.refresh_rate

@@ -139,7 +139,7 @@ def sky_cube_texture(size: int = 64):
 
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
                 textured: bool = False, skybox: bool = True,
-                instances: int = 0) -> Scene:
+                instances: int = 0, gun_instances: int = 0) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -157,11 +157,28 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
         float(m.transform_point(model, c)[2]) for c in corners
     )
 
+    # gun_instances > 0: the geometry-scaling configuration (VERDICT r2
+    # #10 — prove ~1M-triangle frames end-to-end). The cerberus draws as
+    # ONE instanced draw of N copies on a ring (33.5k tris each; 30 copies
+    # ≈ 1M submitted triangles through shadow + G-buffer + lighting).
+    gun_offsets = None
+    gun_budget = 16 * mesh.num_triangles
+    if gun_instances > 0:
+        ring = float(np.linalg.norm(bmax - bmin)) * 1.1
+        offs = [[0.0, 0.0, 0.0]]
+        for i in range(1, gun_instances):
+            a = 2 * math.pi * i / gun_instances
+            r = ring * (1.0 + 0.15 * ((i * 7) % 3))
+            offs.append([r * math.cos(a), r * math.sin(a),
+                         2.0 * ((i * 5) % 4)])
+        gun_offsets = np.asarray(offs, np.float32)
+        gun_budget = None  # default 2x records scales with instance count
     gun = SceneObject.from_mesh(
         render_device, mesh, "cerberus", model_matrix=model,
         base_color=(0.62, 0.57, 0.55, 1.0), metallic=0.85, roughness=0.45,
-        entry_budget=16 * mesh.num_triangles,
+        entry_budget=gun_budget,
         base_color_texture=brushed_texture(rng=rng) if textured else None,
+        instance_offsets=gun_offsets,
     )
     ground = SceneObject.quad(
         render_device, "ground", size=400.0, z=z_min - 2.0,
@@ -236,6 +253,9 @@ class SceneApp(RenderableApp):
         parser.add_argument("--lights", type=int, default=100)
         parser.add_argument("--no-post", action="store_true")
         parser.add_argument("--textured", action="store_true")
+        parser.add_argument("--gun-instances", type=int, default=0,
+                            help="instanced cerberus copies (geometry "
+                                 "scaling; 30 ~= 1M submitted tris)")
         parser.add_argument("--instances", type=int, default=0,
                             help="N instanced rocks around the gun (one draw)")
         parser.add_argument(
@@ -247,6 +267,7 @@ class SceneApp(RenderableApp):
         self.textured = ns.textured
         self.retained = ns.retained
         self.instances = ns.instances
+        self.gun_instances = ns.gun_instances
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
         self.post_enabled = not ns.no_post
@@ -261,7 +282,8 @@ class SceneApp(RenderableApp):
         rng = np.random.default_rng(42)
         scene = build_scene(render_device, self.num_lights, rng,
                             textured=self.textured and self.mode == "deferred",
-                            instances=self.instances)
+                            instances=self.instances,
+                            gun_instances=self.gun_instances)
         if self.mode == "deferred":
             self.renderer = DeferredRenderer(scene)
         else:
