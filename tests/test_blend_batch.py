@@ -211,6 +211,16 @@ class TestBatchedBlend:
         with pytest.raises(ValueError, match="KERNEL-SAFE"):
             _batched(pipe, self._draws())
 
+    def test_single_draw_blend_keeps_dense_path(self):
+        """A ONE-draw batch with blending and a non-kernel-safe shader is
+        legal (no cross-draw ordering problem): it takes the winner-resolve
+        + dense shade+blend path and matches draw_indexed exactly."""
+        pipe = _pipeline(FS_UNSAFE)
+        draws = self._draws((0,))
+        np.testing.assert_allclose(
+            _batched(pipe, draws), _seq_reference(pipe, draws), atol=1e-6
+        )
+
     def test_opaque_batch_unaffected(self):
         """blend_enable=False batches keep the winner-resolve path."""
         pipe = _pipeline(FS_SAFE, translucent=False)

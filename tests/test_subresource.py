@@ -280,6 +280,30 @@ class TestBloomMipChain:
         # The blob itself is bright in both.
         assert mips[25, 50, 0] > 0.9 and single[25, 50, 0] > 0.9
 
+    def test_bloom_mips_odd_dimensions(self):
+        """1080p-style mip walks hit odd heights (1080→540→270→135→67);
+        the upsample accumulate must edge-pad, not crash on a broadcast
+        mismatch (round-3 review finding)."""
+        from zenith_tpu.renderer import PostProcess
+
+        device = _device()
+        h, w = 68, 136  # chain: 68→34→17→8 (17 odd)
+        builder = RenderGraphBuilder()
+        hdr = builder.create(TextureDesc.color("hdr", w, h))
+        out = builder.create(TextureDesc.color("ldr", w, h))
+        builder.export(out)
+        node = builder.add_lambda_node("seed")
+        dst = node.write(hdr)
+        node.execute(
+            lambda ctx: ctx.set(dst, jnp.full((h, w, 4), 3.0, jnp.float32))
+        )
+        PostProcess(bloom_mips=3).render_to(builder, hdr, out)
+        compiled = builder.build().compile(device, PipelineCache())
+        compiled.execute(device)
+        img = np.asarray(compiled.value(out))
+        assert img.shape == (h, w, 4)
+        assert np.isfinite(img).all()
+
     def test_mip_chain_structure_caches(self):
         from zenith_tpu.rendergraph.graph import frame_program_cache_size
 

@@ -30,7 +30,10 @@ def launch(
     from zenith_tpu.core import validate
     from zenith_tpu.core.cli import LogLevel
 
-    if args.log_level == LogLevel.DEBUG and "ZENITH_VALIDATE" not in os.environ:
+    if (
+        args.log_level in (LogLevel.DEBUG, LogLevel.TRACE)
+        and "ZENITH_VALIDATE" not in os.environ
+    ):
         validate.force(True)
 
     from zenith_tpu import asset

@@ -67,6 +67,24 @@ class EngineLoop:
             self._tick()
             self.engine.render(self.app)
             self.frames_rendered += 1
+        # End-of-run overflow check: with ZENITH_STATS_SYNC off the 1 Hz
+        # fetch (and adaptive budget growth) is disabled to avoid the
+        # dispatch poison — but the process dispatches nothing after this
+        # point, so ONE fetch here is free and restores detection: dropped
+        # triangles can't end a run silently.
+        if not self._stats_sync and self.engine.last_retired is not None:
+            try:
+                overflow = int(self.engine.last_retired.bin_overflow)
+            except Exception:
+                overflow = 0
+            if overflow > 0:
+                logger.warning(
+                    "bin overflow on the final frame (%d entries dropped — "
+                    "visible holes likely). Re-run with ZENITH_STATS_SYNC=1 "
+                    "to enable live detection + adaptive budget growth, or "
+                    "raise SceneObject.entry_budget.",
+                    overflow,
+                )
         self.engine.shutdown()
 
     def _pump_events(self) -> None:

@@ -168,6 +168,19 @@ def assemble_triangles(index_buffer, ia: "InputAssemblyState"):
     return jnp.where(bad[:, None], 0, tris)
 
 
+
+def _normalize_frag_out(frag_out) -> list:
+    """Fragment-stage output → ordered list of attachment images (single
+    array, list/tuple in attachment order, or dict sorted by key for MRT).
+    One definition shared by the single-sample, per-pixel-MSAA and batch
+    paths — they must never diverge on MRT ordering."""
+    if isinstance(frag_out, (list, tuple)):
+        return list(frag_out)
+    if isinstance(frag_out, dict):
+        return [frag_out[k] for k in sorted(frag_out)]
+    return [frag_out]
+
+
 @dataclass
 class DrawStats:
     """Per-draw counters folded into frame stats (binning overflow is the
@@ -354,12 +367,7 @@ def _shade_and_blend(colors, z_out, acc, attr_layout, pipeline, resources):
         fs_res = BoundResources(fs.reflection, resources)
         frag_out = fs.fn(varyings, fs_res, builtins)
         _warn_unused_bindings(fs, fs_res)
-        if isinstance(frag_out, (list, tuple)):
-            frag_list = list(frag_out)
-        elif isinstance(frag_out, dict):
-            frag_list = [frag_out[k] for k in sorted(frag_out)]
-        else:
-            frag_list = [frag_out]
+        frag_list = _normalize_frag_out(frag_out)
         descs = pipeline.desc.color_attachment_descs or tuple(
             None for _ in new_colors
         )
@@ -521,10 +529,24 @@ def _raster_shade_msaa_per_pixel(colors, depth, pipeline, resources, bins,
         accs.append(acc_s)
 
     # Center raster: resolves WHICH surface shades each pixel + its attrs.
-    init_zc = (
-        depth[0] if depth is not None
-        else jnp.zeros((grid.height, grid.width), jnp.float32)
-    )
+    # The center plane is not persisted across draws, so its depth seed is
+    # reconstructed compare-aware from the per-sample planes: for GREATER/
+    # GEQ the per-pixel max is the standing winner (reverse-Z), for LESS/
+    # LEQ the min; other compares fall back to sample 0. Residual
+    # divergence (steep gradients where the true center z of the previous
+    # winner differs from its best sample; stencil evaluated per sample
+    # but not at center) is part of the documented shade-once contract.
+    if depth is not None:
+        from zenith_tpu.rhi.state import CompareOp as _CO
+
+        if ds.depth_compare_op in (_CO.GREATER, _CO.GREATER_OR_EQUAL):
+            init_zc = jnp.max(depth, axis=0)
+        elif ds.depth_compare_op in (_CO.LESS, _CO.LESS_OR_EQUAL):
+            init_zc = jnp.min(depth, axis=0)
+        else:
+            init_zc = depth[0]
+    else:
+        init_zc = jnp.zeros((grid.height, grid.width), jnp.float32)
     z_c, acc_c = raster_segmented(
         bins, grid, init_zc,
         depth_test=ds.depth_test_enable,
@@ -544,12 +566,7 @@ def _raster_shade_msaa_per_pixel(colors, depth, pipeline, resources, bins,
         fs_res = BoundResources(fs.reflection, resources)
         frag_out = fs.fn(varyings, fs_res, builtins)
         _warn_unused_bindings(fs, fs_res)
-        if isinstance(frag_out, (list, tuple)):
-            frag_list = list(frag_out)
-        elif isinstance(frag_out, dict):
-            frag_list = [frag_out[k] for k in sorted(frag_out)]
-        else:
-            frag_list = [frag_out]
+        frag_list = _normalize_frag_out(frag_out)
         descs = pipeline.desc.color_attachment_descs or tuple(
             None for _ in colors
         )
@@ -622,25 +639,37 @@ def draw_indexed_batch(
         # Order-dependent blending cannot ride the winner-resolve kernel
         # (one fragment per pixel); it takes the per-tile in-order blend
         # kernel instead — fragment shader inlined per record, blend
-        # equation applied in submission order.
+        # equation applied in submission order. A SINGLE blended draw with
+        # a non-kernel-safe shader keeps the winner-resolve + dense
+        # shade+blend path (correct unless its own geometry self-overlaps;
+        # the kernel path handles even that when the shader is safe).
         fs = pipeline.fragment_shader
-        if fs is None or not fs.kernel_safe:
-            raise ValueError(
-                "draw_indexed_batch with blending needs a KERNEL-SAFE "
-                "fragment shader (Shader.fragment(..., kernel_safe=True): "
-                "pure elementwise jnp, no texture sampling) — the blend "
-                "runs per fragment in submission order inside the raster "
-                "kernel. Alternatively submit blended draws individually "
-                "(one full-screen shade+blend per draw)."
+        kernel_ok = fs is not None and fs.kernel_safe
+        if kernel_ok:
+            assert len(colors) == 1, (
+                "blend batch: exactly one color attachment"
             )
-        assert len(colors) == 1, "blend batch: exactly one color attachment"
-        assert state.multisample.samples == 1, "blend batch: MSAA unsupported"
-        assert not ds.stencil_test_enable, "blend batch: stencil unsupported"
-        return _draw_batch_blend(
-            colors, depth, pipeline, draws, grid,
-            interpret=interpret, viewport=viewport,
-            entry_budget=entry_budget, budget_scale=budget_scale,
-        )
+            assert state.multisample.samples == 1, (
+                "blend batch: MSAA unsupported"
+            )
+            assert not ds.stencil_test_enable, (
+                "blend batch: stencil unsupported"
+            )
+            return _draw_batch_blend(
+                colors, depth, pipeline, draws, grid,
+                interpret=interpret, viewport=viewport,
+                entry_budget=entry_budget, budget_scale=budget_scale,
+            )
+        if n_draws > 1:
+            raise ValueError(
+                "draw_indexed_batch with blending across multiple draws "
+                "needs a KERNEL-SAFE fragment shader (Shader.fragment(..., "
+                "kernel_safe=True): pure elementwise jnp, no texture "
+                "sampling) — the blend runs per fragment in submission "
+                "order inside the raster kernel. Alternatively submit "
+                "blended draws individually (one full-screen shade+blend "
+                "per draw)."
+            )
 
     layout = pipeline.vertex_layout
     depth_bias = None
@@ -779,12 +808,7 @@ def draw_indexed_batch(
             builtins = _dc_replace(builtins, draw_id=draw_id[..., 0])
         frag_out = fs.fn(varyings, fs_res, builtins)
         _warn_unused_bindings(fs, fs_res)
-        if isinstance(frag_out, (list, tuple)):
-            frag_list = list(frag_out)
-        elif isinstance(frag_out, dict):
-            frag_list = [frag_out[k] for k in sorted(frag_out)]
-        else:
-            frag_list = [frag_out]
+        frag_list = _normalize_frag_out(frag_out)
         descs = pipeline.desc.color_attachment_descs or tuple(
             None for _ in new_colors
         )

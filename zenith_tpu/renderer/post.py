@@ -43,6 +43,12 @@ def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample2(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     up = jnp.repeat(jnp.repeat(img, 2, axis=0), 2, axis=1)
+    # Odd targets: 2x-repeat of floor(n/2) rows yields n-1 — edge-pad the
+    # short side (1080p mip chains hit odd heights: 1080→540→270→135→67).
+    pad_h = max(0, h - up.shape[0])
+    pad_w = max(0, w - up.shape[1])
+    if pad_h or pad_w:
+        up = jnp.pad(up, ((0, pad_h), (0, pad_w), (0, 0)), mode="edge")
     return up[:h, :w]
 
 

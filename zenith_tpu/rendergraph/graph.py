@@ -352,6 +352,21 @@ def _capture_key_uncached(v, depth: int, memo: "Optional[dict]"):
     return ("cap-obj", type(v).__qualname__, fields)
 
 
+
+def _mip_splice(cur: tuple, mip: int, arr) -> tuple:
+    """Replace one level of a mip-chain tuple (shared by lambda ctx.set and
+    the graphic-node attachment store — keep in sync by having ONE copy)."""
+    return cur[:mip] + (arr,) + cur[mip + 1:]
+
+
+def _layer_splice(cur, layer: int, arr):
+    """Write one array layer back; (H, W) depth planes expand to the
+    stored (L, H, W, 1) channel layout."""
+    if cur.ndim == arr.ndim + 2:
+        arr = arr[..., None]
+    return cur.at[layer].set(arr)
+
+
 class _NodeContextBase:
     def __init__(self, graph: "RenderGraph", node: GraphNode,
                  state: Dict[int, Any], dynamics: Dict[str, Any],
@@ -454,9 +469,9 @@ class LambdaNodeExecutionContext(_NodeContextBase):
             assert isinstance(cur, tuple), (
                 f"resource #{rid} has no mip chain (write with mip={mip})"
             )
-            self._state[rid] = cur[:mip] + (value,) + cur[mip + 1:]
+            self._state[rid] = _mip_splice(cur, mip, value)
         elif layer is not None:
-            self._state[rid] = cur.at[layer].set(value)
+            self._state[rid] = _layer_splice(cur, layer, value)
         else:
             off, size = brange
             self._state[rid] = cur.at[off:off + size].set(value)
@@ -905,7 +920,8 @@ class RenderGraph:
                     return cur
 
                 def att_store(rid, amip, alayer, arr):
-                    """Write an attachment sub-surface back into state."""
+                    """Write an attachment sub-surface back into state
+                    (same splice rules as lambda ctx.set — shared helpers)."""
                     if isinstance(state.get(rid), tuple) or (
                         resources[rid].texture_desc() is not None
                         and resources[rid].texture_desc().mip_levels > 1
@@ -913,15 +929,12 @@ class RenderGraph:
                         cur = state.get(rid)
                         if cur is None or not isinstance(cur, tuple):
                             cur = self._materialize_default(rid)
-                        state[rid] = cur[:amip] + (arr,) + cur[amip + 1:]
+                        state[rid] = _mip_splice(cur, amip, arr)
                     elif alayer is not None:
                         cur = state.get(rid)
                         if cur is None:
                             cur = self._materialize_default(rid)
-                        if cur.ndim == arr.ndim + 2:
-                            # (H, W) depth plane into a (L, H, W, 1) array.
-                            arr = arr[..., None]
-                        state[rid] = cur.at[alayer].set(arr)
+                        state[rid] = _layer_splice(cur, alayer, arr)
                     else:
                         state[rid] = arr
                 viewport = None

@@ -90,7 +90,10 @@ def build_atlas(
             )
             w_i = h_i = 1
         else:
-            cell = np.asarray(tex.array, np.float32)
+            # host_linear(), NOT np.asarray(tex.array): a device readback
+            # here would poison async dispatch for the whole process before
+            # the first frame even renders (PERF.md measurement traps).
+            cell = np.asarray(tex.host_linear(), np.float32)
             if cell.ndim == 2:
                 cell = cell[..., None]
             if cell.shape[-1] < channels:

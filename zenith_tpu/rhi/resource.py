@@ -219,13 +219,33 @@ class Texture:
     """
 
     def __init__(self, desc: TextureDesc, array: Optional[jax.Array] = None,
-                 mips: "Optional[list[jax.Array]]" = None):
+                 mips: "Optional[list[jax.Array]]" = None,
+                 host_pixels: "Optional[np.ndarray]" = None):
         if array is None:
             array = jnp.zeros(desc.device_shape(),
                               dtype=desc.format.compute_dtype)
         self.desc = desc
         self.array = array
         self.mips = mips  # mips[0] is `array` when present
+        # Decoded linear host copy, kept by the from_numpy ctors. Host-side
+        # consumers (atlas packing) MUST use this: reading ``array`` back
+        # with np.asarray is a device→host copy, which permanently poisons
+        # async dispatch on this backend (see PERF.md measurement traps).
+        self.host_pixels = host_pixels
+
+    def host_linear(self) -> np.ndarray:
+        """Linear float host pixels WITHOUT a device read when possible."""
+        if self.host_pixels is not None:
+            return self.host_pixels
+        import warnings
+
+        warnings.warn(
+            f"Texture {self.desc.name!r} has no host copy — falling back to "
+            f"a device readback, which degrades async dispatch for the "
+            f"rest of the process on this backend (PERF.md).",
+            stacklevel=2,
+        )
+        return np.asarray(self.array)
 
     @staticmethod
     def from_numpy(name: str, pixels: np.ndarray, format: Format,
@@ -250,7 +270,9 @@ class Texture:
             levels = len(mips_np)
         desc = TextureDesc(name, w, h, format, usage, mip_levels=levels)
         mips_dev = [jax.device_put(m) for m in mips_np]
-        return Texture(desc, mips_dev[0], mips=mips_dev if levels > 1 else None)
+        return Texture(desc, mips_dev[0],
+                       mips=mips_dev if levels > 1 else None,
+                       host_pixels=np.ascontiguousarray(linear, np.float32))
 
     @staticmethod
     def from_numpy_layers(name: str, pixels: np.ndarray, format: Format,
