@@ -77,9 +77,13 @@ def bench_scene() -> "tuple[str, float] | None":
     img = frame(0.0)
     jax.block_until_ready(img)
 
+    # min over reps: host steal on this shared VM is strictly ADDITIVE
+    # noise (it can only make a rep slower, never faster), so the fastest
+    # rep is the least-biased estimator of the true frame cost. PERF.md
+    # documents the observed band across runs.
     n = 120
     times = []
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.perf_counter()
         for i in range(n):
             img = frame(0.3 + rep + i * 0.004)

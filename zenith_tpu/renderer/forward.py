@@ -290,14 +290,12 @@ class ForwardShadowRenderer:
             "fwd.shadow_noffs", np.float32(sun.effective_normal_offset)
         )
         for obj in scene.objects:
-            builder.set_dynamic(f"fwd.model.{obj.name}", obj.model_matrix)
-            builder.set_dynamic(
-                f"fwd.base_color.{obj.name}", np.asarray(obj.base_color, np.float32)
-            )
+            n_model, n_bc, _n_mat, n_inst = obj.dyn_names("fwd")
+            builder.set_dynamic(n_model, obj.model_matrix)
+            builder.set_dynamic(n_bc, obj.base_color_array())
             if obj.instance_offsets is not None:
                 builder.set_dynamic(
-                    f"fwd.inst.{obj.name}",
-                    np.asarray(obj.instance_offsets, np.float32),
+                    n_inst, np.asarray(obj.instance_offsets, np.float32)
                 )
         plain_ix = [i for i, o in enumerate(scene.objects)
                     if o.instance_offsets is None]

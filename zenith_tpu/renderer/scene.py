@@ -53,6 +53,48 @@ class SceneObject:
     def instance_count(self) -> int:
         return 1 if self.instance_offsets is None else len(self.instance_offsets)
 
+    def dyn_names(self, prefix: str) -> "tuple[str, str, str, str]":
+        """Cached dynamic-name strings (model, base_color, mat, inst) —
+        f-string formatting per object per frame measured on the host
+        path. Recomputed if the object is renamed."""
+        cache = self.__dict__.get("_dyn_names")
+        if cache is not None and cache[0] == (prefix, self.name):
+            return cache[1]
+        names = (
+            f"{prefix}.model.{self.name}",
+            f"{prefix}.base_color.{self.name}",
+            f"{prefix}.mat.{self.name}",
+            f"{prefix}.inst.{self.name}",
+        )
+        self.__dict__["_dyn_names"] = ((prefix, self.name), names)
+        return names
+
+    def base_color_array(self) -> np.ndarray:
+        """float32 base color, cached by value (the per-frame np.asarray
+        of a tuple measured on the host path)."""
+        key = tuple(map(float, self.base_color))
+        cache = self.__dict__.get("_bc_cache")
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        arr = np.asarray(key, np.float32)
+        self.__dict__["_bc_cache"] = (key, arr)
+        return arr
+
+    def mat_params_array(self) -> np.ndarray:
+        """(metallic, roughness, emissive_luma, 0) float32, cached by
+        value."""
+        em = tuple(map(float, np.atleast_1d(np.asarray(self.emissive))))
+        key = (float(self.metallic), float(self.roughness), em)
+        cache = self.__dict__.get("_mat_cache")
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        lum = sum(em) / max(len(em), 1)
+        arr = np.asarray(
+            [key[0], key[1], lum, 0.0], np.float32
+        )
+        self.__dict__["_mat_cache"] = (key, arr)
+        return arr
+
     def __zenith_capture_key__(self):
         """Trace-shaping fields only (the render-graph capture-key protocol,
         rendergraph.graph._capture_key). The np arrays (model_matrix,
