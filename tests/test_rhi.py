@@ -168,6 +168,40 @@ class TestBindings:
             _ = res["Nope"]
 
 
+class TestDebugNames:
+    def test_set_debug_name_overrides_desc_name(self):
+        import numpy as np
+
+        core = RhiCore()
+        device = core.create_render_device()
+        b = device.upload_buffer("vb", np.zeros((3, 8), np.float32))
+        assert b.debug_name == "vb"
+        assert device.set_debug_name(b, "hero.vertices") is b
+        assert b.debug_name == "hero.vertices"
+
+    def test_validate_warnings_carry_names(self, caplog, monkeypatch):
+        import logging
+
+        import numpy as np
+
+        from zenith_tpu.rendergraph import RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, TextureDesc
+
+        monkeypatch.setenv("ZENITH_VALIDATE", "1")
+        core = RhiCore()
+        device = core.create_render_device()
+        builder = RenderGraphBuilder()
+        tex = builder.create(TextureDesc.color("my.orphan", 8, 8))
+        node = builder.add_lambda_node("writer")
+        dst = node.write(tex)
+        node.execute(lambda ctx: ctx.set(
+            dst, __import__("jax.numpy", fromlist=["x"]).zeros((8, 8, 4))
+        ))
+        with caplog.at_level(logging.WARNING):
+            builder.build().compile(device, PipelineCache())
+        assert any("my.orphan" in r.message for r in caplog.records)
+
+
 class TestSwapchain:
     def test_ring_and_backpressure(self):
         import jax.numpy as jnp

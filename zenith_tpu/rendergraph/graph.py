@@ -72,9 +72,9 @@ def _validate_graph(resources, nodes, exports) -> None:
             read_ever.add(rid)
             if not resources[rid].is_imported and rid not in written:
                 logger.warning(
-                    "[validate] node '%s' reads managed resource #%d before "
-                    "any node wrote it — it will be all zeros",
-                    node.name, rid,
+                    "[validate] node '%s' reads managed resource #%d (%s) "
+                    "before any node wrote it — it will be all zeros",
+                    node.name, rid, resources[rid].name,
                 )
         for a in node.outputs:
             written.add(a.resource_id)
@@ -85,8 +85,8 @@ def _validate_graph(resources, nodes, exports) -> None:
             and rid not in exports
         ):
             logger.warning(
-                "[validate] managed resource #%d is written but never read "
-                "or exported — dead work", rid,
+                "[validate] managed resource #%d (%s) is written but never "
+                "read or exported — dead work", rid, resources[rid].name,
             )
 
 

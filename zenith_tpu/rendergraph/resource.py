@@ -94,7 +94,8 @@ class InitialResourceStorage:
     @property
     def name(self) -> str:
         if self.imported is not None:
-            return self.imported.desc.name
+            return getattr(self.imported, "debug_name", None) or \
+                self.imported.desc.name
         return self.desc.name if self.desc is not None else "?"
 
     def texture_desc(self) -> Optional[TextureDesc]:

@@ -155,6 +155,20 @@ class RenderDevice:
             del self._in_flight[:32]
         return array
 
+    # -- debug names (reference device.rs:16-68) ------------------------------
+
+    def set_debug_name(self, obj: Any, name: str) -> Any:
+        """Attach a debug name to any RHI object — the
+        ``set_debug_utils_object_name`` analog (device.rs:16-68). Resources
+        default to their desc name; an explicit debug name overrides it in
+        diagnostics (validation warnings, graph hazard messages). Returns
+        ``obj`` for chaining, like the reference's builder style."""
+        try:
+            obj.debug_name = name
+        except AttributeError:
+            object.__setattr__(obj, "debug_name", name)
+        return obj
+
     # -- uploads (the UploadPool analog, reference upload.rs) ----------------
 
     def upload_buffer(self, name: str, data: np.ndarray,

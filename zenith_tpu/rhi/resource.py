@@ -120,6 +120,16 @@ class Buffer:
     def with_array(self, array: jax.Array) -> "Buffer":
         return Buffer(self.desc, array)
 
+    @property
+    def debug_name(self) -> str:
+        """Diagnostics name: explicit set_debug_name override, else the
+        desc name (reference DebuggableObject, device.rs:16-68)."""
+        return getattr(self, "_debug_name", None) or self.desc.name
+
+    @debug_name.setter
+    def debug_name(self, value: str) -> None:
+        self._debug_name = value
+
     def read_back(self) -> np.ndarray:
         return np.asarray(self.array)
 
@@ -246,6 +256,16 @@ class Texture:
             stacklevel=2,
         )
         return np.asarray(self.array)
+
+    @property
+    def debug_name(self) -> str:
+        """Diagnostics name: explicit set_debug_name override, else the
+        desc name (reference DebuggableObject, device.rs:16-68)."""
+        return getattr(self, "_debug_name", None) or self.desc.name
+
+    @debug_name.setter
+    def debug_name(self, value: str) -> None:
+        self._debug_name = value
 
     @staticmethod
     def from_numpy(name: str, pixels: np.ndarray, format: Format,
