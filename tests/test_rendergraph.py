@@ -669,3 +669,45 @@ class TestCaptureMemoDepth:
         shallow_fresh = _capture_key(x, memo={})
         assert shallow_after_deep == shallow_fresh
         assert shallow_fresh[0] == "cap-np"  # content, not a stub
+
+
+class TestCaptureSelfCheck:
+    def test_mutated_big_capture_warns_on_cadence(self, monkeypatch, caplog):
+        """Validate-mode capture self-check (1-in-64 cache hits): a big
+        host np array captured by a closure is keyed by SHAPE only; if its
+        CONTENT changes while the cached program is served, the self-check
+        warns (the baked constants are stale)."""
+        import logging
+
+        import numpy as np
+
+        import zenith_tpu.rendergraph.graph as G
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        monkeypatch.setenv("ZENITH_VALIDATE", "1")
+        monkeypatch.setattr(G, "_SELFCHECK_TICK", 0)
+        monkeypatch.setattr(G, "_DEEP_FP_CACHE", {})
+        device = RhiCore().create_render_device()
+        pcache = PipelineCache()
+        big = np.zeros((1000,), np.float32)
+
+        def build():
+            builder = RenderGraphBuilder()
+            out = builder.create(TextureDesc.color("o", 8, 8))
+            builder.export(out)
+            node = builder.add_lambda_node("n")
+            dst = node.write(out)
+
+            def record(ctx):
+                ctx.set(dst, jnp.zeros((8, 8, 4)) + float(big[0]) * 0)
+
+            node.execute(record)
+            return builder.build()
+
+        with caplog.at_level(logging.WARNING):
+            for _ in range(70):
+                build().compile(device, pcache)
+            big[:] = 7.0  # in-place mutation: same shape, stale program
+            for _ in range(70):
+                build().compile(device, pcache)
+        assert any("self-check" in r.message for r in caplog.records)

@@ -721,6 +721,31 @@ class RenderGraph:
         add(tuple(sorted(self.exports)))
         return tuple(parts)
 
+    def _deep_capture_fingerprint(self) -> "tuple":
+        """Validate-mode self-check: content fingerprints of the BIG host np
+        arrays captured by node closures — the one place the structure key
+        deliberately keys by shape only (content-hashing them every frame
+        would defeat the cache). Device arrays stay shape-keyed even here:
+        reading them back would poison async dispatch (PERF.md traps).
+        Cost ~GB/s via the native hash; run on a cadence, not per frame."""
+        from zenith_tpu.core.collections import default_hasher
+
+        fps: List[tuple] = []
+        for node in self.nodes:
+            if node.job is None:
+                continue
+            for cell in node.job.__closure__ or ():
+                try:
+                    v = cell.cell_contents
+                except ValueError:
+                    continue
+                if isinstance(v, _np.ndarray) and v.size > 256:
+                    fps.append((
+                        node.index, v.shape,
+                        default_hasher(_np.ascontiguousarray(v).tobytes()),
+                    ))
+        return tuple(fps)
+
     # -- compile ---------------------------------------------------------------
 
     def compile(
@@ -748,10 +773,32 @@ class RenderGraph:
 
         key = _HKey(self._structure_key(options, dyn_metas, other_dyn))
         cached = _FRAME_PROGRAM_CACHE.get(key)
-        global _MISS_STREAK
+        global _MISS_STREAK, _SELFCHECK_TICK
         if cached is not None:
             _FRAME_PROGRAM_CACHE.move_to_end(key)
             _MISS_STREAK = 0
+            if _validate_enabled():
+                # Capture self-check (1-in-64 cache hits): the structure
+                # key keys big host np captures by SHAPE only; verify their
+                # CONTENT hasn't drifted under a cached program.
+                _SELFCHECK_TICK += 1
+                if _SELFCHECK_TICK % 64 == 0:
+                    deep = self._deep_capture_fingerprint()
+                    prev = _DEEP_FP_CACHE.get(key)
+                    if prev is None:
+                        if len(_DEEP_FP_CACHE) > 256:
+                            _DEEP_FP_CACHE.clear()
+                        _DEEP_FP_CACHE[key] = deep
+                    elif prev != deep:
+                        logger.warning(
+                            "[validate] capture self-check: a closure-"
+                            "captured big np array CHANGED CONTENT while "
+                            "the frame-program cache served the same "
+                            "program — its old values are baked in. Route "
+                            "per-frame arrays through builder.set_dynamic "
+                            "or import_resource."
+                        )
+                        _DEEP_FP_CACHE[key] = deep
         else:
             cached = jax.jit(
                 self._build_frame_fn(active_nodes, options, dyn_metas)
@@ -1145,6 +1192,10 @@ def set_frame_program_cache_limit(n: int) -> None:
 # its ALL_COMMANDS-barrier perf warning, graph.rs:383-385).
 _MISS_STREAK = 0
 _MISS_STREAK_WARN_AT = 4
+
+# Validate-mode capture self-check state (see compile()).
+_SELFCHECK_TICK = 0
+_DEEP_FP_CACHE: "dict" = {}
 
 
 def frame_program_cache_size() -> int:
