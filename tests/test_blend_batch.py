@@ -231,3 +231,74 @@ class TestBatchedBlend:
         out = _batched(pipe, draws)
         cx, cy = W // 2, H // 2
         np.testing.assert_allclose(out[cy, cx, :3], [0.0, 1.0, 0.0], atol=1e-5)
+
+
+class TestDeferredGlassPass:
+    def test_translucent_object_blends_over_lit_scene(self):
+        """SceneObject(translucent=True) draws through the deferred
+        renderer's glass node (in-order blend kernel) AFTER lighting:
+        src-alpha-over of the pane tint over the lit background."""
+        import numpy as np
+
+        from zenith_tpu.core.camera import Camera
+        from zenith_tpu.core.mathtypes import Degree, Radians, mat4_translation
+        from zenith_tpu.renderer import DeferredRenderer
+        from zenith_tpu.renderer.scene import DirectionalLight, Scene, SceneObject
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        core = RhiCore()
+        device = core.create_render_device()
+        w, h = 128, 64
+
+        def render(with_pane):
+            ground = SceneObject.quad(
+                device, "ground", size=80.0, z=0.0,
+                base_color=(0.2, 0.6, 0.2, 1.0), roughness=0.8,
+            )
+            objects = [ground]
+            if with_pane:
+                pane = SceneObject.quad(
+                    device, "pane", size=30.0, z=0.0,
+                    base_color=(0.2, 0.3, 1.0, 0.5), translucent=True,
+                )
+                rot = np.array(
+                    [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+                    np.float32,
+                )
+                pane.model_matrix = (
+                    mat4_translation(np.array([0.0, -10.0, 12.0], np.float32))
+                    @ rot
+                ).astype(np.float32)
+                objects.append(pane)
+            scene = Scene(
+                objects=objects,
+                sun=DirectionalLight(
+                    direction=(0.3, -0.4, 0.85), cast_shadows=False
+                ),
+            )
+            renderer = DeferredRenderer(scene)
+            cam = Camera(fov_y=Degree(45.0), aspect_ratio=w / h)
+            cam.set_position(np.array([0.0, -60.0, 20.0], np.float32))
+            cam.set_yaw_pitch(Radians(0.0), Radians(-0.25))
+            builder = RenderGraphBuilder()
+            out = builder.create(TextureDesc.color("out", w, h))
+            builder.export(out)
+            renderer.render_to(builder, out, cam, w, h)
+            compiled = builder.build().compile(
+                device, PipelineCache(), CompileOptions(tile_h=8, tile_w=128)
+            )
+            compiled.execute(device)
+            return np.asarray(compiled.value(out))
+
+        base = render(False)
+        glassy = render(True)
+        diff = np.abs(glassy[..., :3] - base[..., :3]).max(axis=-1)
+        changed = diff > 5e-3
+        assert changed.sum() > 100, "glass pane changed no pixels"
+        ys, xs = np.nonzero(changed)
+        cy, cx = int(np.median(ys)), int(np.median(xs))
+        # Blend, not overwrite: pane pixels are neither the pure background
+        # nor the pure tint.
+        assert glassy[cy, cx, 2] > base[cy, cx, 2]  # blue tint shows
+        assert glassy[cy, cx, 1] > 0.02  # background green still visible

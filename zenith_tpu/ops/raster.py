@@ -592,6 +592,16 @@ def raster_segmented_blend(
         ],
     )
 
+    # At mid resolutions the aliased (4, H, W) color output "fits"
+    # per-buffer in VMEM, so the compiler staged the aliased outputs on
+    # the kernel's scoped-vmem stack and blew its default 16 MB limit
+    # (observed at 960x540; 1080p escaped because nothing fit). Raise the
+    # kernel's vmem budget to cover staging up to ~4K surfaces; beyond
+    # that the buffers exceed VMEM entirely and stay in HBM.
+    vmem_budget = min(
+        100 * 1024 * 1024,
+        max(32 * 1024 * 1024, 3 * (5 * hp * wp * 4)),
+    )
     out_z, out_c = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -600,6 +610,7 @@ def raster_segmented_blend(
             jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
         ],
         input_output_aliases={7: 0, 8: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
         interpret=interpret,
     )(
         bins.blk_tile_y,

@@ -175,6 +175,36 @@ def _make_gbuffer_fs(textured: bool, use_normal: bool = False,
     return _gbuffer_fs
 
 
+def _glass_vs(attrs, res):
+    pos = attrs["position"]
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    return {
+        "position": world @ res["ViewProj"].T,
+        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+    }
+
+
+def _glass_fs(varyings, res, builtins):
+    """KERNEL-SAFE translucent shading (runs inside the in-order blend
+    kernel): component-wise lambert tint — no texture sampling, no
+    reductions, only elementwise ops and minor-dim slices of f32 planes."""
+    n = varyings["normal"]
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    inv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-8)
+    l = res["SunDir"]
+    # Two-sided panes: |N·L| (abs BEFORE any clamp).
+    ndl = jnp.abs((nx * l[..., 0] + ny * l[..., 1] + nz * l[..., 2]) * inv)
+    c = res["BaseColor"]
+    shade = 0.35 + 0.65 * ndl
+    return jnp.stack(
+        [c[..., 0] * shade, c[..., 1] * shade, c[..., 2] * shade,
+         jnp.broadcast_to(c[..., 3], shade.shape)],
+        axis=-1,
+    )
+
+
 def _ggx_brdf(n, v, l, albedo, metallic, roughness):
     """Cook-Torrance GGX (Trowbridge-Reitz NDF, Smith-Schlick G, Schlick F)."""
     h = l + v
@@ -329,6 +359,49 @@ class DeferredRenderer:
         self._ca_clear0 = ColorAttachmentDesc(clear_value=(0, 0, 0, 0))
         self._ca_clear01 = ColorAttachmentDesc(clear_value=(0, 0, 0, 1))
         self._ca_load = ColorAttachmentDesc(load_op=LoadOp.LOAD)
+        # Translucent (glass) pass: draws AFTER the lighting resolve via the
+        # in-order blend kernel (kernel-safe fragment shader), standard
+        # src-alpha-over blending, depth-tested against the G-buffer depth
+        # with writes off (the standard translucent pipeline).
+        from zenith_tpu.rhi.state import BlendFactor as _BF
+
+        self.has_translucents = any(o.translucent for o in objs)
+        if self.has_translucents:
+            assert not any(
+                o.translucent and o.instance_offsets is not None for o in objs
+            ), "instanced translucent objects are unsupported"
+            self.glass_vs = Shader.vertex(
+                "glass.vs", _glass_vs,
+                bindings=[uniform("Model"), uniform("ViewProj")],
+                inputs=[attr("position", 3), attr("normal", 3)],
+            )
+            self.glass_fs = Shader.fragment(
+                "glass.fs", _glass_fs,
+                bindings=[uniform("BaseColor"), uniform("SunDir")],
+                kernel_safe=True,
+            )
+            self._glass_si = GraphicShaderInput(
+                self.glass_vs, self.glass_fs, VERTEX_LAYOUT
+            )
+            self._glass_state = GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE),
+            )
+            self._glass_over = ColorAttachmentDesc(
+                blend_enable=True,
+                src_color_blend=_BF.SRC_ALPHA,
+                dst_color_blend=_BF.ONE_MINUS_SRC_ALPHA,
+                src_alpha_blend=_BF.ONE,
+                dst_alpha_blend=_BF.ONE_MINUS_SRC_ALPHA,
+                load_op=LoadOp.LOAD,
+            )
+            self._glass_depth = _dc_replace(
+                DepthStencilDesc(
+                    depth_test_enable=True,
+                    depth_write_enable=False,
+                    depth_compare_op=CompareOp.GREATER,
+                ),
+                depth_load_op=LoadOp.LOAD,
+            )
 
     def frame_dynamics(self, camera: Camera) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
@@ -402,11 +475,14 @@ class DeferredRenderer:
                     np.asarray(obj.instance_offsets, np.float32),
                 )
         # Instanced objects draw through their own nodes (one pipeline per
-        # node; the instanced vertex stage differs).
+        # node; the instanced vertex stage differs); translucent objects
+        # skip the opaque passes (shadow + G-buffer) and draw in the glass
+        # node after lighting.
         plain_ix = [i for i, o in enumerate(scene.objects)
-                    if o.instance_offsets is None]
+                    if o.instance_offsets is None and not o.translucent]
         inst_ix = [i for i, o in enumerate(scene.objects)
-                   if o.instance_offsets is not None]
+                   if o.instance_offsets is not None and not o.translucent]
+        trans_ix = [i for i, o in enumerate(scene.objects) if o.translucent]
 
         handles = [
             (
@@ -691,3 +767,39 @@ class DeferredRenderer:
             ctx.set(out_w, out)
 
         node.execute(record_lighting)
+
+        # -- node: glass (translucent forward pass over the lit HDR) -----------
+        if trans_ix:
+            gnode = builder.add_graphic_node("glass")
+            g_acc = {
+                i: (gnode.read(handles[i][0]), gnode.read(handles[i][1]))
+                for i in trans_ix
+            }
+            gnode.read(output)
+            gnode.read(g_depth)
+            out_rt = gnode.write(output)
+            out_ds = gnode.write(g_depth)
+            with gnode.pipeline(self._glass_si, self._glass_state) as binder:
+                binder.push_color(out_rt, self._glass_over)
+                binder.set_depth(out_ds, self._glass_depth)
+
+            def record_glass(ctx):
+                ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+                sun_dir = (
+                    ctx.dynamic("def.sun_dir") if has_sun
+                    else jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+                )
+                draws = []
+                for i in trans_ix:
+                    obj = objects[i]
+                    vba, iba = g_acc[i]
+                    n_model, n_bc, _nm, _ni = obj.dyn_names("def")
+                    draws.append((vba, iba, {
+                        "Model": ctx.dynamic(n_model),
+                        "ViewProj": ctx.dynamic("def.view_proj"),
+                        "BaseColor": ctx.dynamic(n_bc),
+                        "SunDir": sun_dir,
+                    }))
+                ctx.draw_indexed_batch(draws)
+
+            gnode.execute(record_glass)

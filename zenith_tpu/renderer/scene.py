@@ -48,6 +48,10 @@ class SceneObject:
     # translations, one per instance. The renderers draw the object once
     # with instance_count=I; the vertex stage adds the per-instance offset.
     instance_offsets: "Optional[np.ndarray]" = None
+    # Translucent objects draw AFTER the lighting resolve through the
+    # order-correct in-kernel blend path (ops.raster._segmented_blend_kernel)
+    # with src-alpha-over blending; base_color's alpha is the opacity.
+    translucent: bool = False
 
     @property
     def instance_count(self) -> int:
@@ -109,6 +113,7 @@ class SceneObject:
             self.bin_capacity, self.entry_budget,
             None if self.instance_offsets is None
             else tuple(self.instance_offsets.shape),
+            self.translucent,
             self.base_color_texture is not None,
             self.normal_texture is not None,
             self.mra_texture is not None,

@@ -139,7 +139,8 @@ def sky_cube_texture(size: int = 64):
 
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
                 textured: bool = False, skybox: bool = True,
-                instances: int = 0, gun_instances: int = 0) -> Scene:
+                instances: int = 0, gun_instances: int = 0,
+                glass: bool = False) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -214,6 +215,28 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
         )
 
     objects = [gun, ground]
+    if glass:
+        # Two standing translucent panes in front of the gun — drawn by the
+        # deferred renderer's glass node (in-order blend kernel).
+        span = float(np.linalg.norm(bmax - bmin))
+        for gi, (dx, tint) in enumerate([
+            (-0.4 * span, (0.4, 0.7, 1.0, 0.35)),
+            (0.4 * span, (1.0, 0.5, 0.4, 0.45)),
+        ]):
+            pane = SceneObject.quad(
+                render_device, f"pane{gi}", size=span * 0.6,
+                z=0.0, base_color=tint, translucent=True,
+            )
+            # Stand the quad up (rotate about X) and place it.
+            rot = np.array(
+                [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+                np.float32,
+            )
+            trans = m.mat4_translation(
+                np.array([dx, -0.4 * span, z_min + 0.4 * span], np.float32)
+            )
+            pane.model_matrix = (trans @ rot).astype(np.float32)
+            objects.append(pane)
     if instances > 0:
         # Instanced rock field: ONE draw, N instances (SceneObject
         # .instance_offsets → the deferred renderer's *.inst nodes).
@@ -253,6 +276,9 @@ class SceneApp(RenderableApp):
         parser.add_argument("--lights", type=int, default=100)
         parser.add_argument("--no-post", action="store_true")
         parser.add_argument("--textured", action="store_true")
+        parser.add_argument("--glass", action="store_true",
+                            help="two translucent panes through the "
+                                 "in-order blend kernel")
         parser.add_argument("--gun-instances", type=int, default=0,
                             help="instanced cerberus copies (geometry "
                                  "scaling; 30 ~= 1M submitted tris)")
@@ -268,6 +294,7 @@ class SceneApp(RenderableApp):
         self.retained = ns.retained
         self.instances = ns.instances
         self.gun_instances = ns.gun_instances
+        self.glass = ns.glass
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
         self.post_enabled = not ns.no_post
@@ -283,7 +310,8 @@ class SceneApp(RenderableApp):
         scene = build_scene(render_device, self.num_lights, rng,
                             textured=self.textured and self.mode == "deferred",
                             instances=self.instances,
-                            gun_instances=self.gun_instances)
+                            gun_instances=self.gun_instances,
+                            glass=self.glass and self.mode == "deferred")
         if self.mode == "deferred":
             self.renderer = DeferredRenderer(scene)
         else:
