@@ -276,6 +276,10 @@ class SceneApp(RenderableApp):
         parser.add_argument("--lights", type=int, default=100)
         parser.add_argument("--no-post", action="store_true")
         parser.add_argument("--textured", action="store_true")
+        parser.add_argument("--bloom-mips", type=int, default=0,
+                            help="bloom via a real downsampled mip chain "
+                                 "(render-to-mip sub-resource writes); "
+                                 "0 = single-node bloom")
         parser.add_argument("--glass", action="store_true",
                             help="two translucent panes through the "
                                  "in-order blend kernel")
@@ -295,6 +299,7 @@ class SceneApp(RenderableApp):
         self.instances = ns.instances
         self.gun_instances = ns.gun_instances
         self.glass = ns.glass
+        self.bloom_mips = ns.bloom_mips
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
         self.post_enabled = not ns.no_post
@@ -316,7 +321,10 @@ class SceneApp(RenderableApp):
             self.renderer = DeferredRenderer(scene)
         else:
             self.renderer = ForwardShadowRenderer(scene)
-        self.post = PostProcess() if self.post_enabled else None
+        self.post = (
+            PostProcess(bloom_mips=self.bloom_mips)
+            if self.post_enabled else None
+        )
         self.camera = Camera(
             fov_y=Degree(35.0), aspect_ratio=window.width / max(window.height, 1)
         )
