@@ -302,3 +302,44 @@ class TestDeferredGlassPass:
         # nor the pure tint.
         assert glassy[cy, cx, 2] > base[cy, cx, 2]  # blue tint shows
         assert glassy[cy, cx, 1] > 0.02  # background green still visible
+
+
+class TestBlendKernelPropertySweep:
+    """Randomized equivalence: N translucent triangles with random
+    geometry, colors, opacities and a random (factor, op) blend config —
+    the in-order kernel must match the sequential draw-by-draw reference
+    on every pixel."""
+
+    @pytest.mark.parametrize("seed", [7, 21, 99])
+    def test_random_scene_matches_sequential(self, seed):
+        from zenith_tpu.rhi.state import BlendFactor, BlendOp
+
+        rng = np.random.default_rng(seed)
+        factors = list(BlendFactor)
+        ops = [BlendOp.ADD, BlendOp.SUBTRACT, BlendOp.REVERSE_SUBTRACT]
+        ca = ColorAttachmentDesc(
+            blend_enable=True,
+            src_color_blend=factors[rng.integers(len(factors))],
+            dst_color_blend=factors[rng.integers(len(factors))],
+            color_blend_op=ops[rng.integers(len(ops))],
+            src_alpha_blend=factors[rng.integers(len(factors))],
+            dst_alpha_blend=factors[rng.integers(len(factors))],
+            alpha_blend_op=ops[rng.integers(len(ops))],
+            write_mask=tuple(bool(b) for b in rng.integers(0, 2, 4)) if
+            rng.uniform() < 0.3 else (True, True, True, True),
+        )
+        pipe = _pipeline(FS_SAFE, ca=ca)
+        n_draws = int(rng.integers(2, 6))
+        draws = []
+        for _ in range(n_draws):
+            z = float(rng.uniform(0.1, 0.9))
+            rgba = tuple(float(c) for c in rng.uniform(0, 1, 4))
+            dx = float(rng.uniform(-0.5, 0.5))
+            dy = float(rng.uniform(-0.3, 0.3))
+            scale = float(rng.uniform(0.3, 0.8))
+            tint = jnp.asarray(rng.uniform(0.2, 1.0, 4), jnp.float32)
+            draws.append((tri(z, rgba, scale=scale, dx=dx, dy=dy), IB,
+                          {"Tint": tint}))
+        np.testing.assert_allclose(
+            _batched(pipe, draws), _seq_reference(pipe, draws), atol=1e-5
+        )
