@@ -390,3 +390,85 @@ class TestBinarySwapCompositor:
         c_bs, z_bs = run(composite_depth)
         np.testing.assert_array_equal(np.asarray(z_bs), np.asarray(z_ref))
         np.testing.assert_array_equal(np.asarray(c_bs), np.asarray(c_ref))
+
+
+class TestDeferredSharded:
+    def test_deferred_scene_with_glass_sharded_matches_single(self, cpu_devices):
+        """The DEFERRED renderer (G-buffer MRT + tiled lighting + shadow
+        get_full + glass blend node) compiled over an 8-device mesh must
+        match the single-device render."""
+        import numpy as np
+
+        from zenith_tpu.core.camera import Camera
+        from zenith_tpu.core.mathtypes import Degree, Radians, mat4_translation
+        from zenith_tpu.parallel import default_mesh
+        from zenith_tpu.renderer import DeferredRenderer
+        from zenith_tpu.renderer.scene import (
+            DirectionalLight,
+            PointLight,
+            Scene,
+            SceneObject,
+        )
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        core = RhiCore()
+        device = core.create_render_device()
+        w, h = 128, 64  # 8 devices x tile_h 8
+
+        def build_objects():
+            ground = SceneObject.quad(
+                device, "ground", size=80.0, z=0.0,
+                base_color=(0.3, 0.5, 0.3, 1.0), roughness=0.8,
+            )
+            box = SceneObject.cube(
+                device, "box", size=14.0, z0=0.0,
+                base_color=(0.8, 0.3, 0.2, 1.0), roughness=0.5,
+            )
+            pane = SceneObject.quad(
+                device, "pane", size=25.0, z=0.0,
+                base_color=(0.3, 0.4, 1.0, 0.5), translucent=True,
+            )
+            rot = np.array(
+                [[1, 0, 0, 0], [0, 0, -1, 0], [0, 1, 0, 0], [0, 0, 0, 1]],
+                np.float32,
+            )
+            pane.model_matrix = (
+                mat4_translation(np.array([8.0, -18.0, 10.0], np.float32))
+                @ rot
+            ).astype(np.float32)
+            return [ground, box, pane]
+
+        def render(mesh):
+            scene = Scene(
+                objects=build_objects(),
+                sun=DirectionalLight(
+                    direction=(0.3, -0.4, 0.85), shadow_map_size=64,
+                    shadow_extent=60.0,
+                ),
+                point_lights=[
+                    PointLight(position=(10.0, -10.0, 8.0),
+                               color=(1.0, 0.4, 0.2), intensity=60.0),
+                    PointLight(position=(-12.0, 5.0, 6.0),
+                               color=(0.2, 0.4, 1.0), intensity=60.0),
+                ],
+            )
+            renderer = DeferredRenderer(scene)
+            cam = Camera(fov_y=Degree(45.0), aspect_ratio=w / h)
+            cam.set_position(np.array([0.0, -55.0, 22.0], np.float32))
+            cam.set_yaw_pitch(Radians(0.0), Radians(-0.3))
+            builder = RenderGraphBuilder()
+            out = builder.create(TextureDesc.color("out", w, h))
+            builder.export(out)
+            renderer.render_to(builder, out, cam, w, h)
+            options = CompileOptions(tile_h=8, tile_w=128, mesh=mesh)
+            compiled = builder.build().compile(
+                device, PipelineCache(), options
+            )
+            compiled.execute(device)
+            return np.asarray(compiled.value(out))
+
+        single = render(None)
+        sharded = render(default_mesh(8, backend="cpu"))
+        assert sharded.shape == single.shape
+        np.testing.assert_allclose(sharded, single, atol=2e-4)
