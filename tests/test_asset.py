@@ -207,3 +207,18 @@ class TestHotReload:
         assert [str(u) for u in reloaded] == [url]
         assert len(seen) == 1 and seen[0].get() is not None
         assert mgr.poll_hot_reload() == []  # settles
+
+
+class TestGlbRejection:
+    def test_glb_container_rejected_with_named_error(self, tmp_path):
+        """Reference parity: GLB binary containers are rejected (the
+        reference's buffer resolver rejects GLB bin chunks too,
+        gltf_loader.rs:372-396) — with a clear error, not a parse crash."""
+        import pytest
+
+        from zenith_tpu.asset.gltf_loader import GltfLoader
+
+        glb = tmp_path / "model.glb"
+        glb.write_bytes(b"glTF" + b"\x02\x00\x00\x00" + b"\x00" * 32)
+        with pytest.raises(ValueError, match="GLB"):
+            GltfLoader.load(str(glb))
