@@ -170,3 +170,91 @@ class TestBatchEquivalence:
             per_draw_uniforms=("Tint",),
         )
         assert np.asarray(colors[0])[..., 0].max() > 0.2
+
+
+def test_per_draw_uniforms_ride_records_at_high_draw_count(rng):
+    """Above 8 draws, per-draw uniforms switch from draw-id where-chains to
+    constant record columns — results must stay identical to the
+    sequential draw-by-draw reference."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from zenith_tpu.ops.binning import TileGrid
+    from zenith_tpu.ops.draw import draw_indexed, draw_indexed_batch
+    from zenith_tpu.rhi import (
+        ColorAttachmentDesc,
+        Format,
+        GraphicPipelineAttachments,
+        GraphicShaderInput,
+        Shader,
+        attr,
+        uniform,
+    )
+    from zenith_tpu.rhi.pipeline import GraphicPipeline, GraphicPipelineDesc
+    from zenith_tpu.rhi.state import (
+        CullMode,
+        DepthStencilDesc,
+        GraphicPipelineState,
+        RasterizationState,
+        VertexLayout,
+    )
+
+    W, H = 128, 32
+    grid = TileGrid(width=W, height=H, tile_h=8, tile_w=128)
+    layout = VertexLayout.from_fields(("position", 3),)
+
+    def vs(attrs, res):
+        p = attrs["position"]
+        return {"position": jnp.concatenate(
+            [p, jnp.ones((p.shape[0], 1), jnp.float32)], 1)}
+
+    def fs(varyings, res, builtins):
+        c = res["Color"]
+        return jnp.broadcast_to(c, builtins.depth.shape + (4,))
+
+    ds = DepthStencilDesc().reverse_z()
+    pipe = GraphicPipeline(GraphicPipelineDesc(
+        shader_input=GraphicShaderInput(
+            Shader.vertex("hi.vs", vs, inputs=[attr("position", 3)]),
+            Shader.fragment("hi.fs", fs, bindings=[uniform("Color")]),
+            layout,
+        ),
+        state=GraphicPipelineState(
+            rasterization=RasterizationState(cull_mode=CullMode.NONE),
+            depth_stencil=ds,
+        ),
+        attachments=GraphicPipelineAttachments(
+            color_formats=(Format.RGBA32F,), depth_format=Format.D32F
+        ),
+        color_attachment_descs=(ColorAttachmentDesc(),),
+        depth_attachment_desc=ds,
+    ))
+
+    ib = jnp.asarray([0, 1, 2], jnp.int32)
+    draws = []
+    for i in range(12):  # > 8: records path
+        z = 0.2 + 0.05 * i
+        dx = -0.8 + 0.14 * i
+        vb = jnp.asarray(
+            [[dx, -0.5, z], [dx + 0.35, 0.5, z], [dx - 0.35, 0.5, z]],
+            jnp.float32,
+        )
+        color = jnp.asarray(rng.uniform(0.1, 1.0, 4), jnp.float32)
+        draws.append((vb, ib, {"Color": color}))
+
+    colors_b = [jnp.zeros((H, W, 4), jnp.float32)]
+    depth_b = jnp.zeros((H, W), jnp.float32)
+    colors_b, _, _ = draw_indexed_batch(
+        colors_b, depth_b, pipe, draws, grid,
+        per_draw_uniforms=("Color",),
+    )
+
+    colors_s = [jnp.zeros((H, W, 4), jnp.float32)]
+    depth_s = jnp.zeros((H, W), jnp.float32)
+    for vb, ibx, res in draws:
+        colors_s, depth_s, _ = draw_indexed(
+            colors_s, depth_s, pipe, vb, ibx, res, grid
+        )
+    np.testing.assert_allclose(
+        np.asarray(colors_b[0]), np.asarray(colors_s[0]), atol=1e-5
+    )

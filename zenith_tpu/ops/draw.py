@@ -676,6 +676,16 @@ def draw_indexed_batch(
     if rast_state.depth_bias_enable:
         depth_bias = (rast_state.depth_bias_constant, rast_state.depth_bias_slope)
 
+    # Per-draw uniform routing flips with draw count. Small batches
+    # reconstruct each uniform plane from the (N, C) table by a draw-id
+    # where-chain (keeps the records slim — the r2 choice, measured best at
+    # a handful of draws). The chain is O(N) full-screen selects, so at
+    # many draws the uniforms instead ride the RECORDS as constant varying
+    # columns (a constant interpolates to itself; the blend path always
+    # does this) — cost then scales with records, not N·H·W. Measured:
+    # 64 plain-color objects 4.3 → flat with record-ridden uniforms.
+    uniforms_in_records = n_draws > 8 and bool(per_draw_uniforms)
+
     rec_parts = []
     corner_parts = []
     attr_layout = None
@@ -697,6 +707,13 @@ def draw_indexed_batch(
                      for v in vs_out.values()]
         this_layout.append(("__draw_id", 1))
         vary_cols.append(jnp.full((nv, 1), float(di), jnp.float32))
+        if uniforms_in_records:
+            for uname in per_draw_uniforms:
+                uval = jnp.asarray(res[uname], jnp.float32).reshape(-1)
+                this_layout.append((f"__u_{uname}", int(uval.shape[0])))
+                vary_cols.append(jnp.broadcast_to(
+                    uval[None, :], (nv, uval.shape[0])
+                ))
 
         if attr_layout is None:
             attr_layout = this_layout
@@ -772,8 +789,13 @@ def draw_indexed_batch(
     if fs is not None:
         # Per-draw uniform planes + resource tuples for everything else.
         fs_resources: Dict[str, Any] = {}
+        if uniforms_in_records:
+            for uname in per_draw_uniforms:
+                fs_resources[uname] = varyings.pop(f"__u_{uname}")
         for name in fs.reflection.binding_names():
-            if name in per_draw_uniforms:
+            if name in fs_resources:
+                continue
+            if name in per_draw_uniforms and not uniforms_in_records:
                 # (N, C) per-draw table → (H, W, C) plane by draw-id
                 # selection (N is small and static; a where-chain beats a
                 # per-pixel gather by orders of magnitude on this backend).

@@ -453,22 +453,25 @@ class DeferredRenderer:
             builder.set_dynamic(
                 "def.shadow_noffs", np.float32(sun.effective_normal_offset)
             )
-        for oi, obj in enumerate(scene.objects):
-            builder.set_dynamic(f"def.model.{obj.name}", obj.model_matrix)
-            if self.textured:
-                for aname, a in self._atlases.items():
-                    builder.set_dynamic(
-                        f"def.uvx.{aname}.{obj.name}", a.transform(oi)
-                    )
-            builder.set_dynamic(
-                f"def.base_color.{obj.name}", np.asarray(obj.base_color, np.float32)
-            )
-            lum = float(np.mean(np.asarray(obj.emissive)))
-            builder.set_dynamic(
-                f"def.mat.{obj.name}",
-                np.asarray([obj.metallic, obj.roughness, lum, 0.0], np.float32),
-            )
-
+        # ONE dynamic per FIELD, not per object×field: N objects previously
+        # declared 3N dynamics — 3N set_dynamic calls, 3N pack metas and 3N
+        # per-frame capture/key entries, ~50 µs/object of host time at 64
+        # objects. Stacked (N, ...) arrays collapse that to 3 dynamics;
+        # record closures slice their draw's row at trace time (static
+        # index, zero runtime cost).
+        builder.set_dynamic("def.models", np.stack(
+            [np.asarray(o.model_matrix, np.float32) for o in scene.objects]
+        ))
+        builder.set_dynamic("def.base_colors", np.stack(
+            [o.base_color_array() for o in scene.objects]
+        ))
+        builder.set_dynamic("def.mats", np.stack(
+            [o.mat_params_array() for o in scene.objects]
+        ))
+        if self.textured:
+            for aname, a in self._atlases.items():
+                builder.set_dynamic(f"def.uvx.{aname}", a.transforms)
+        for obj in scene.objects:
             if obj.instance_offsets is not None:
                 builder.set_dynamic(
                     f"def.inst.{obj.name}",
@@ -520,10 +523,11 @@ class DeferredRenderer:
 
             def record_shadow(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
+                models = ctx.dynamic("def.models")
                 if plain_ix:  # all-instanced scenes: clear-only node
                     ctx.draw_indexed_batch([
                         (accesses[i][0], accesses[i][1],
-                         {"Model": ctx.dynamic(f"def.model.{objects[i].name}")})
+                         {"Model": models[i]})
                         for i in plain_ix
                     ])
 
@@ -544,12 +548,13 @@ class DeferredRenderer:
 
                 def record_shadow_inst(ctx):
                     ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
+                    models = ctx.dynamic("def.models")
                     for i in inst_ix:
                         obj = objects[i]
                         vba, iba = inst_accesses[i]
                         ctx.draw_indexed(
                             vba, iba,
-                            {"Model": ctx.dynamic(f"def.model.{obj.name}")},
+                            {"Model": models[i]},
                             instance_count=obj.instance_count,
                             instance_data={
                                 "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
@@ -583,19 +588,24 @@ class DeferredRenderer:
             ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
             for name, acc in atlas_accesses.items():
                 ctx.bind(name, ctx.get(acc))
+            models = ctx.dynamic("def.models")
+            bcs = ctx.dynamic("def.base_colors")
+            mats = ctx.dynamic("def.mats")
+            uvx = {
+                aname: ctx.dynamic(f"def.uvx.{aname}")
+                for aname in atlas_accesses
+            }
             draws = []
             for i in plain_ix:
                 obj, (vba, iba) = objects[i], accesses[i]
                 res = {
-                    "Model": ctx.dynamic(f"def.model.{obj.name}"),
-                    "BaseColor": ctx.dynamic(f"def.base_color.{obj.name}"),
-                    "MatParams": ctx.dynamic(f"def.mat.{obj.name}"),
+                    "Model": models[i],
+                    "BaseColor": bcs[i],
+                    "MatParams": mats[i],
                 }
                 if textured:
                     for aname in atlas_accesses:
-                        res[_UVX_NAME[aname]] = ctx.dynamic(
-                            f"def.uvx.{aname}.{obj.name}"
-                        )
+                        res[_UVX_NAME[aname]] = uvx[aname][i]
                 draws.append((vba, iba, res))
             per_draw = ("BaseColor", "MatParams") + tuple(
                 _UVX_NAME[aname] for aname in atlas_accesses
@@ -632,19 +642,24 @@ class DeferredRenderer:
                 ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
                 for name, acc in inst_atlas.items():
                     ctx.bind(name, ctx.get(acc))
+                models = ctx.dynamic("def.models")
+                bcs = ctx.dynamic("def.base_colors")
+                mats = ctx.dynamic("def.mats")
+                uvx = {
+                    aname: ctx.dynamic(f"def.uvx.{aname}")
+                    for aname in inst_atlas
+                }
                 for i in inst_ix:
                     obj = objects[i]
                     vba, iba = inst_acc[i]
                     res = {
-                        "Model": ctx.dynamic(f"def.model.{obj.name}"),
-                        "BaseColor": ctx.dynamic(f"def.base_color.{obj.name}"),
-                        "MatParams": ctx.dynamic(f"def.mat.{obj.name}"),
+                        "Model": models[i],
+                        "BaseColor": bcs[i],
+                        "MatParams": mats[i],
                     }
                     if textured:
                         for aname in inst_atlas:
-                            res[_UVX_NAME[aname]] = ctx.dynamic(
-                                f"def.uvx.{aname}.{obj.name}"
-                            )
+                            res[_UVX_NAME[aname]] = uvx[aname][i]
                     ctx.draw_indexed(
                         vba, iba, res,
                         instance_count=obj.instance_count,
@@ -789,15 +804,15 @@ class DeferredRenderer:
                     ctx.dynamic("def.sun_dir") if has_sun
                     else jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
                 )
+                models = ctx.dynamic("def.models")
+                bcs = ctx.dynamic("def.base_colors")
                 draws = []
                 for i in trans_ix:
-                    obj = objects[i]
                     vba, iba = g_acc[i]
-                    n_model, n_bc, _nm, _ni = obj.dyn_names("def")
                     draws.append((vba, iba, {
-                        "Model": ctx.dynamic(n_model),
+                        "Model": models[i],
                         "ViewProj": ctx.dynamic("def.view_proj"),
-                        "BaseColor": ctx.dynamic(n_bc),
+                        "BaseColor": bcs[i],
                         "SunDir": sun_dir,
                     }))
                 ctx.draw_indexed_batch(draws)

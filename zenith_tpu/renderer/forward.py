@@ -289,13 +289,20 @@ class ForwardShadowRenderer:
         builder.set_dynamic(
             "fwd.shadow_noffs", np.float32(sun.effective_normal_offset)
         )
+        # One dynamic per FIELD (see deferred.render_to): stacked (N, ...)
+        # arrays instead of N separate dynamics; closures slice at trace
+        # time.
+        builder.set_dynamic("fwd.models", np.stack(
+            [np.asarray(o.model_matrix, np.float32) for o in scene.objects]
+        ))
+        builder.set_dynamic("fwd.base_colors", np.stack(
+            [o.base_color_array() for o in scene.objects]
+        ))
         for obj in scene.objects:
-            n_model, n_bc, _n_mat, n_inst = obj.dyn_names("fwd")
-            builder.set_dynamic(n_model, obj.model_matrix)
-            builder.set_dynamic(n_bc, obj.base_color_array())
             if obj.instance_offsets is not None:
                 builder.set_dynamic(
-                    n_inst, np.asarray(obj.instance_offsets, np.float32)
+                    f"fwd.inst.{obj.name}",
+                    np.asarray(obj.instance_offsets, np.float32),
                 )
         plain_ix = [i for i, o in enumerate(scene.objects)
                     if o.instance_offsets is None]
@@ -327,10 +334,10 @@ class ForwardShadowRenderer:
 
         def record_shadow(ctx):
             ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
+            models = ctx.dynamic("fwd.models")
             if plain_ix:  # all-instanced scenes: clear-only shadow node
                 ctx.draw_indexed_batch([
-                    (accesses[i][0], accesses[i][1],
-                     {"Model": ctx.dynamic(f"fwd.model.{objects[i].name}")})
+                    (accesses[i][0], accesses[i][1], {"Model": models[i]})
                     for i in plain_ix
                 ])
 
@@ -351,12 +358,13 @@ class ForwardShadowRenderer:
 
             def record_shadow_inst(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
+                models = ctx.dynamic("fwd.models")
                 for i in inst_ix:
                     obj = objects[i]
                     vba, iba = sh_inst_acc[i]
                     ctx.draw_indexed(
                         vba, iba,
-                        {"Model": ctx.dynamic(f"fwd.model.{obj.name}")},
+                        {"Model": models[i]},
                         instance_count=obj.instance_count,
                         instance_data={
                             "inst_offset": ctx.dynamic(f"fwd.inst.{obj.name}")
@@ -390,14 +398,14 @@ class ForwardShadowRenderer:
             # Whole-surface read: under an SPMD mesh the shadow map is
             # banded; get_full all_gathers it for PCF sampling.
             ctx.bind("ShadowMap", ctx.get_full(sm_read))
+            models = ctx.dynamic("fwd.models")
+            bcs = ctx.dynamic("fwd.base_colors")
             if plain_ix:  # all-instanced scenes: clear-only lit node
                 ctx.draw_indexed_batch(
                     [
                         (accesses2[i][0], accesses2[i][1], {
-                            "Model": ctx.dynamic(f"fwd.model.{objects[i].name}"),
-                            "BaseColor": ctx.dynamic(
-                                f"fwd.base_color.{objects[i].name}"
-                            ),
+                            "Model": models[i],
+                            "BaseColor": bcs[i],
                         })
                         for i in plain_ix
                     ],
@@ -433,16 +441,16 @@ class ForwardShadowRenderer:
                 ctx.bind("ShadowBias", ctx.dynamic("fwd.shadow_bias"))
                 ctx.bind("ShadowNormalOffset", ctx.dynamic("fwd.shadow_noffs"))
                 ctx.bind("ShadowMap", ctx.get_full(sm_read3))
+                models = ctx.dynamic("fwd.models")
+                bcs = ctx.dynamic("fwd.base_colors")
                 for i in inst_ix:
                     obj = objects[i]
                     vba, iba = fw_inst_acc[i]
                     ctx.draw_indexed(
                         vba, iba,
                         {
-                            "Model": ctx.dynamic(f"fwd.model.{obj.name}"),
-                            "BaseColor": ctx.dynamic(
-                                f"fwd.base_color.{obj.name}"
-                            ),
+                            "Model": models[i],
+                            "BaseColor": bcs[i],
                         },
                         instance_count=obj.instance_count,
                         instance_data={
