@@ -995,9 +995,10 @@ class RenderGraph:
                 # additionally, per-sample planes persist in ``msaa_state``
                 # so a LOAD by the NEXT same-sample-count node continues
                 # per-sample (true Vulkan MSAA attachment persistence)
-                # instead of re-broadcasting the resolve. Single-chip only —
-                # under a mesh the band bookkeeping works on resolved
-                # surfaces (documented simplification).
+                # instead of re-broadcasting the resolve. Under a mesh the
+                # planes are (S, band_h, W, ...) row bands, produced and
+                # consumed inside the same shard — persistence is per-device
+                # and SPMD output matches single-chip bit-for-bit.
                 samples = pipeline.desc.state.multisample.samples
                 if subres:
                     assert samples == 1, (
@@ -1011,7 +1012,7 @@ class RenderGraph:
 
                 def stash_samples(rid):
                     """Per-sample planes from a previous node, when usable."""
-                    if samples > 1 and mesh is None:
+                    if samples > 1:
                         st = msaa_state.get(rid)
                         if st is not None and st[0] == samples:
                             return st[1]
@@ -1078,7 +1079,7 @@ class RenderGraph:
                 # Epilogue: store attachments back (store-op STORE semantics;
                 # DONT_CARE stores too — contents are valid, just unneeded).
                 def keep_samples(rid, arr):
-                    if samples > 1 and mesh is None:
+                    if samples > 1:
                         msaa_state[rid] = (samples, arr)
                     else:
                         msaa_state.pop(rid, None)
