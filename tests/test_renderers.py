@@ -150,6 +150,62 @@ class TestForwardShadow:
         assert center[0] > center[2]  # red cube
 
 
+class TestWireframe:
+    def test_forward_wireframe_outlines_only(self, device):
+        """wireframe=True puts the lit pass in LINE polygon mode: the cube
+        renders as lit edges — far fewer covered pixels than FILL, and the
+        face centers show the clear color."""
+        scene = build_test_scene(device)
+        cam = make_camera()
+
+        def build_with(renderer):
+            def build(builder):
+                color = builder.create(TextureDesc.color("rt", W, H))
+                depth = builder.create(TextureDesc.depth("ds", W, H))
+                renderer.render_to(builder, color, depth, cam,
+                                   clear_color=(0, 0, 1, 1))
+                return color
+            return build
+
+        filled = run_graph(
+            device, build_with(ForwardShadowRenderer(scene))
+        )
+        wire = run_graph(
+            device,
+            build_with(ForwardShadowRenderer(scene, wireframe=True)),
+        )
+        filled_cube = (filled[..., 0] > filled[..., 2]).sum()
+        wire_cube = (wire[..., 0] > wire[..., 2]).sum()
+        assert 0 < wire_cube < 0.6 * filled_cube, (wire_cube, filled_cube)
+        # Cube face center is clear-blue in wireframe, red when filled.
+        c = wire[H // 2, W // 2, :3]
+        assert c[2] > c[0]
+
+    def test_deferred_wireframe_outlines_only(self, device):
+        scene = build_test_scene(device, num_lights=2)
+        cam = make_camera()
+
+        def build_with(renderer):
+            def build(builder):
+                color = builder.create(TextureDesc.color("rt", W, H))
+                renderer.render_to(builder, color, cam, W, H)
+                return color
+            return build
+
+        filled = run_graph(device, build_with(DeferredRenderer(scene)))
+        wire = run_graph(
+            device, build_with(DeferredRenderer(scene, wireframe=True))
+        )
+        # Wire pixels receive full deferred lighting (non-black), and the
+        # covered area shrinks to the edges.
+        filled_lum = filled[..., :3].sum(-1)
+        wire_lum = wire[..., :3].sum(-1)
+        bg = filled_lum[2, 2]
+        filled_cov = (filled_lum > bg + 0.05).sum()
+        wire_cov = (wire_lum > bg + 0.05).sum()
+        assert 0 < wire_cov < 0.6 * filled_cov, (wire_cov, filled_cov)
+
+
 class TestDeferred:
     def test_skybox_background_cube_sampled(self, device):
         """Background pixels sample the scene's cube map by view ray

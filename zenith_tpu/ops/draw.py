@@ -44,7 +44,9 @@ from zenith_tpu.rhi.shader import BindingError, BoundResources
 logger = log.get(__name__)
 from zenith_tpu.rhi.state import (
     ColorAttachmentDesc,
+    CullMode,
     InputAssemblyState,
+    PolygonMode,
     PrimitiveTopology,
 )
 
@@ -169,6 +171,108 @@ def assemble_triangles(index_buffer, ia: "InputAssemblyState"):
 
 
 
+def assemble_lines(index_buffer, ia: "InputAssemblyState"):
+    """Index buffer → (L, 2) segment list for the line topologies.
+
+    LINE_STRIP decodes segment i = (v_i, v_{i+1}); with ``primitive_restart``
+    segments touching the restart index collapse to (0, 0) — zero screen
+    length, dropped by line setup — which splits strips exactly where a new
+    strip would begin."""
+    flat = index_buffer.reshape(-1).astype(jnp.int32)
+    if ia.topology == PrimitiveTopology.LINE_LIST:
+        n = flat.shape[0]
+        assert n % 2 == 0, f"line list needs an even index count, got {n}"
+        return flat.reshape(-1, 2)
+    n = flat.shape[0]
+    assert n >= 2, f"line strip needs >= 2 indices, got {n}"
+    segs = jnp.stack([flat[:-1], flat[1:]], axis=1)
+    if ia.primitive_restart:
+        bad = (flat[:-1] == -1) | (flat[1:] == -1)
+        segs = jnp.where(bad[:, None], 0, segs)
+    return segs
+
+
+def _assemble_primitives(index_buffer, ia: "InputAssemblyState",
+                         polygon_mode: "PolygonMode"):
+    """Primitive assembly dispatch → (kind, (P, K) primitive indices).
+
+    kind ∈ {'tri', 'line', 'point', 'wire_line', 'wire_point'} — the wire_*
+    kinds are triangle topologies under a LINE/POINT polygon mode, kept as
+    (T, 3) so the setup stage can cull by the polygon's facing before
+    decomposing edges/vertices (Vulkan 27.7.1)."""
+    topo = ia.topology
+    if topo in (PrimitiveTopology.LINE_LIST, PrimitiveTopology.LINE_STRIP):
+        return "line", assemble_lines(index_buffer, ia)
+    if topo == PrimitiveTopology.POINT_LIST:
+        return "point", index_buffer.reshape(-1, 1).astype(jnp.int32)
+    tris = assemble_triangles(index_buffer, ia)
+    if polygon_mode == PolygonMode.LINE:
+        return "wire_line", tris
+    if polygon_mode == PolygonMode.POINT:
+        return "wire_point", tris
+    return "tri", tris
+
+
+def _setup_records(kind, clip, prims, flat_vary, grid, rast_state, viewport,
+                   depth_bias, point_sizes=None):
+    """Primitive setup dispatch → (TriangleRecords, corner_data), shared by
+    the single-draw and batched paths. Triangles go straight to
+    setup_with_attrs; lines/points expand to screen-space quads riding the
+    same records format (so binning/raster/shade are topology-blind)."""
+    dc = rast_state.depth_clamp
+    if kind == "tri":
+        return geometry.setup_with_attrs(
+            clip, prims, flat_vary, grid.width, grid.height,
+            cull_mode=rast_state.cull_mode, front_face=rast_state.front_face,
+            viewport=viewport, depth_bias=depth_bias, depth_clamp=dc,
+        )
+    if kind in ("wire_line", "wire_point"):
+        front, degen = geometry.triangle_facing(
+            clip, prims, rast_state.front_face
+        )
+        keep = ~degen
+        if rast_state.cull_mode == CullMode.BACK:
+            keep = keep & front
+        elif rast_state.cull_mode == CullMode.FRONT:
+            keep = keep & ~front
+        if kind == "wire_line":
+            segs = jnp.concatenate(
+                [prims[:, (0, 1)], prims[:, (1, 2)], prims[:, (2, 0)]]
+            )
+            seg_valid = jnp.concatenate([keep, keep, keep])
+            return geometry.setup_lines_with_attrs(
+                clip, segs, flat_vary, grid.width, grid.height,
+                line_width=rast_state.line_width, viewport=viewport,
+                depth_clamp=dc, seg_valid=seg_valid,
+            )
+        return geometry.setup_points_with_attrs(
+            clip, prims.reshape(-1), flat_vary, grid.width, grid.height,
+            point_sizes=point_sizes, viewport=viewport, depth_clamp=dc,
+            pt_valid=jnp.repeat(keep, 3),
+        )
+    if kind == "line":
+        return geometry.setup_lines_with_attrs(
+            clip, prims, flat_vary, grid.width, grid.height,
+            line_width=rast_state.line_width, viewport=viewport,
+            depth_clamp=dc,
+        )
+    assert kind == "point", kind
+    return geometry.setup_points_with_attrs(
+        clip, prims.reshape(-1), flat_vary, grid.width, grid.height,
+        point_sizes=point_sizes, viewport=viewport, depth_clamp=dc,
+    )
+
+
+def _pop_point_sizes(vs_out) -> "Optional[jnp.ndarray]":
+    """Extract the PointSize builtin from the vertex-stage outputs (vertex
+    shaders emit ``point_size`` alongside ``position``; Vulkan's
+    gl_PointSize). Always popped so it never becomes a varying."""
+    ps = vs_out.pop("point_size", None)
+    if ps is None:
+        return None
+    return jnp.asarray(ps, jnp.float32).reshape(-1)
+
+
 def _normalize_frag_out(frag_out) -> list:
     """Fragment-stage output → ordered list of attachment images (single
     array, list/tuple in attachment order, or dict sorted by key for MRT).
@@ -231,7 +335,9 @@ def draw_indexed(
         attrs = {"position": vertex_buffer}
     attrs = _CheckedAttrs(attrs, pipeline.vertex_shader.name)
     vs_res = BoundResources(pipeline.vertex_shader.reflection, resources)
-    indices = assemble_triangles(index_buffer, state.input_assembly)
+    prim_kind, indices = _assemble_primitives(
+        index_buffer, state.input_assembly, rast_state.polygon_mode
+    )
 
     if instance_count > 1 or instance_data:
         _check_instance_inputs(pipeline, instance_data, instance_count)
@@ -257,10 +363,11 @@ def draw_indexed(
         }
         # Index buffer tiled per instance with a vertex offset of i·Nv.
         offs = (jnp.arange(instance_count, dtype=jnp.int32) * nv)[:, None, None]
-        indices = (indices[None, :, :] + offs).reshape(-1, 3)
+        indices = (indices[None, :, :] + offs).reshape(-1, indices.shape[1])
     else:
         vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
         clip = vs_out.pop("position")
+    point_sizes = _pop_point_sizes(vs_out)
     _warn_unused_bindings(pipeline.vertex_shader, vs_res)
     assert clip.ndim == 2 and clip.shape[1] == 4, (
         f"vertex shader must return clip-space 'position' (N, 4), got {clip.shape}"
@@ -279,17 +386,9 @@ def draw_indexed(
     depth_bias = None
     if rast_state.depth_bias_enable:
         depth_bias = (rast_state.depth_bias_constant, rast_state.depth_bias_slope)
-    records, corner_data = geometry.setup_with_attrs(
-        clip,
-        indices,
-        flat_vary,
-        grid.width,
-        grid.height,
-        cull_mode=rast_state.cull_mode,
-        front_face=rast_state.front_face,
-        viewport=viewport,
-        depth_bias=depth_bias,
-        depth_clamp=rast_state.depth_clamp,
+    records, corner_data = _setup_records(
+        prim_kind, clip, indices, flat_vary, grid, rast_state, viewport,
+        depth_bias, point_sizes=point_sizes,
     )
     attr_layout.append(("__front", 1))
 
@@ -699,6 +798,7 @@ def draw_indexed_batch(
         vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
         _warn_unused_bindings(pipeline.vertex_shader, vs_res)
         clip = vs_out.pop("position")
+        point_sizes = _pop_point_sizes(vs_out)
         nv = clip.shape[0]
 
         this_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
@@ -727,14 +827,12 @@ def draw_indexed_batch(
             if vary_cols
             else jnp.zeros((nv, 0), jnp.float32)
         )
-        indices = assemble_triangles(ib, state.input_assembly)
-        records, corner = geometry.setup_with_attrs(
-            clip, indices, flat_vary, grid.width, grid.height,
-            cull_mode=rast_state.cull_mode,
-            front_face=rast_state.front_face,
-            viewport=viewport,
-            depth_bias=depth_bias,
-            depth_clamp=rast_state.depth_clamp,
+        prim_kind, prims = _assemble_primitives(
+            ib, state.input_assembly, rast_state.polygon_mode
+        )
+        records, corner = _setup_records(
+            prim_kind, clip, prims, flat_vary, grid, rast_state, viewport,
+            depth_bias, point_sizes=point_sizes,
         )
         rec_parts.append(records)
         corner_parts.append(corner)
@@ -887,6 +985,7 @@ def _draw_batch_blend(
         vs_res = BoundResources(pipeline.vertex_shader.reflection, res)
         vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
         clip = vs_out.pop("position")
+        point_sizes = _pop_point_sizes(vs_out)
         nv = clip.shape[0]
 
         this_layout = [(name, int(v.shape[-1]) if v.ndim > 1 else 1)
@@ -916,14 +1015,12 @@ def _draw_batch_blend(
                 f"from draw 0's — batched draws share one pipeline"
             )
         flat_vary = jnp.concatenate(vary_cols, axis=1)
-        indices = assemble_triangles(ib, state.input_assembly)
-        records, corner = geometry.setup_with_attrs(
-            clip, indices, flat_vary, grid.width, grid.height,
-            cull_mode=rast_state.cull_mode,
-            front_face=rast_state.front_face,
-            viewport=viewport,
-            depth_bias=depth_bias,
-            depth_clamp=rast_state.depth_clamp,
+        prim_kind, prims = _assemble_primitives(
+            ib, state.input_assembly, rast_state.polygon_mode
+        )
+        records, corner = _setup_records(
+            prim_kind, clip, prims, flat_vary, grid, rast_state, viewport,
+            depth_bias, point_sizes=point_sizes,
         )
         rec_parts.append(records)
         corner_parts.append(corner)

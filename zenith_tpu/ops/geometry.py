@@ -121,6 +121,248 @@ def setup_with_attrs(
     return records, corner_data.astype(jnp.float32)
 
 
+def setup_lines_with_attrs(
+    clip_positions: jnp.ndarray,  # (Nv, 4)
+    segments: jnp.ndarray,  # (L, 2) endpoint indices
+    varyings: jnp.ndarray,  # (Nv, A)
+    width: int,
+    height: int,
+    line_width: float = 1.0,
+    viewport: "tuple | None" = None,
+    depth_clamp: bool = False,
+    seg_valid: "jnp.ndarray | None" = None,  # (L,) extra mask (wireframe cull)
+) -> "tuple[TriangleRecords, jnp.ndarray]":
+    """Line setup: each segment expands to a screen-space rectangle of
+    ``line_width`` pixels (two triangles sharing a diagonal; the top-left
+    rule keeps the seam single-covered), which then rides the ordinary
+    triangle binning/raster/shade path — no line-specific kernels.
+
+    Matches Vulkan *rectangular* line rasterization (spec 27.6, strictLines):
+    a lineWidth-wide rectangle centered on the segment with butt caps.
+    Attributes and depth are carried per endpoint and duplicated across the
+    width, so interpolation is perspective-correct along the line and
+    constant across it — exactly the line interpolation equations. Lines are
+    never culled and always front-facing. Returns (records, corner_data)
+    with R = 2L, shaped like ``setup_with_attrs`` output.
+    """
+    segments = segments.astype(jnp.int32)
+    l = segments.shape[0]
+    a = varyings.shape[1]
+    combined = jnp.concatenate(
+        [clip_positions.astype(jnp.float32), varyings.astype(jnp.float32)],
+        axis=1,
+    )
+    ends = jnp.take(combined, segments.reshape(-1), axis=0).reshape(l, 2, 4 + a)
+
+    # Near clip (z ≤ w, or w > 0 only under depth clamp) — a clipped segment
+    # stays one segment, so no expansion slot is needed.
+    if depth_clamp:
+        d = ends[..., 3]
+    else:
+        d = ends[..., 3] - ends[..., 2]
+    inside = d > NEAR_W_EPS  # (L, 2)
+    valid = inside[:, 0] | inside[:, 1]
+    if seg_valid is not None:
+        valid = valid & seg_valid
+    denom = d[:, 0] - d[:, 1]
+    denom = jnp.where(jnp.abs(denom) > 1e-20, denom, 1.0)
+    t = jnp.clip((d[:, 0] - NEAR_W_EPS) / denom, 0.0, 1.0)[:, None]
+    crossing = ends[:, 0] + (ends[:, 1] - ends[:, 0]) * t
+    e0 = jnp.where(inside[:, 0, None], ends[:, 0], crossing)
+    e1 = jnp.where(inside[:, 1, None], ends[:, 1], crossing)
+
+    # Perspective divide + viewport (same mapping as _records_from_corners).
+    pts = jnp.stack([e0, e1], axis=1)  # (L, 2, 4+A)
+    w = jnp.maximum(pts[..., 3], NEAR_W_EPS)
+    iw2 = 1.0 / w  # (L, 2)
+    ndc = pts[..., :3] * iw2[..., None]
+    if viewport is not None:
+        vx0, vy0, full_w, full_h = viewport
+    else:
+        vx0, vy0, full_w, full_h = 0, 0, width, height
+    px = (ndc[..., 0] + 1.0) * (0.5 * full_w) - vx0  # (L, 2)
+    py = (ndc[..., 1] + 1.0) * (0.5 * full_h) - vy0
+    pz = ndc[..., 2]
+
+    # Rectangle expansion: offset ±(line_width/2) along the screen normal.
+    dx = px[:, 1] - px[:, 0]
+    dy = py[:, 1] - py[:, 0]
+    ln = jnp.sqrt(dx * dx + dy * dy)
+    ok = ln > 1e-6  # zero-length lines produce no fragments (Vulkan 27.6)
+    valid = valid & ok
+    hw = 0.5 * float(line_width)
+    inv_ln = jnp.where(ok, 1.0 / jnp.where(ok, ln, 1.0), 0.0)
+    nx = -dy * inv_ln * hw
+    ny = dx * inv_ln * hw
+
+    # Quad corners: A_e = endpoint e shifted +n, B_e = shifted −n.
+    # Triangles (A0, B0, B1) and (A0, B1, A1); each record corner carries its
+    # source endpoint's z / 1/w / attributes.
+    def corner(e, sign):
+        return px[:, e] + sign * nx, py[:, e] + sign * ny
+
+    ax0, ay0 = corner(0, 1.0)
+    bx0, by0 = corner(0, -1.0)
+    ax1, ay1 = corner(1, 1.0)
+    bx1, by1 = corner(1, -1.0)
+
+    sx = jnp.concatenate([
+        jnp.stack([ax0, bx0, bx1], axis=1),
+        jnp.stack([ax0, bx1, ax1], axis=1),
+    ])
+    sy = jnp.concatenate([
+        jnp.stack([ay0, by0, by1], axis=1),
+        jnp.stack([ay0, by1, ay1], axis=1),
+    ])
+    # Source endpoint per corner: tri 1 → (0, 0, 1), tri 2 → (0, 1, 1).
+    def per_endpoint(vals):  # (L, 2) → (2L, 3)
+        return jnp.concatenate([
+            jnp.stack([vals[:, 0], vals[:, 0], vals[:, 1]], axis=1),
+            jnp.stack([vals[:, 0], vals[:, 1], vals[:, 1]], axis=1),
+        ])
+
+    sz = per_endpoint(pz)
+    iw = per_endpoint(iw2)
+    valid2 = jnp.concatenate([valid, valid])
+    tri_id = jnp.concatenate(
+        [jnp.arange(l, dtype=jnp.int32), jnp.arange(l, dtype=jnp.int32)]
+    )
+    records = _edge_setup(
+        sx, sy, sz, iw, valid2, tri_id, width, height,
+        CullMode.NONE, FrontFace.COUNTER_CLOCKWISE,
+        depth_clamp=depth_clamp, force_front=True,
+    )
+
+    attrs2 = pts[..., 4:]  # (L, 2, A)
+    attr_c = jnp.concatenate([
+        jnp.stack([attrs2[:, 0], attrs2[:, 0], attrs2[:, 1]], axis=1),
+        jnp.stack([attrs2[:, 0], attrs2[:, 1], attrs2[:, 1]], axis=1),
+    ])  # (2L, 3, A)
+    iw_c = iw[..., None]
+    front_c = jnp.ones_like(iw_c)
+    corner_data = jnp.concatenate(
+        [attr_c * iw_c, front_c * iw_c, iw_c], axis=-1
+    )
+    return records, corner_data.astype(jnp.float32)
+
+
+def setup_points_with_attrs(
+    clip_positions: jnp.ndarray,  # (Nv, 4)
+    point_indices: jnp.ndarray,  # (P,) vertex indices
+    varyings: jnp.ndarray,  # (Nv, A)
+    width: int,
+    height: int,
+    point_sizes: "jnp.ndarray | None" = None,  # (Nv,) pixels (PointSize)
+    viewport: "tuple | None" = None,
+    depth_clamp: bool = False,
+    pt_valid: "jnp.ndarray | None" = None,  # (P,) extra mask (polygon cull)
+) -> "tuple[TriangleRecords, jnp.ndarray]":
+    """Point setup: each point expands to a pointSize × pointSize screen-
+    space square centered on the vertex (Vulkan 27.5), as two triangles on
+    the ordinary raster path. ``point_sizes`` is the per-vertex PointSize
+    builtin (vertex shaders emit ``point_size``); defaults to 1.0.
+    Returns (records, corner_data) with R = 2P."""
+    point_indices = point_indices.reshape(-1).astype(jnp.int32)
+    p = point_indices.shape[0]
+    a = varyings.shape[1]
+    combined = jnp.concatenate(
+        [clip_positions.astype(jnp.float32), varyings.astype(jnp.float32)],
+        axis=1,
+    )
+    pts = jnp.take(combined, point_indices, axis=0)  # (P, 4+A)
+    if point_sizes is not None:
+        sizes = jnp.take(
+            point_sizes.reshape(-1).astype(jnp.float32), point_indices, axis=0
+        )
+    else:
+        sizes = jnp.ones((p,), jnp.float32)
+
+    if depth_clamp:
+        d = pts[:, 3]
+    else:
+        d = pts[:, 3] - pts[:, 2]
+    valid = d > NEAR_W_EPS  # points are not clipped partially — in or out
+    if pt_valid is not None:
+        valid = valid & pt_valid
+
+    w = jnp.maximum(pts[:, 3], NEAR_W_EPS)
+    iw1 = 1.0 / w
+    ndc = pts[:, :3] * iw1[:, None]
+    if viewport is not None:
+        vx0, vy0, full_w, full_h = viewport
+    else:
+        vx0, vy0, full_w, full_h = 0, 0, width, height
+    cx = (ndc[:, 0] + 1.0) * (0.5 * full_w) - vx0
+    cy = (ndc[:, 1] + 1.0) * (0.5 * full_h) - vy0
+    cz = ndc[:, 2]
+    h = 0.5 * jnp.maximum(sizes, 1e-3)
+
+    # Square corners CW on screen: (−,−) (+,−) (+,+) (−,+); triangles
+    # (c0, c1, c2) and (c0, c2, c3).
+    xs = (cx - h, cx + h, cx + h, cx - h)
+    ys = (cy - h, cy - h, cy + h, cy + h)
+    sx = jnp.concatenate([
+        jnp.stack([xs[0], xs[1], xs[2]], axis=1),
+        jnp.stack([xs[0], xs[2], xs[3]], axis=1),
+    ])
+    sy = jnp.concatenate([
+        jnp.stack([ys[0], ys[1], ys[2]], axis=1),
+        jnp.stack([ys[0], ys[2], ys[3]], axis=1),
+    ])
+
+    def dup(v):  # (P,) → (2P, 3) constant across corners
+        v3 = jnp.broadcast_to(v[:, None], (p, 3))
+        return jnp.concatenate([v3, v3])
+
+    sz = dup(cz)
+    iw = dup(iw1)
+    valid2 = jnp.concatenate([valid, valid])
+    tri_id = jnp.concatenate(
+        [jnp.arange(p, dtype=jnp.int32), jnp.arange(p, dtype=jnp.int32)]
+    )
+    records = _edge_setup(
+        sx, sy, sz, iw, valid2, tri_id, width, height,
+        CullMode.NONE, FrontFace.COUNTER_CLOCKWISE,
+        depth_clamp=depth_clamp, force_front=True,
+    )
+
+    attr1 = jnp.broadcast_to(pts[:, None, 4:], (p, 3, a))
+    attr_c = jnp.concatenate([attr1, attr1])  # (2P, 3, A)
+    iw_c = iw[..., None]
+    front_c = jnp.ones_like(iw_c)
+    corner_data = jnp.concatenate(
+        [attr_c * iw_c, front_c * iw_c, iw_c], axis=-1
+    )
+    return records, corner_data.astype(jnp.float32)
+
+
+def triangle_facing(
+    clip_positions: jnp.ndarray,  # (Nv, 4)
+    indices: jnp.ndarray,  # (T, 3)
+    front_face: FrontFace,
+) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """(front, degenerate) facing classification per triangle in NDC — used
+    by wireframe/point polygon modes, where Vulkan culls by the POLYGON's
+    facing before decomposing it into lines/points (spec 27.7.1). Sign of
+    the screen determinant equals the NDC determinant (the viewport scale is
+    positive); triangles with a vertex behind w ≈ 0 are classified from the
+    guarded divide — acceptable for a cull decision on a debug draw mode."""
+    indices = indices.astype(jnp.int32)
+    t = indices.shape[0]
+    corners = jnp.take(
+        clip_positions.astype(jnp.float32), indices.reshape(-1), axis=0
+    ).reshape(t, 3, 4)
+    w = jnp.maximum(corners[..., 3], NEAR_W_EPS)
+    nx = corners[..., 0] / w
+    ny = corners[..., 1] / w
+    det = (nx[:, 1] - nx[:, 0]) * (ny[:, 2] - ny[:, 0]) - (
+        nx[:, 2] - nx[:, 0]
+    ) * (ny[:, 1] - ny[:, 0])
+    is_cw = det > 0.0
+    front = is_cw if front_face == FrontFace.CLOCKWISE else ~is_cw
+    return front, det == 0.0
+
+
 def _clip_payload(corners: jnp.ndarray, w_eps: float = NEAR_W_EPS,
                   clamp_z: bool = False):
     """clip_near_w generalized to an arbitrary per-corner payload
@@ -193,19 +435,48 @@ def _records_from_corners(
     sx = (ndc[..., 0] + 1.0) * (0.5 * full_w) - vx0
     sy = (ndc[..., 1] + 1.0) * (0.5 * full_h) - vy0
     sz = ndc[..., 2]
+    return _edge_setup(
+        sx, sy, sz, iw, valid, tri_id, width, height,
+        cull_mode, front_face, depth_bias=depth_bias, depth_clamp=depth_clamp,
+    )
 
+
+def _edge_setup(
+    sx: jnp.ndarray,  # (R, 3) screen-space corner x (pixels)
+    sy: jnp.ndarray,
+    sz: jnp.ndarray,  # (R, 3) NDC depth
+    iw: jnp.ndarray,  # (R, 3) 1/w per corner
+    valid: jnp.ndarray,
+    tri_id: jnp.ndarray,
+    width: int,
+    height: int,
+    cull_mode: CullMode,
+    front_face: FrontFace,
+    depth_bias: "tuple[float, float] | None" = None,
+    depth_clamp: bool = False,
+    force_front: bool = False,
+) -> TriangleRecords:
+    """Edge-equation setup from screen-space corners — the back half of
+    triangle setup, also fed directly by the line/point quad expansion
+    (``force_front`` = line/point primitives: never culled, always
+    front-facing per Vulkan 27.5/27.6; edge orientation still follows the
+    actual winding)."""
     x0, x1, x2 = sx[:, 0], sx[:, 1], sx[:, 2]
     y0, y1, y2 = sy[:, 0], sy[:, 1], sy[:, 2]
 
     det = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
     is_cw = det > 0.0
-    front = is_cw if front_face == FrontFace.CLOCKWISE else ~is_cw
+    if force_front:
+        front = jnp.ones_like(is_cw)
+    else:
+        front = is_cw if front_face == FrontFace.CLOCKWISE else ~is_cw
 
     valid = valid & (det != 0.0)
-    if cull_mode == CullMode.BACK:
-        valid = valid & front
-    elif cull_mode == CullMode.FRONT:
-        valid = valid & ~front
+    if not force_front:
+        if cull_mode == CullMode.BACK:
+            valid = valid & front
+        elif cull_mode == CullMode.FRONT:
+            valid = valid & ~front
 
     s = jnp.where(is_cw, 1.0, -1.0).astype(jnp.float32)
 

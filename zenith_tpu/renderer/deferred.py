@@ -233,8 +233,10 @@ def _ggx_brdf(n, v, l, albedo, metallic, roughness):
 class DeferredRenderer:
     """G-buffer + PBR lighting over a Scene."""
 
-    def __init__(self, scene: Scene, shadows: bool = True):
+    def __init__(self, scene: Scene, shadows: bool = True,
+                 wireframe: bool = False):
         self.scene = scene
+        self.wireframe = wireframe
         self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
         # Textured mode: the per-draw material textures are packed into one
         # ATLAS per map type at construction (rhi.atlas) — fragments sample
@@ -338,9 +340,17 @@ class DeferredRenderer:
                 cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
             )
         )
+        # Wireframe debug view: LINE polygon mode on the G-buffer pass (the
+        # shadow pass keeps FILL — shadows stay solid); wire fragments write
+        # normals/albedo as usual and receive full deferred lighting.
+        from zenith_tpu.rhi.state import PolygonMode
+
         self._gbuffer_state = GraphicPipelineState(
             rasterization=RasterizationState(
-                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
+                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE,
+                polygon_mode=(
+                    PolygonMode.LINE if wireframe else PolygonMode.FILL
+                ),
             )
         )
         self._shadow_depth = DepthStencilDesc(

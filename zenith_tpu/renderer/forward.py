@@ -185,8 +185,9 @@ _SHADOW_SAMPLER = SamplerConfig(
 class ForwardShadowRenderer:
     """Shadow pass + forward lit pass over a Scene."""
 
-    def __init__(self, scene: Scene):
+    def __init__(self, scene: Scene, wireframe: bool = False):
         self.scene = scene
+        self.wireframe = wireframe
         self.shadow_vs = Shader.vertex(
             "shadow.vs", _shadow_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
@@ -238,9 +239,17 @@ class ForwardShadowRenderer:
                 cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
             )
         )
+        # Wireframe debug view: LINE polygon mode on the lit pass only (the
+        # shadow pass keeps FILL so shadows stay solid — matching GPU debug
+        # viewers); lines go through the same lit fragment shader.
+        from zenith_tpu.rhi.state import PolygonMode
+
         self._forward_state = GraphicPipelineState(
             rasterization=RasterizationState(
-                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE
+                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE,
+                polygon_mode=(
+                    PolygonMode.LINE if wireframe else PolygonMode.FILL
+                ),
             )
         )
         self._shadow_depth = DepthStencilDesc(

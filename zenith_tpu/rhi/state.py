@@ -78,13 +78,26 @@ class FrontFace(FastEnum):
 
 
 class PolygonMode(FastEnum):
+    """vk::PolygonMode (the reference passes it straight through,
+    pipeline.rs:510,570). LINE renders each polygon's edges as
+    ``line_width``-wide lines (wireframe); POINT renders its vertices as
+    points. Both cull by the polygon's facing first (Vulkan 27.7.1)."""
+
     FILL = "fill"
-    # LINE/POINT intentionally unsupported (reference only uses FILL).
+    LINE = "line"
+    POINT = "point"
 
 
 class PrimitiveTopology(FastEnum):
+    """vk::PrimitiveTopology subset: list/strip for triangles and lines,
+    plus points. Lines and points rasterize as screen-space quads on the
+    triangle raster path (ops.geometry.setup_lines/points_with_attrs)."""
+
     TRIANGLE_LIST = "triangle_list"
     TRIANGLE_STRIP = "triangle_strip"
+    LINE_LIST = "line_list"
+    LINE_STRIP = "line_strip"
+    POINT_LIST = "point_list"
 
 
 @cached_hash

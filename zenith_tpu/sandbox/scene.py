@@ -288,6 +288,9 @@ class SceneApp(RenderableApp):
                                  "scaling; 30 ~= 1M submitted tris)")
         parser.add_argument("--instances", type=int, default=0,
                             help="N instanced rocks around the gun (one draw)")
+        parser.add_argument("--wireframe", action="store_true",
+                            help="LINE polygon mode on the lit/G-buffer "
+                                 "pass (wireframe debug view)")
         parser.add_argument(
             "--retained", action="store_true",
             help="retained mode: build the graph once, re-execute with "
@@ -299,6 +302,7 @@ class SceneApp(RenderableApp):
         self.instances = ns.instances
         self.gun_instances = ns.gun_instances
         self.glass = ns.glass
+        self.wireframe = ns.wireframe
         self.bloom_mips = ns.bloom_mips
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
@@ -318,9 +322,11 @@ class SceneApp(RenderableApp):
                             gun_instances=self.gun_instances,
                             glass=self.glass and self.mode == "deferred")
         if self.mode == "deferred":
-            self.renderer = DeferredRenderer(scene)
+            self.renderer = DeferredRenderer(scene, wireframe=self.wireframe)
         else:
-            self.renderer = ForwardShadowRenderer(scene)
+            self.renderer = ForwardShadowRenderer(
+                scene, wireframe=self.wireframe
+            )
         self.post = (
             PostProcess(bloom_mips=self.bloom_mips)
             if self.post_enabled else None
