@@ -711,3 +711,104 @@ class TestCaptureSelfCheck:
             for _ in range(70):
                 build().compile(device, pcache)
         assert any("self-check" in r.message for r in caplog.records)
+
+
+class TestPushConstants:
+    """cmd push_constants parity (reference command.rs; slot reflected from
+    SPIR-V in shader.rs:380-413, layout range pipeline.rs:111-131)."""
+
+    @staticmethod
+    def _build(record_fn, fs_bindings):
+        from zenith_tpu.rhi import push_constant  # noqa: F401 (re-export)
+
+        def vs(attrs, res):
+            pos = attrs["position"]
+            n = pos.shape[0]
+            return {
+                "position": jnp.concatenate(
+                    [pos, jnp.ones((n, 1), jnp.float32)], 1
+                ),
+                "color": attrs["color"],
+            }
+
+        def fs(varyings, res, builtins):
+            tint = res["Tint"]
+            c = varyings["color"] * tint[:3]
+            return jnp.concatenate([c, jnp.ones_like(c[..., :1])], -1)
+
+        shader = GraphicShaderInput(
+            Shader.vertex("pc.vs", vs),
+            Shader.fragment("pc.ps", fs, bindings=fs_bindings),
+            TRI_LAYOUT,
+        )
+        vb = Buffer.from_numpy("tri.vb", TRI_VB)
+        ib = Buffer.from_numpy("tri.ib", TRI_IB)
+        tex = Texture(TextureDesc.color("swap", W, H))
+        builder = RenderGraphBuilder()
+        vbr, ibr = builder.import_resource(vb), builder.import_resource(ib)
+        out = builder.import_resource(tex)
+        node = builder.add_graphic_node("pc")
+        vba, iba = node.read(vbr), node.read(ibr)
+        rt = node.write(out)
+        state = GraphicPipelineState(
+            rasterization=RasterizationState(cull_mode=CullMode.NONE)
+        )
+        with node.pipeline(shader, state) as binder:
+            binder.push_color(
+                rt, ColorAttachmentDesc(clear_value=(0.0, 0.0, 0.0, 1.0))
+            )
+        node.execute(lambda ctx: record_fn(ctx, vba, iba))
+        return builder.build(), out
+
+    def test_routes_value_to_declared_slot(self, device, pcache):
+        from zenith_tpu.rhi import push_constant
+
+        def record(ctx, vba, iba):
+            ctx.push_constants(np.array([0.0, 1.0, 0.0, 1.0], np.float32))
+            ctx.draw_indexed(vba, iba)
+
+        graph, out = self._build(record, [push_constant("Tint")])
+        compiled = graph.compile(device, pcache, OPTS)
+        compiled.execute(device)
+        img = np.asarray(compiled.value(out))
+        inner = img[int(0.6 * H), W // 2]
+        assert inner[1] > 0.05  # green channel survives the tint
+        assert inner[0] == 0.0 and inner[2] == 0.0  # red/blue zeroed
+
+    def test_no_declared_slot_raises(self, device, pcache):
+        from zenith_tpu.rhi import uniform as u
+        from zenith_tpu.rhi.shader import BindingError
+
+        def record(ctx, vba, iba):
+            ctx.push_constants(np.zeros(4, np.float32))
+            ctx.draw_indexed(vba, iba)
+
+        graph, _ = self._build(record, [u("Tint")])
+        with pytest.raises(BindingError, match="no push_constant"):
+            graph.compile(device, pcache, OPTS).execute(device)
+
+    def test_two_slots_rejected(self, device, pcache):
+        from zenith_tpu.rhi import push_constant
+        from zenith_tpu.rhi.shader import BindingError
+
+        def record(ctx, vba, iba):
+            ctx.push_constants(np.zeros(4, np.float32))
+            ctx.draw_indexed(vba, iba)
+
+        graph, _ = self._build(
+            record, [push_constant("Tint"), push_constant("Other")]
+        )
+        with pytest.raises(BindingError, match="one range"):
+            graph.compile(device, pcache, OPTS).execute(device)
+
+    def test_vulkan_size_guarantee_enforced(self, device, pcache):
+        from zenith_tpu.rhi import push_constant
+        from zenith_tpu.rhi.shader import BindingError
+
+        def record(ctx, vba, iba):
+            ctx.push_constants(np.zeros(33, np.float32))  # 132 bytes
+            ctx.draw_indexed(vba, iba)
+
+        graph, _ = self._build(record, [push_constant("Tint")])
+        with pytest.raises(BindingError, match="128"):
+            graph.compile(device, pcache, OPTS).execute(device)

@@ -511,6 +511,48 @@ class GraphicNodeExecutionContext(_NodeContextBase):
     def bind_resource(self, name: str, access: RenderGraphResourceAccess) -> None:
         self.bind(name, self.get(access))
 
+    def push_constants(self, value) -> None:
+        """Write the pipeline's push-constant slot for subsequent draws —
+        the cmd push_constants analog (reference command.rs; reflected slot
+        shader.rs:380-413, layout range pipeline.rs:111-131). The pipeline's
+        shaders must declare exactly one ``push_constant(name)`` binding;
+        the value lands there like a uniform. Enforces Vulkan's guaranteed
+        128-byte size so programs stay portable to the reference."""
+        from zenith_tpu.rhi.shader import (
+            BindingError,
+            BindingKind,
+            PUSH_CONSTANT_LIMIT_BYTES,
+        )
+
+        slots = [
+            b for b in self.pipeline.reflection.bindings
+            if b.kind == BindingKind.PUSH_CONSTANT
+        ]
+        pname = self.pipeline.desc.shader_input.fragment_shader.name
+        if not slots:
+            raise BindingError(
+                f"pipeline '{pname}' declares no "
+                f"push_constant binding; declare one with "
+                f"shader bindings=[push_constant(name)]"
+            )
+        if len(slots) > 1:
+            raise BindingError(
+                f"pipeline '{pname}' declares "
+                f"{len(slots)} push_constant bindings; Vulkan layouts carry "
+                f"one range (pipeline.rs:111-131)"
+            )
+        # f32/i32 word count; .size covers arrays AND traced dynamics.
+        elems = getattr(value, "size", None)
+        if elems is None:
+            elems = _np.asarray(value).size
+        size = int(elems) * 4
+        if size > PUSH_CONSTANT_LIMIT_BYTES:
+            raise BindingError(
+                f"push constants are {size} bytes; Vulkan guarantees only "
+                f"{PUSH_CONSTANT_LIMIT_BYTES} (use a uniform buffer instead)"
+            )
+        self.bind(slots[0].name, value)
+
     def draw_indexed(
         self,
         vertex_buffer: "RenderGraphResourceAccess | Any",

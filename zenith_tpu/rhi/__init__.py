@@ -67,6 +67,7 @@ from zenith_tpu.rhi.shader import (
     ShaderStage,
     VertexInput,
     attr,
+    push_constant,
     sampler,
     storage,
     texture2d,

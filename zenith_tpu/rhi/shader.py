@@ -44,12 +44,14 @@ class ShaderStage(FastFlag):
 
 
 class BindingKind(FastEnum):
-    """(reference shader.rs ShaderBinding descriptor types)"""
+    """(reference shader.rs ShaderBinding descriptor types + push constants,
+    shader.rs:380-413)"""
 
     UNIFORM_BUFFER = "uniform_buffer"
     STORAGE_BUFFER = "storage_buffer"
     SAMPLED_TEXTURE = "sampled_texture"
     SAMPLER = "sampler"
+    PUSH_CONSTANT = "push_constant"
 
 
 @dataclass(frozen=True)
@@ -245,3 +247,19 @@ def texture2d(name: str) -> ShaderBinding:
 
 def sampler(name: str) -> ShaderBinding:
     return ShaderBinding(name, BindingKind.SAMPLER)
+
+
+#: Vulkan's guaranteed maxPushConstantsSize — the reference's pipeline layout
+#: carries one push-constant range sized from reflection (pipeline.rs:111-131);
+#: 128 bytes is the only portable size, so we enforce it for parity.
+PUSH_CONSTANT_LIMIT_BYTES = 128
+
+
+def push_constant(name: str) -> ShaderBinding:
+    """Declare a push-constant slot (reference shader.rs:380-413 reflects
+    these from SPIR-V; command.rs cmd push_constants writes them). Under XLA
+    a push constant is a small uniform in all but name — the draw context's
+    ``push_constants(value)`` routes a value to this slot and enforces the
+    128-byte Vulkan guarantee. At most one per pipeline (one range per
+    layout, like the reference)."""
+    return ShaderBinding(name, BindingKind.PUSH_CONSTANT)
