@@ -209,16 +209,84 @@ class TestHotReload:
         assert mgr.poll_hot_reload() == []  # settles
 
 
-class TestGlbRejection:
-    def test_glb_container_rejected_with_named_error(self, tmp_path):
-        """Reference parity: GLB binary containers are rejected (the
-        reference's buffer resolver rejects GLB bin chunks too,
-        gltf_loader.rs:372-396) — with a clear error, not a parse crash."""
-        import pytest
+def make_synthetic_glb(path: Path):
+    """The same one-triangle scene as make_synthetic_gltf, packed as a GLB
+    container: JSON chunk + BIN chunk, buffer 0 uri-less (resolved against
+    the BIN chunk, which the reference refuses — gltf_loader.rs:372-396)."""
+    import struct
 
+    positions = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    indices = np.array([0, 1, 2], np.uint16)
+    blob = positions.tobytes() + indices.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "translation": [1.0, 2.0, 3.0]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0}, "indices": 1, "material": 0,
+        }]}],
+        "materials": [{"pbrMetallicRoughness": {
+            "baseColorFactor": [0.9, 0.1, 0.2, 1.0],
+            "metallicFactor": 0.4, "roughnessFactor": 0.6,
+        }}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+        ],
+        "buffers": [{"byteLength": len(blob)}],  # uri-less → BIN chunk
+    }
+    json_bytes = json.dumps(doc).encode()
+    json_bytes += b" " * (-len(json_bytes) % 4)  # spec: space-padded
+    bin_bytes = blob + b"\x00" * (-len(blob) % 4)
+    total = 12 + 8 + len(json_bytes) + 8 + len(bin_bytes)
+    payload = (
+        struct.pack("<III", 0x46546C67, 2, total)
+        + struct.pack("<II", len(json_bytes), 0x4E4F534A) + json_bytes
+        + struct.pack("<II", len(bin_bytes), 0x004E4942) + bin_bytes
+    )
+    path.write_bytes(payload)
+
+
+class TestGlbContainer:
+    def test_glb_bakes_identically_to_gltf(self, tmp_path):
+        """Divergence-as-improvement: GLB containers load (the reference
+        rejects GLB bin-chunk buffers, gltf_loader.rs:372-396). The packed
+        scene must bake to the same geometry as its .gltf twin."""
+        content = tmp_path / "content" / "tri"
+        content.mkdir(parents=True)
+        make_synthetic_glb(content / "tri.glb")
+        mgr = AssetManager(root=tmp_path)
+
+        col = mgr.request_load("tri/tri.glb").get()
+        assert len(col.mesh_urls) == 1
+        mesh = registry().get(AssetUrl(col.mesh_urls[0]), Mesh)
+        np.testing.assert_allclose(mesh.vertices[0, :3], [1, 2, 3], atol=1e-6)
+        np.testing.assert_allclose(mesh.vertices[:, 3:6], [[0, 0, 1]] * 3,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(mesh.indices, [0, 1, 2])
+        mat = registry().get(AssetUrl(col.material_urls[0]), Material)
+        assert mat.base_color_factor == (0.9, 0.1, 0.2, 1.0)
+
+    def test_malformed_glb_named_errors(self, tmp_path):
         from zenith_tpu.asset.gltf_loader import GltfLoader
 
-        glb = tmp_path / "model.glb"
-        glb.write_bytes(b"glTF" + b"\x02\x00\x00\x00" + b"\x00" * 32)
-        with pytest.raises(ValueError, match="GLB"):
-            GltfLoader.load(str(glb))
+        bad_version = tmp_path / "v1.glb"
+        bad_version.write_bytes(b"glTF" + b"\x01\x00\x00\x00" + b"\x00" * 32)
+        with pytest.raises(ValueError, match="version"):
+            GltfLoader.load(str(bad_version))
+
+        truncated = tmp_path / "trunc.glb"
+        truncated.write_bytes(b"glTF\x02\x00")
+        with pytest.raises(ValueError, match="truncated"):
+            GltfLoader.load(str(truncated))
+
+        no_json = tmp_path / "nojson.glb"
+        import struct
+        no_json.write_bytes(struct.pack("<III", 0x46546C67, 2, 12))
+        with pytest.raises(ValueError, match="JSON"):
+            GltfLoader.load(str(no_json))

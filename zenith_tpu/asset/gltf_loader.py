@@ -1,18 +1,20 @@
 """glTF 2.0 loader + baker (reference zenith-asset/src/gltf_loader.rs).
 
-Pure-Python glTF parse (the reference uses the `gltf` crate): JSON document,
-buffer resolution (external .bin via mmap or data: URIs — GLB bin chunks are
-rejected like the reference, gltf_loader.rs:372-396), image resolution
-(data URI / bufferView / external file decoded by PIL, forced RGBA8 —
-gltf_loader.rs:398-473), accessor reading with component types and strides.
+Pure-Python glTF parse (the reference uses the `gltf` crate): JSON document
+or GLB binary container, buffer resolution (external .bin via mmap, data:
+URIs, or the GLB BIN chunk), image resolution (data URI / bufferView /
+external file decoded by PIL, forced RGBA8 — gltf_loader.rs:398-473),
+accessor reading with component types and strides.
 
 Baking (RawGltfProcessor::bake, gltf_loader.rs:54-359): recursive scene-node
 walk → per-primitive Mesh assets (flat normals generated when missing,
 gltf_loader.rs:150-171; UVs default 0), per-material Material assets with
 inline textures, and a MeshCollection manifest pairing meshes↔materials 1:1.
 
-Divergence from the reference (improvement): node transforms (matrix or TRS)
-are applied to baked positions/normals — the reference drops them.
+Divergences from the reference (improvements): node transforms (matrix or
+TRS) are applied to baked positions/normals — the reference drops them; GLB
+containers load — the reference rejects GLB bin-chunk buffers with
+`unimplemented!` (gltf_loader.rs:372-396).
 """
 
 from __future__ import annotations
@@ -49,6 +51,46 @@ _COMPONENT_DTYPES = {
     5126: np.float32,
 }
 _TYPE_COUNTS = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
+
+
+_GLB_CHUNK_JSON = 0x4E4F534A  # 'JSON'
+_GLB_CHUNK_BIN = 0x004E4942   # 'BIN\0'
+
+
+def _parse_glb(raw: bytes) -> "tuple[Dict[str, Any], Optional[bytes]]":
+    """Parse a GLB binary container → (JSON document, BIN chunk or None).
+
+    The glTF 2.0 binary layout: 12-byte header (magic 'glTF', version,
+    total length), then 4-byte-aligned chunks of (length, type, data).
+    Unknown chunk types are skipped per spec. The reference rejects this
+    container entirely (gltf_loader.rs:372-396); supporting it is a
+    divergence-as-improvement.
+    """
+    import struct
+
+    if len(raw) < 12:
+        raise ValueError("GLB container truncated: missing 12-byte header")
+    _magic, version, length = struct.unpack_from("<III", raw, 0)
+    if version != 2:
+        raise ValueError(f"GLB version {version} not supported (glTF 2.0 only)")
+    doc: "Optional[Dict[str, Any]]" = None
+    bin_chunk: "Optional[bytes]" = None
+    off = 12
+    end = min(length, len(raw))
+    while off + 8 <= end:
+        clen, ctype = struct.unpack_from("<II", raw, off)
+        data = raw[off + 8 : off + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("GLB chunk truncated: declared length runs past EOF")
+        if ctype == _GLB_CHUNK_JSON:
+            # Spec pads the JSON chunk with trailing spaces to 4-byte align.
+            doc = json.loads(data.decode("utf-8"))
+        elif ctype == _GLB_CHUNK_BIN and bin_chunk is None:
+            bin_chunk = bytes(data)
+        off += 8 + clen + (-clen % 4)
+    if doc is None:
+        raise ValueError("GLB container has no JSON chunk")
+    return doc, bin_chunk
 
 
 class RawGltf:
@@ -121,16 +163,24 @@ class GltfLoader:
     def load(path: "Path | str") -> RawGltf:
         path = Path(path)
         raw = bytes(load_with_memory_mapping(path))
+        bin_chunk: "Optional[bytes]" = None
         if raw[:4] == b"glTF":
-            raise ValueError("GLB binary container not supported (parity with "
-                             "the reference's rejection, gltf_loader.rs:372-396)")
-        doc = json.loads(raw.decode("utf-8"))
+            doc, bin_chunk = _parse_glb(raw)
+        else:
+            doc = json.loads(raw.decode("utf-8"))
         buffers: List[bytes] = []
         for buf in doc.get("buffers", []):
             uri = buf.get("uri")
             if uri is None:
-                raise ValueError("GLB bin chunk buffers not supported")
-            if uri.startswith("data:"):
+                # glTF spec: only buffer 0 may be uri-less, referring to the
+                # container's BIN chunk.
+                if bin_chunk is None:
+                    raise ValueError(
+                        "buffer without uri outside a GLB container (no BIN "
+                        "chunk to resolve it against)"
+                    )
+                buffers.append(bin_chunk)
+            elif uri.startswith("data:"):
                 buffers.append(base64.b64decode(uri.split(",", 1)[1]))
             else:
                 buffers.append(

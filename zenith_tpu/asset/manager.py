@@ -107,7 +107,7 @@ class AssetManager:
     @profile.profiled
     def _bake(self, url: AssetUrl) -> None:
         source = self.content_dir / url.path
-        if url.path.endswith(".gltf"):
+        if url.path.endswith((".gltf", ".glb")):
             raw = GltfLoader.load(source)
             RawGltfProcessor(raw, url, self.cache_dir).bake()
         else:
