@@ -84,6 +84,60 @@ class TestAtlas:
                 np.asarray(out)[0, 0, :3], [1, 0, 0], atol=1e-5
             )
 
+    def test_gutter_protects_deep_mips(self):
+        """Inputs smaller than their pow2 cell get a gutter ring out of the
+        cell's slack: bilinear taps at coarse mips stay inside the input's
+        replicated content instead of bleeding into the neighbor cell."""
+        from zenith_tpu.ops.sampling import pack_mips, sample_2d_lod
+        from zenith_tpu.rhi.sampler import SamplerConfig
+
+        # 24x24 inputs -> 32x32 cells, slack 8 -> 4-texel gutter each side:
+        # protected while (4 + 0.5) / 2^k >= 0.5, i.e. through level 3.
+        a = _solid("a", (1, 0, 0, 1), size=24)
+        b = _solid("b", (0, 0, 1, 1), size=24)
+        atlas = build_atlas("t", [a, b])
+        packed = pack_mips(list(atlas.texture.mips))
+        cfg = SamplerConfig.linear()
+        for i, color in [(0, [1, 0, 0]), (1, [0, 0, 1])]:
+            su, sv, ou, ov = atlas.transforms[i]
+            for lod in (2.0, 3.0):
+                for u, v in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+                    uv = jnp.asarray([[[ou + u * su, ov + v * sv]]])
+                    out = sample_2d_lod(
+                        packed, uv, jnp.float32(lod), cfg
+                    )
+                    np.testing.assert_allclose(
+                        np.asarray(out)[0, 0, :3], color, atol=1e-5,
+                        err_msg=f"input {i} bled at lod {lod} uv=({u},{v})",
+                    )
+
+    def test_explicit_gutter_grows_cells_for_guaranteed_ring(self):
+        """gutter=G on pow2 inputs (no natural slack) grows the cell and
+        keeps deep-mip taps pure."""
+        from zenith_tpu.ops.sampling import pack_mips, sample_2d_lod
+        from zenith_tpu.rhi.sampler import SamplerConfig
+
+        a = _solid("a", (1, 0, 0, 1), size=16)
+        b = _solid("b", (0, 0, 1, 1), size=16)
+        # Zero-arg default on exactly-pow2 inputs: no slack, gutter 0 — the
+        # level-0 half-texel contract (tested above) is all you get.
+        tight = build_atlas("t0", [a, b])
+        assert tight.texture.desc.width == 32  # 2 cols x 16
+
+        atlas = build_atlas("t", [a, b], gutter=8)
+        # 16 + 2*8 = 32-texel cells, 2 cols.
+        assert atlas.texture.desc.width == 64
+        packed = pack_mips(list(atlas.texture.mips))
+        cfg = SamplerConfig.linear()
+        su, sv, ou, ov = atlas.transforms[0]
+        for lod in (2.0, 4.0):
+            uv = jnp.asarray([[[ou + 1.0 * su, ov + 0.5 * sv]]])
+            out = sample_2d_lod(packed, uv, jnp.float32(lod), cfg)
+            np.testing.assert_allclose(
+                np.asarray(out)[0, 0, :3], [1, 0, 0], atol=1e-5,
+                err_msg=f"explicit gutter bled at lod {lod}",
+            )
+
 
 class TestPerturbNormal:
     def _planes(self, h=16, w=16):

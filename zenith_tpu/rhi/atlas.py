@@ -14,9 +14,14 @@ per-pixel layer index into an (N, H, W, C) array lowers to a per-pixel
 gather — measured ~3 ms per 2M rows on this backend — while the atlas is a
 plain 2D sample. In-atlas REPEAT wrapping is not available (UVs outside
 [0, 1] clamp into the cell); CLAMP_TO_EDGE semantics are preserved by the
-half-texel inset. Deep mip levels of adjacent cells can bleed (cells stay
-aligned at every level — pow2 cells — but the level-0 inset narrows in
-texel units as levels coarsen); LOD is clamped to the atlas mip count.
+half-texel inset plus GUTTER texels: each input sits inset in its pow2
+cell with its edges replicated outward, so mip-level-``k`` bilinear taps
+stay inside the input's own (replicated) content while the gutter is
+>= ``0.5 * 2^k`` level-0 texels wide. By default the gutter uses only the
+slack already present in the pow2 cell (zero memory cost; inputs that
+exactly fill their cell keep the level-0-only half-texel guarantee);
+pass ``gutter=G`` to grow cells for a guaranteed G-texel ring. LOD is
+clamped to the atlas mip count.
 """
 
 from __future__ import annotations
@@ -54,6 +59,7 @@ def build_atlas(
     textures: "Sequence[Optional[Texture]]",
     fallback: "Tuple[float, ...]" = (1.0, 1.0, 1.0, 1.0),
     mip_levels: "Optional[int]" = None,
+    gutter: "Optional[int]" = None,
 ) -> TextureAtlas:
     """Pack ``textures`` into a uniform pow2 grid atlas.
 
@@ -63,6 +69,13 @@ def build_atlas(
     - Inputs smaller than the cell are edge-replicated to fill it, so
     bilinear taps near the input's edge read replicated texels (CLAMP
     semantics), and mips of the padded cell stay self-contained.
+    - Each input is placed inset by a GUTTER ring of edge-replicated
+      texels, so bilinear taps at coarse mips read the input's own clamped
+      content instead of the neighbor cell (protected through level
+      ``log2(2·g + 1)``). ``gutter=None`` (default) spends only the slack
+      the pow2 cell already has (up to 8 texels, zero memory growth);
+      ``gutter=G`` sizes cells for a guaranteed G-texel ring on every
+      input.
     - ``mip_levels=None`` auto-picks: full chain down to 4×4 cells.
 
     Returns device-resident linear float data (inputs are already linear
@@ -72,8 +85,16 @@ def build_atlas(
 
     n = len(textures)
     assert n >= 1, "atlas needs at least one slot"
-    cell_w = _next_pow2(max((t.desc.width if t else 1) for t in textures))
-    cell_h = _next_pow2(max((t.desc.height if t else 1) for t in textures))
+    max_w = max((t.desc.width if t else 1) for t in textures)
+    max_h = max((t.desc.height if t else 1) for t in textures)
+    if gutter is None:
+        cell_w, cell_h = _next_pow2(max_w), _next_pow2(max_h)
+        g_target = 8
+    else:
+        assert gutter >= 0
+        cell_w = _next_pow2(max_w + 2 * gutter)
+        cell_h = _next_pow2(max_h + 2 * gutter)
+        g_target = gutter
     cols = int(np.ceil(np.sqrt(n)))
     rows = int(np.ceil(n / cols))
     aw, ah = cols * cell_w, rows * cell_h
@@ -101,20 +122,24 @@ def build_atlas(
                               np.float32)
                 cell = np.concatenate([cell, pad], axis=-1)
             h_i, w_i = cell.shape[0], cell.shape[1]
-        # Edge-replicate the input to fill its pow2 cell.
+        # Place the input inset by the gutter (what the cell's slack
+        # allows, up to g_target) and edge-replicate on all four sides.
+        g_x = min(g_target, (cell_w - w_i) // 2)
+        g_y = min(g_target, (cell_h - h_i) // 2)
         padded = np.pad(
             cell,
-            ((0, cell_h - h_i), (0, cell_w - w_i), (0, 0)),
+            ((g_y, cell_h - h_i - g_y), (g_x, cell_w - w_i - g_x), (0, 0)),
             mode="edge",
         )
         sheet[y0:y0 + cell_h, x0:x0 + cell_w] = padded
         # Half-texel inset keeps bilinear taps inside the input's texels
-        # (CLAMP_TO_EDGE semantics; no cross-cell bleeding at level 0).
+        # (CLAMP_TO_EDGE semantics; no cross-cell bleeding at level 0);
+        # the gutter ring extends the guarantee to coarse mips.
         transforms[i] = (
             max(w_i - 1, 1) / aw,
             max(h_i - 1, 1) / ah,
-            (x0 + 0.5) / aw,
-            (y0 + 0.5) / ah,
+            (x0 + g_x + 0.5) / aw,
+            (y0 + g_y + 0.5) / ah,
         )
 
     if mip_levels is None:
