@@ -37,6 +37,7 @@ from zenith_tpu.renderer.forward import (
     sun_view_projection,
 )
 from zenith_tpu.renderer.scene import DirectionalLight, Scene
+from zenith_tpu.renderer.static_batch import StaticGeometryCache
 from zenith_tpu.rhi import (
     ColorAttachmentDesc,
     CullMode,
@@ -238,6 +239,7 @@ class DeferredRenderer:
         self.scene = scene
         self.wireframe = wireframe
         self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
+        self._static_cache = StaticGeometryCache()
         # Textured mode: the per-draw material textures are packed into one
         # ATLAS per map type at construction (rhi.atlas) — fragments sample
         # each map ONCE with a per-draw UV transform, so per-draw texture
@@ -497,13 +499,27 @@ class DeferredRenderer:
                    if o.instance_offsets is not None and not o.translucent]
         trans_ix = [i for i, o in enumerate(scene.objects) if o.translucent]
 
-        handles = [
-            (
-                builder.import_resource(o.vertex_buffer),
-                builder.import_resource(o.index_buffer),
+        # Static batching (renderer/static_batch.py): all plain opaque
+        # draws share ONE concatenated vertex/index buffer pair, imported
+        # once per node — per-frame host cost is O(1) in object count
+        # (records slice their range at trace time). Instanced and
+        # translucent objects keep per-object buffers (their draw paths
+        # differ per object anyway).
+        static_geo = self._static_cache.get(scene.objects, plain_ix)
+        per_obj_ix = (
+            inst_ix + trans_ix if static_geo is not None
+            else plain_ix + inst_ix + trans_ix
+        )
+        handles = {
+            i: (
+                builder.import_resource(scene.objects[i].vertex_buffer),
+                builder.import_resource(scene.objects[i].index_buffer),
             )
-            for o in scene.objects
-        ]
+            for i in per_obj_ix
+        }
+        if static_geo is not None:
+            s_vb_h = builder.import_resource(static_geo.vb)
+            s_ib_h = builder.import_resource(static_geo.ib)
         # Material atlases: imported ONCE, shared by every draw (rhi.atlas).
         atlas_handles = {
             name: builder.import_resource(a.texture)
@@ -523,10 +539,15 @@ class DeferredRenderer:
                 TextureDesc.depth("sun.shadow", sun.shadow_map_size, sun.shadow_map_size)
             )
             node = builder.add_graphic_node("shadow")
-            accesses = {
-                i: (node.read(handles[i][0]), node.read(handles[i][1]))
-                for i in plain_ix
-            }
+            if static_geo is None:
+                accesses = {
+                    i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                    for i in plain_ix
+                }
+                s_acc = None
+            else:
+                accesses = None
+                s_acc = (node.read(s_vb_h), node.read(s_ib_h))
             sm = node.write(sm_handle)
             with node.pipeline(self._shadow_si, self._shadow_state) as binder:
                 binder.set_depth(sm, self._shadow_depth)
@@ -534,12 +555,23 @@ class DeferredRenderer:
             def record_shadow(ctx):
                 ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
                 models = ctx.dynamic("def.models")
-                if plain_ix:  # all-instanced scenes: clear-only node
-                    ctx.draw_indexed_batch([
+                if not plain_ix:  # all-instanced scenes: clear-only node
+                    return
+                if static_geo is not None:
+                    vb_all, ib_all = ctx.get(s_acc[0]), ctx.get(s_acc[1])
+                    draws = [
+                        (vb_all[vo:vo + vc], ib_all[io_:io_ + ic],
+                         {"Model": models[i]})
+                        for i, (vo, vc, io_, ic)
+                        in zip(plain_ix, static_geo.ranges)
+                    ]
+                else:
+                    draws = [
                         (accesses[i][0], accesses[i][1],
                          {"Model": models[i]})
                         for i in plain_ix
-                    ])
+                    ]
+                ctx.draw_indexed_batch(draws)
 
             node.execute(record_shadow)
 
@@ -575,10 +607,15 @@ class DeferredRenderer:
 
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
-        accesses = {
-            i: (node.read(handles[i][0]), node.read(handles[i][1]))
-            for i in plain_ix
-        }
+        if static_geo is None:
+            accesses = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                for i in plain_ix
+            }
+            s_acc = None
+        else:
+            accesses = None
+            s_acc = (node.read(s_vb_h), node.read(s_ib_h))
         atlas_accesses = {
             name: node.read(h) for name, h in atlas_handles.items()
         }
@@ -606,8 +643,14 @@ class DeferredRenderer:
                 for aname in atlas_accesses
             }
             draws = []
-            for i in plain_ix:
-                obj, (vba, iba) = objects[i], accesses[i]
+            if static_geo is not None:
+                vb_all, ib_all = ctx.get(s_acc[0]), ctx.get(s_acc[1])
+            for k, i in enumerate(plain_ix):
+                if static_geo is not None:
+                    vo, vc, io_, ic = static_geo.ranges[k]
+                    vba, iba = vb_all[vo:vo + vc], ib_all[io_:io_ + ic]
+                else:
+                    vba, iba = accesses[i]
                 res = {
                     "Model": models[i],
                     "BaseColor": bcs[i],

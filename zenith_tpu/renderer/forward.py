@@ -28,6 +28,7 @@ from zenith_tpu.ops.sampling import sample_shadow_pcf
 from zenith_tpu.rendergraph import RenderGraphBuilder
 from zenith_tpu.rendergraph.resource import RenderGraphResource
 from zenith_tpu.renderer.scene import DirectionalLight, Scene
+from zenith_tpu.renderer.static_batch import StaticGeometryCache
 from zenith_tpu.rhi import (
     ColorAttachmentDesc,
     CullMode,
@@ -188,6 +189,7 @@ class ForwardShadowRenderer:
     def __init__(self, scene: Scene, wireframe: bool = False):
         self.scene = scene
         self.wireframe = wireframe
+        self._static_cache = StaticGeometryCache()
         self.shadow_vs = Shader.vertex(
             "shadow.vs", _shadow_vs,
             bindings=[uniform("Model"), uniform("LightViewProj")],
@@ -318,23 +320,34 @@ class ForwardShadowRenderer:
         inst_ix = [i for i, o in enumerate(scene.objects)
                    if o.instance_offsets is not None]
 
-        # Import each object's buffers once.
-        handles = [
-            (
-                builder.import_resource(o.vertex_buffer),
-                builder.import_resource(o.index_buffer),
+        # Static batching (renderer/static_batch.py): plain draws share one
+        # concatenated buffer pair; per-frame host cost is O(1) in objects.
+        static_geo = self._static_cache.get(scene.objects, plain_ix)
+        per_obj_ix = inst_ix if static_geo is not None else plain_ix + inst_ix
+        handles = {
+            i: (
+                builder.import_resource(scene.objects[i].vertex_buffer),
+                builder.import_resource(scene.objects[i].index_buffer),
             )
-            for o in scene.objects
-        ]
+            for i in per_obj_ix
+        }
+        if static_geo is not None:
+            s_vb_h = builder.import_resource(static_geo.vb)
+            s_ib_h = builder.import_resource(static_geo.ib)
 
         shadow_map = builder.create(TextureDesc.depth("sun.shadow", size, size))
 
         # -- node 1: shadow (depth-only) --------------------------------------
         node = builder.add_graphic_node("shadow")
-        accesses = {
-            i: (node.read(handles[i][0]), node.read(handles[i][1]))
-            for i in plain_ix
-        }
+        if static_geo is None:
+            accesses = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                for i in plain_ix
+            }
+            s_acc = None
+        else:
+            accesses = None
+            s_acc = (node.read(s_vb_h), node.read(s_ib_h))
         sm = node.write(shadow_map)
         with node.pipeline(self._shadow_si, self._shadow_state) as binder:
             binder.set_depth(sm, self._shadow_depth)
@@ -344,11 +357,22 @@ class ForwardShadowRenderer:
         def record_shadow(ctx):
             ctx.bind("LightViewProj", ctx.dynamic("fwd.light_vp"))
             models = ctx.dynamic("fwd.models")
-            if plain_ix:  # all-instanced scenes: clear-only shadow node
-                ctx.draw_indexed_batch([
+            if not plain_ix:  # all-instanced scenes: clear-only shadow node
+                return
+            if static_geo is not None:
+                vb_all, ib_all = ctx.get(s_acc[0]), ctx.get(s_acc[1])
+                draws = [
+                    (vb_all[vo:vo + vc], ib_all[io_:io_ + ic],
+                     {"Model": models[i]})
+                    for i, (vo, vc, io_, ic)
+                    in zip(plain_ix, static_geo.ranges)
+                ]
+            else:
+                draws = [
                     (accesses[i][0], accesses[i][1], {"Model": models[i]})
                     for i in plain_ix
-                ])
+                ]
+            ctx.draw_indexed_batch(draws)
 
         node.execute(record_shadow)
 
@@ -384,10 +408,15 @@ class ForwardShadowRenderer:
 
         # -- node 2: forward lit ----------------------------------------------
         node2 = builder.add_graphic_node("forward")
-        accesses2 = {
-            i: (node2.read(handles[i][0]), node2.read(handles[i][1]))
-            for i in plain_ix
-        }
+        if static_geo is None:
+            accesses2 = {
+                i: (node2.read(handles[i][0]), node2.read(handles[i][1]))
+                for i in plain_ix
+            }
+            s_acc2 = None
+        else:
+            accesses2 = None
+            s_acc2 = (node2.read(s_vb_h), node2.read(s_ib_h))
         sm_read = node2.read(shadow_map)
         rt = node2.write(output)
         ds = node2.write(depth)
@@ -409,17 +438,27 @@ class ForwardShadowRenderer:
             ctx.bind("ShadowMap", ctx.get_full(sm_read))
             models = ctx.dynamic("fwd.models")
             bcs = ctx.dynamic("fwd.base_colors")
-            if plain_ix:  # all-instanced scenes: clear-only lit node
-                ctx.draw_indexed_batch(
-                    [
-                        (accesses2[i][0], accesses2[i][1], {
-                            "Model": models[i],
-                            "BaseColor": bcs[i],
-                        })
-                        for i in plain_ix
-                    ],
-                    per_draw_uniforms=("BaseColor",),
-                )
+            if not plain_ix:  # all-instanced scenes: clear-only lit node
+                return
+            if static_geo is not None:
+                vb_all, ib_all = ctx.get(s_acc2[0]), ctx.get(s_acc2[1])
+                draws = [
+                    (vb_all[vo:vo + vc], ib_all[io_:io_ + ic], {
+                        "Model": models[i],
+                        "BaseColor": bcs[i],
+                    })
+                    for i, (vo, vc, io_, ic)
+                    in zip(plain_ix, static_geo.ranges)
+                ]
+            else:
+                draws = [
+                    (accesses2[i][0], accesses2[i][1], {
+                        "Model": models[i],
+                        "BaseColor": bcs[i],
+                    })
+                    for i in plain_ix
+                ]
+            ctx.draw_indexed_batch(draws, per_draw_uniforms=("BaseColor",))
 
         node2.execute(record_forward)
 
