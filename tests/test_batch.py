@@ -48,7 +48,9 @@ def _fs(varyings, res, builtins):
     ) if tint.ndim == 1 else varyings["color"] * tint
 
 
-def _pipeline(blend=False):
+def _pipeline(blend=False, samples=1):
+    from zenith_tpu.rhi.state import MultisampleState
+
     vs = Shader.vertex("batch.vs", _vs, bindings=[uniform("Offset")])
     fs = Shader.fragment("batch.fs", _fs, bindings=[uniform("Tint")])
     layout = VertexLayout.from_fields(("position", 4), ("color", 4))
@@ -61,6 +63,7 @@ def _pipeline(blend=False):
             state=GraphicPipelineState(
                 rasterization=RasterizationState(cull_mode=CullMode.NONE),
                 depth_stencil=DepthStencilDesc().reverse_z(),
+                multisample=MultisampleState(samples=samples),
             ),
             attachments=GraphicPipelineAttachments(
                 color_formats=(Format.RGBA32F,), depth_format=Format.D32F
@@ -170,6 +173,55 @@ class TestBatchEquivalence:
             per_draw_uniforms=("Tint",),
         )
         assert np.asarray(colors[0])[..., 0].max() > 0.2
+
+
+class TestBatchMsaa:
+    """Batched draws under an MSAA pipeline: one shared binning, one
+    raster + shade per sample — must equal the sequential single-draw MSAA
+    path exactly (same sample positions, same winner per sample)."""
+
+    def _msaa_clear(self, samples):
+        colors = [jnp.broadcast_to(
+            clear_color(H, W, (0, 0, 0, 1)), (samples, H, W, 4)
+        )]
+        depth = jnp.broadcast_to(clear_depth(H, W, 0.0), (samples, H, W))
+        return colors, depth
+
+    @pytest.mark.parametrize("samples", [2, 4])
+    def test_msaa_batched_equals_sequential(self, draws, samples):
+        pipeline = _pipeline(samples=samples)
+
+        colors, depth = self._msaa_clear(samples)
+        for vb, ib, res in draws:
+            colors, depth, _ = draw_indexed(
+                colors, depth, pipeline, vb, ib, res, GRID
+            )
+        seq_img, seq_z = np.asarray(colors[0]), np.asarray(depth)
+
+        colors, depth = self._msaa_clear(samples)
+        colors, depth, stats = draw_indexed_batch(
+            colors, depth, pipeline, draws, GRID,
+            per_draw_uniforms=("Tint",),
+        )
+        bat_img, bat_z = np.asarray(colors[0]), np.asarray(depth)
+
+        assert bat_img.shape == (samples, H, W, 4)
+        np.testing.assert_array_equal(bat_z, seq_z)
+        np.testing.assert_allclose(bat_img, seq_img, atol=2e-6)
+
+    def test_msaa_samples_rasterize_at_distinct_positions(self, draws):
+        """Per-sample planes must differ at silhouette pixels (each sample
+        rasterized at its own Vulkan standard position) — the edge
+        anti-aliasing MSAA exists for."""
+        pipeline = _pipeline(samples=4)
+        colors, depth = self._msaa_clear(4)
+        colors, _, _ = draw_indexed_batch(
+            colors, depth, pipeline, draws, GRID,
+            per_draw_uniforms=("Tint",),
+        )
+        per_sample = np.asarray(colors[0])
+        differs = np.abs(per_sample - per_sample[0:1]).max(axis=(0, 3)) > 1e-6
+        assert differs.any()
 
 
 def test_per_draw_uniforms_ride_records_at_high_draw_count(rng):

@@ -221,6 +221,41 @@ class TestBatchedBlend:
             _batched(pipe, draws), _seq_reference(pipe, draws), atol=1e-6
         )
 
+    @pytest.mark.parametrize("samples", [2, 4])
+    def test_msaa_blend_batch_equals_sequential(self, samples):
+        """MSAA through the in-order blend kernel: one blend pass per
+        sample position must match the sequential per-draw MSAA blend
+        (draw chain convention: (S, H, W, ...) planes)."""
+        from zenith_tpu.rhi.state import MultisampleState
+        from dataclasses import replace as dc_replace
+
+        pipe = _pipeline(FS_SAFE)
+        pipe = GraphicPipeline(dc_replace(
+            pipe.desc,
+            state=dc_replace(
+                pipe.desc.state,
+                multisample=MultisampleState(samples=samples),
+            ),
+        ))
+        draws = self._draws()
+
+        colors = [jnp.zeros((samples, H, W, 4), jnp.float32)]
+        depth = jnp.zeros((samples, H, W), jnp.float32)
+        for vb, ib, res in draws:
+            colors, depth, _ = draw_indexed(
+                colors, depth, pipe, vb, ib, res, GRID
+            )
+        seq = np.asarray(colors[0])
+
+        colors = [jnp.zeros((samples, H, W, 4), jnp.float32)]
+        depth = jnp.zeros((samples, H, W), jnp.float32)
+        colors, depth, _ = draw_indexed_batch(
+            colors, depth, pipe, draws, GRID
+        )
+        bat = np.asarray(colors[0])
+        assert bat.shape == (samples, H, W, 4)
+        np.testing.assert_allclose(bat, seq, atol=1e-5)
+
     def test_opaque_batch_unaffected(self):
         """blend_enable=False batches keep the winner-resolve path."""
         pipe = _pipeline(FS_SAFE, translucent=False)

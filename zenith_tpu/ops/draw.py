@@ -748,9 +748,6 @@ def draw_indexed_batch(
             assert len(colors) == 1, (
                 "blend batch: exactly one color attachment"
             )
-            assert state.multisample.samples == 1, (
-                "blend batch: MSAA unsupported"
-            )
             assert not ds.stencil_test_enable, (
                 "blend batch: stencil unsupported"
             )
@@ -853,38 +850,45 @@ def draw_indexed_batch(
         entry_budget=entry_budget or budget_total,
         budget_scale=budget_scale,
     )
-    init_z = depth if depth is not None else jnp.zeros(
-        (grid.height, grid.width), jnp.float32
-    )
 
-    stencil_out = None
-    if ds.stencil_test_enable:
-        init_s = (
-            stencil if stencil is not None
-            else jnp.full((grid.height, grid.width),
-                          ds.stencil_clear_value & 0xFF, jnp.int32)
-        )
-        z_out, acc, stencil_out = raster_segmented(
-            bins, grid, init_z,
-            depth_test=ds.depth_test_enable, depth_write=ds.depth_write_enable,
-            compare_op=ds.depth_compare_op, depth_clamp=rast_state.depth_clamp,
-            init_stencil=init_s, stencil_front=ds.stencil_front,
-            stencil_back=ds.stencil_back, interpret=interpret,
-        )
-    else:
+    def raster_one(init_z, init_stencil_or_none, sample_offset=(0.5, 0.5)):
+        """One raster pass at one sample position → (z, acc, stencil|None)."""
+        if ds.stencil_test_enable:
+            init_s = (
+                init_stencil_or_none if init_stencil_or_none is not None
+                else jnp.full((grid.height, grid.width),
+                              ds.stencil_clear_value & 0xFF, jnp.int32)
+            )
+            return raster_segmented(
+                bins, grid, init_z,
+                depth_test=ds.depth_test_enable,
+                depth_write=ds.depth_write_enable,
+                compare_op=ds.depth_compare_op,
+                depth_clamp=rast_state.depth_clamp,
+                init_stencil=init_s, stencil_front=ds.stencil_front,
+                stencil_back=ds.stencil_back,
+                sample_offset=sample_offset, interpret=interpret,
+            )
         z_out, acc = raster_segmented(
             bins, grid, init_z,
             depth_test=ds.depth_test_enable, depth_write=ds.depth_write_enable,
             compare_op=ds.depth_compare_op, depth_clamp=rast_state.depth_clamp,
-            interpret=interpret,
+            sample_offset=sample_offset, interpret=interpret,
         )
+        return z_out, acc, None
 
-    varyings, mask, builtins = shade.finalize_attrs(z_out, acc, attr_layout)
-    draw_id = varyings.pop("__draw_id", None)
+    def shade_sample(z_out, acc, sample_colors):
+        """Finalize varyings + run the fragment shader + output merge for
+        one resolved visibility plane (one sample, or the 1x render)."""
+        varyings, mask, builtins = shade.finalize_attrs(
+            z_out, acc, attr_layout
+        )
+        draw_id = varyings.pop("__draw_id", None)
 
-    fs = pipeline.fragment_shader
-    new_colors = list(colors)
-    if fs is not None:
+        fs = pipeline.fragment_shader
+        new_cols = list(sample_colors)
+        if fs is None:
+            return new_cols
         # Per-draw uniform planes + resource tuples for everything else.
         fs_resources: Dict[str, Any] = {}
         if uniforms_in_records:
@@ -930,15 +934,55 @@ def draw_indexed_batch(
         _warn_unused_bindings(fs, fs_res)
         frag_list = _normalize_frag_out(frag_out)
         descs = pipeline.desc.color_attachment_descs or tuple(
-            None for _ in new_colors
+            None for _ in new_cols
         )
-        assert len(frag_list) == len(new_colors)
-        for i, (dst, src) in enumerate(zip(new_colors, frag_list)):
+        assert len(frag_list) == len(new_cols)
+        for i, (dst, src) in enumerate(zip(new_cols, frag_list)):
             desc = descs[i] if descs[i] is not None else ColorAttachmentDesc()
-            new_colors[i] = blend_ops.apply_color_output(
+            new_cols[i] = blend_ops.apply_color_output(
                 dst, src, mask, desc, state.color_blend.blend_constants
             )
+        return new_cols
 
+    samples = state.multisample.samples
+    if samples > 1:
+        # Batched MSAA: one shared binning, one raster + shade per Vulkan
+        # standard sample position — the same supersampled contract as
+        # single-draw MSAA (draw chain convention: colors (S, H, W, C),
+        # depth/stencil (S, H, W)). The shade-once-per-pixel mode
+        # (sample_shading=False) applies per-sample shading here too: its
+        # center-seed machinery is winner-based and the batch path shades
+        # from resolved winners per sample anyway.
+        offsets = SAMPLE_POSITIONS.get(samples)
+        assert offsets is not None, f"unsupported sample count {samples}"
+        out_colors = [[] for _ in colors]
+        out_z: list = []
+        out_s: list = []
+        for s, off in enumerate(offsets):
+            init_z_s = (
+                depth[s] if depth is not None
+                else jnp.zeros((grid.height, grid.width), jnp.float32)
+            )
+            init_s_s = stencil[s] if stencil is not None else None
+            z_s, acc_s, st_s = raster_one(init_z_s, init_s_s, off)
+            shaded = shade_sample(z_s, acc_s, [c[s] for c in colors])
+            for i, c in enumerate(shaded):
+                out_colors[i].append(c)
+            out_z.append(z_s)
+            if st_s is not None:
+                out_s.append(st_s)
+        new_colors = [jnp.stack(cs) for cs in out_colors]
+        new_depth = jnp.stack(out_z) if depth is not None else None
+        stencil_out = jnp.stack(out_s) if out_s else None
+        return new_colors, new_depth, DrawStats(
+            bin_overflow=bins.overflow, stencil=stencil_out
+        )
+
+    init_z = depth if depth is not None else jnp.zeros(
+        (grid.height, grid.width), jnp.float32
+    )
+    z_out, acc, stencil_out = raster_one(init_z, stencil)
+    new_colors = shade_sample(z_out, acc, colors)
     new_depth = z_out if depth is not None else None
     return new_colors, new_depth, DrawStats(
         bin_overflow=bins.overflow, stencil=stencil_out
@@ -1083,6 +1127,37 @@ def _draw_batch_blend(
         # bool coverage mask (apply_color_output's mask[..., None]).
         return tuple(
             jnp.where(passed, out[..., k], c_planes[k]) for k in range(4)
+        )
+
+    samples = state.multisample.samples
+    if samples > 1:
+        # MSAA through the blend kernel: one shared binning, one in-order
+        # blend pass per Vulkan standard sample position (the fragment
+        # shader is inlined per record, so shading is inherently per
+        # sample — supersampled quality for both sample_shading modes).
+        offsets = SAMPLE_POSITIONS.get(samples)
+        assert offsets is not None, f"unsupported sample count {samples}"
+        out_z, out_c = [], []
+        for s, off in enumerate(offsets):
+            init_z_s = (
+                depth[s] if depth is not None
+                else jnp.zeros((grid.height, grid.width), jnp.float32)
+            )
+            z_s, c_s = raster_segmented_blend(
+                bins, grid, init_z_s, colors[0][s], shade_blend,
+                depth_test=ds.depth_test_enable,
+                depth_write=ds.depth_write_enable,
+                compare_op=ds.depth_compare_op,
+                depth_clamp=rast_state.depth_clamp,
+                sample_offset=off,
+                interpret=interpret,
+            )
+            out_z.append(z_s)
+            out_c.append(c_s)
+        new_depth = jnp.stack(out_z) if depth is not None else None
+        return (
+            [jnp.stack(out_c)], new_depth,
+            DrawStats(bin_overflow=bins.overflow),
         )
 
     init_z = depth if depth is not None else jnp.zeros(

@@ -430,6 +430,7 @@ def _segmented_blend_kernel(
     depth_write: bool,
     depth_clamp: bool = False,
     shade_blend: Callable = None,
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
 ):
     """ORDER-CORRECT per-tile blending: streams this tile's records in
     submission order (binning's (tile, record) sort guarantees it) and, for
@@ -464,8 +465,8 @@ def _segmented_blend_kernel(
         ty = ty_ref[b]
         col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-        x = (tx * tile_w + col).astype(jnp.float32) + 0.5
-        y = (ty * tile_h + row).astype(jnp.float32) + 0.5
+        x = (tx * tile_w + col).astype(jnp.float32) + sample_offset[0]
+        y = (ty * tile_h + row).astype(jnp.float32) + sample_offset[1]
 
         sub = 4  # fragment shader is inlined per record: keep unroll small
 
@@ -528,6 +529,7 @@ def raster_segmented_blend(
     depth_write: bool = False,
     compare_op: CompareOp = CompareOp.GREATER,
     depth_clamp: bool = False,
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
     interpret: Optional[bool] = None,
 ) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """Order-correct blending raster pass → (z (H, W), color (H, W, 4)).
@@ -567,6 +569,7 @@ def raster_segmented_blend(
         depth_write=effective_write,
         depth_clamp=depth_clamp,
         shade_blend=shade_blend,
+        sample_offset=sample_offset,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
