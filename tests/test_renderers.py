@@ -149,6 +149,34 @@ class TestForwardShadow:
         center = img[H // 2, W // 2, :3]
         assert center[0] > center[2]  # red cube
 
+    def test_forward_msaa_softens_silhouettes_only(self, device):
+        """ForwardShadowRenderer(msaa=4): the lit pass rasterizes per
+        sample and the graph resolves for consumers — silhouette pixels
+        change (anti-aliasing), the image interior stays put."""
+        scene = build_test_scene(device)
+        cam = make_camera()
+
+        def render(renderer):
+            def build(builder):
+                color = builder.create(TextureDesc.color("rt", W, H))
+                depth = builder.create(TextureDesc.depth("ds", W, H))
+                renderer.render_to(builder, color, depth, cam)
+                return color
+
+            return run_graph(device, build)
+
+        img1 = render(ForwardShadowRenderer(scene))
+        img4 = render(ForwardShadowRenderer(scene, msaa=4))
+        assert np.isfinite(img4).all()
+        diff = np.abs(img4[..., :3] - img1[..., :3]).max(axis=-1)
+        changed = diff > 5e-3
+        assert changed.any(), "4x MSAA changed nothing — not multisampling"
+        # Only a thin band of edge pixels may differ.
+        assert changed.mean() < 0.15, (
+            f"{changed.mean():.1%} of pixels changed — MSAA should only "
+            "touch silhouettes"
+        )
+
 
 class TestWireframe:
     def test_forward_wireframe_outlines_only(self, device):

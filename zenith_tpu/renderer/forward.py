@@ -186,9 +186,17 @@ _SHADOW_SAMPLER = SamplerConfig(
 class ForwardShadowRenderer:
     """Shadow pass + forward lit pass over a Scene."""
 
-    def __init__(self, scene: Scene, wireframe: bool = False):
+    def __init__(self, scene: Scene, wireframe: bool = False, msaa: int = 1,
+                 sample_shading: bool = True):
+        """``msaa``: sample count (1/2/4/8) on the lit pass — the shadow
+        pass stays single-sample (GPU convention: shadow maps are not
+        multisampled). Consumers of the output (post chain, present) read
+        the resolved surface automatically; ``sample_shading`` follows
+        MultisampleState semantics (batched plain draws shade per sample
+        either way)."""
         self.scene = scene
         self.wireframe = wireframe
+        self.msaa = msaa
         self._static_cache = StaticGeometryCache()
         self.shadow_vs = Shader.vertex(
             "shadow.vs", _shadow_vs,
@@ -246,13 +254,18 @@ class ForwardShadowRenderer:
         # viewers); lines go through the same lit fragment shader.
         from zenith_tpu.rhi.state import PolygonMode
 
+        from zenith_tpu.rhi.state import MultisampleState
+
         self._forward_state = GraphicPipelineState(
             rasterization=RasterizationState(
                 cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE,
                 polygon_mode=(
                     PolygonMode.LINE if wireframe else PolygonMode.FILL
                 ),
-            )
+            ),
+            multisample=MultisampleState(
+                samples=msaa, sample_shading=sample_shading
+            ),
         )
         self._shadow_depth = DepthStencilDesc(
             depth_test_enable=True,

@@ -291,6 +291,10 @@ class SceneApp(RenderableApp):
         parser.add_argument("--wireframe", action="store_true",
                             help="LINE polygon mode on the lit/G-buffer "
                                  "pass (wireframe debug view)")
+        parser.add_argument("--msaa", type=int, default=1,
+                            choices=[1, 2, 4, 8],
+                            help="multisampling on the forward lit pass "
+                                 "(forward mode only)")
         parser.add_argument(
             "--retained", action="store_true",
             help="retained mode: build the graph once, re-execute with "
@@ -303,6 +307,7 @@ class SceneApp(RenderableApp):
         self.gun_instances = ns.gun_instances
         self.glass = ns.glass
         self.wireframe = ns.wireframe
+        self.msaa = ns.msaa
         self.bloom_mips = ns.bloom_mips
         self.mode = ns.mode
         self.num_lights = ns.lights if self.mode == "deferred" else 0
@@ -325,7 +330,7 @@ class SceneApp(RenderableApp):
             self.renderer = DeferredRenderer(scene, wireframe=self.wireframe)
         else:
             self.renderer = ForwardShadowRenderer(
-                scene, wireframe=self.wireframe
+                scene, wireframe=self.wireframe, msaa=self.msaa
             )
         self.post = (
             PostProcess(bloom_mips=self.bloom_mips)
