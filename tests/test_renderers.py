@@ -393,3 +393,44 @@ class TestTexturedDeferred:
         row = img[H - 6, :, :3].sum(-1)
         ground_px = row[row > 0.01]
         assert ground_px.std() > 0.2 * ground_px.mean()
+
+
+class TestVisibilityToggle:
+    def test_hide_without_recompile(self, device):
+        """SceneObject.visible=False removes the object (and its shadow)
+        from the frame WITHOUT a new frame program: visibility rides the
+        model-matrix dynamic (zero matrix -> clipped at w=0), so the
+        structure key is unchanged."""
+        from zenith_tpu.rendergraph.graph import frame_program_cache_size
+
+        scene = build_test_scene(device)
+        renderer = DeferredRenderer(scene)
+        cam = make_camera()
+
+        def build(builder):
+            color = builder.create(TextureDesc.color("rt", W, H))
+            renderer.render_to(builder, color, cam, W, H)
+            return color
+
+        shown = run_graph(device, build)
+        programs_after_first = frame_program_cache_size()
+        scene.objects[0].visible = False  # hide the cube
+        hidden = run_graph(device, build)
+        assert frame_program_cache_size() == programs_after_first
+        scene.objects[0].visible = True
+        shown_again = run_graph(device, build)
+        assert frame_program_cache_size() == programs_after_first
+
+        cy, cx = H // 2, W // 2  # cube silhouette center
+        assert not np.allclose(shown[cy, cx], hidden[cy, cx])
+        np.testing.assert_allclose(shown_again, shown, atol=1e-6)
+        # The cube's shadow on the ground is gone too: the ground directly
+        # beneath it brightens when hidden.
+        def px_of(world):
+            clip = cam.render_view_projection @ np.array([*world, 1.0], np.float32)
+            ndc = clip[:3] / clip[3]
+            return int((ndc[1] + 1) * 0.5 * H), int((ndc[0] + 1) * 0.5 * W)
+
+        sy, sx = px_of((0.0, 0.0, 0.0))
+        assert hidden[sy, sx, :3].sum() > shown[sy, sx, :3].sum() * 1.2
+        assert np.isfinite(hidden).all()

@@ -352,6 +352,38 @@ def sample_cube(
     return sample_2d_array(tex, uv, face, clamped)
 
 
+def sample_cube_lod(
+    levels,  # list/tuple of (6, S_m, S_m, C) cube mips (e.g. a prefiltered chain)
+    directions: jnp.ndarray,  # (..., 3), need not be normalized
+    lod: jnp.ndarray,  # (...,) float mip level
+    sampler: SamplerConfig = SamplerConfig(),
+) -> jnp.ndarray:
+    """Cube sample with explicit per-pixel LOD (textureLod on a cube) —
+    the IBL specular lookup (ops.ibl prefiltered chains; roughness → lod).
+
+    Levels have distinct shapes, so instead of a packed-pyramid gather this
+    blends all levels with tent weights max(0, 1−|lod−m|): trilinear-exact
+    (at most two non-zero weights), and for the short prefiltered chains it
+    serves (≤6 levels of ≤64² faces) the dense blend is cheaper on TPU than
+    a dynamic packed gather with per-level wrap arithmetic."""
+    face, uv = cube_direction_to_face_uv(directions)
+    clamped = SamplerConfig(
+        mag_filter=sampler.mag_filter,
+        min_filter=sampler.min_filter,
+        address_mode_u=AddressMode.CLAMP_TO_EDGE,
+        address_mode_v=AddressMode.CLAMP_TO_EDGE,
+        border_color=sampler.border_color,
+    )
+    lmax = len(levels) - 1
+    lod = jnp.clip(lod + sampler.mip_lod_bias, 0.0, float(lmax))
+    acc = None
+    for m, tex in enumerate(levels):
+        w = jnp.clip(1.0 - jnp.abs(lod - m), 0.0, 1.0)[..., None]
+        tap = sample_2d_array(tex, uv, face, clamped) * w
+        acc = tap if acc is None else acc + tap
+    return acc
+
+
 def sample_3d(
     tex: jnp.ndarray,  # (D, H, W, C)
     uvw: jnp.ndarray,  # (..., 3)

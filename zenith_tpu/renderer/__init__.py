@@ -3,6 +3,7 @@ the BASELINE.md config ladder: triangle → mesh → shadow+forward → deferred
 PBR → post)."""
 
 from zenith_tpu.renderer.deferred import DeferredRenderer
+from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
 from zenith_tpu.renderer.post import PostProcess, PresentEncode
@@ -17,6 +18,7 @@ from zenith_tpu.renderer.triangle import TriangleRenderer
 __all__ = [
     "DeferredRenderer",
     "DirectionalLight",
+    "EnvironmentLight",
     "ForwardShadowRenderer",
     "MeshRenderer",
     "PointLight",

@@ -421,7 +421,9 @@ class DeferredRenderer:
         from zenith_tpu.renderer.forward import _camera_dynamics
 
         return _camera_dynamics(
-            "def", camera, want_inv_vp=self.scene.skybox is not None
+            "def", camera,
+            want_inv_vp=(self.scene.skybox is not None
+                         or self.scene.environment is not None),
         )
 
     def render_to(
@@ -435,18 +437,26 @@ class DeferredRenderer:
     ) -> None:
         scene = self.scene
         sun = scene.sun
+        env = scene.environment
         pl_pos, pl_col, pl_rad = scene.point_light_arrays()
 
         builder.set_dynamic("def.view_proj", camera.render_view_projection)
         builder.set_dynamic("def.camera_pos", camera.location)
-        if scene.skybox is not None:
+        if scene.skybox is not None or env is not None:
             builder.set_dynamic(
                 "def.inv_vp",
                 np.linalg.inv(
                     np.asarray(camera.render_view_projection, np.float64)
                 ).astype(np.float32),
             )
-        builder.set_dynamic("def.ambient", np.asarray(scene.ambient, np.float32))
+        if env is not None:
+            # SH coefficients are host-resident by construction
+            # (ops.ibl.irradiance_sh9_host) — no device readback.
+            builder.set_dynamic("def.env_sh", env.sh9)
+        else:
+            builder.set_dynamic(
+                "def.ambient", np.asarray(scene.ambient, np.float32)
+            )
         builder.set_dynamic("def.background", np.asarray(background, np.float32))
         if pl_pos.shape[0]:
             builder.set_dynamic("def.pl_pos", pl_pos)
@@ -471,9 +481,9 @@ class DeferredRenderer:
         # objects. Stacked (N, ...) arrays collapse that to 3 dynamics;
         # record closures slice their draw's row at trace time (static
         # index, zero runtime cost).
-        builder.set_dynamic("def.models", np.stack(
-            [np.asarray(o.model_matrix, np.float32) for o in scene.objects]
-        ))
+        from zenith_tpu.renderer.scene import stacked_models
+
+        builder.set_dynamic("def.models", stacked_models(scene.objects))
         builder.set_dynamic("def.base_colors", np.stack(
             [o.base_color_array() for o in scene.objects]
         ))
@@ -724,18 +734,29 @@ class DeferredRenderer:
             node.execute(record_gbuffer_inst)
 
         # -- node: lighting resolve (lambda, full-screen) ---------------------------
-        sky_handle = (
-            builder.import_resource(scene.skybox)
-            if scene.skybox is not None
-            else None
+        # The environment's prefiltered cube doubles as the skybox unless the
+        # scene overrides it; when both are the same Texture the import is
+        # shared (one graph resource, two reads).
+        env_handle = (
+            builder.import_resource(env.texture) if env is not None else None
         )
+        if scene.skybox is not None:
+            sky_handle = builder.import_resource(scene.skybox)
+        else:
+            sky_handle = env_handle
         node = builder.add_lambda_node("lighting")
         a_in = node.read(g_albedo)
         n_in = node.read(g_normal)
         p_in = node.read(g_pos)
         d_in = node.read(g_depth)
         sm_in = node.read(sm_handle) if sm_handle is not None else None
-        sky_in = node.read(sky_handle) if sky_handle is not None else None
+        env_in = node.read(env_handle) if env_handle is not None else None
+        if sky_handle is None:
+            sky_in = None
+        elif sky_handle is env_handle:
+            sky_in = env_in  # shared Texture → shared access
+        else:
+            sky_in = node.read(sky_handle)
         out_w = node.write(output)
         num_lights = pl_pos.shape[0]
         shadows = self.shadows
@@ -759,7 +780,35 @@ class DeferredRenderer:
             v = cam_pos - world
             v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
 
-            color = ctx.dynamic("def.ambient") * albedo + emissive * albedo
+            if env_in is not None:
+                # Split-sum IBL (ops.ibl): SH diffuse + prefiltered GGX
+                # specular with the analytic env-BRDF — replaces the flat
+                # ambient term.
+                from zenith_tpu.ops.ibl import (
+                    env_brdf_approx,
+                    eval_irradiance_sh9,
+                )
+                from zenith_tpu.ops.sampling import sample_cube_lod
+
+                levels = ctx.get(env_in)
+                if not isinstance(levels, (tuple, list)):
+                    levels = (levels,)
+                irr = eval_irradiance_sh9(ctx.dynamic("def.env_sh"), n)
+                f0 = 0.04 * (1.0 - metallic) + albedo * metallic
+                ndv = jnp.maximum(
+                    jnp.sum(n * v, axis=-1, keepdims=True), 1e-4
+                )
+                refl = 2.0 * ndv * n - v
+                lod = roughness[..., 0] * (len(levels) - 1)
+                pre = sample_cube_lod(levels, refl, lod)[..., :3]
+                scale, bias = env_brdf_approx(ndv, roughness)
+                color = (
+                    albedo * (1.0 - metallic) * irr
+                    + pre * (f0 * scale + bias)
+                    + emissive * albedo
+                )
+            else:
+                color = ctx.dynamic("def.ambient") * albedo + emissive * albedo
 
             if has_sun:
                 l = ctx.dynamic("def.sun_dir")
@@ -827,7 +876,10 @@ class DeferredRenderer:
                 )
                 p = ndc @ ctx.dynamic("def.inv_vp").T
                 dirs = p[..., :3] / p[..., 3:4] - cam_pos
-                bg = sample_cube(ctx.get(sky_in), dirs)[..., :3]
+                sky = ctx.get(sky_in)
+                if isinstance(sky, (tuple, list)):
+                    sky = sky[0]  # mipped env cube → raw environment level
+                bg = sample_cube(sky, dirs)[..., :3]
             else:
                 bg = jnp.broadcast_to(ctx.dynamic("def.background"), color.shape)
             rgb = jnp.where(covered, color, bg)

@@ -316,9 +316,9 @@ class ForwardShadowRenderer:
         # One dynamic per FIELD (see deferred.render_to): stacked (N, ...)
         # arrays instead of N separate dynamics; closures slice at trace
         # time.
-        builder.set_dynamic("fwd.models", np.stack(
-            [np.asarray(o.model_matrix, np.float32) for o in scene.objects]
-        ))
+        from zenith_tpu.renderer.scene import stacked_models
+
+        builder.set_dynamic("fwd.models", stacked_models(scene.objects))
         builder.set_dynamic("fwd.base_colors", np.stack(
             [o.base_color_array() for o in scene.objects]
         ))

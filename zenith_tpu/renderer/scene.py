@@ -52,6 +52,17 @@ class SceneObject:
     # order-correct in-kernel blend path (ops.raster._segmented_blend_kernel)
     # with src-alpha-over blending; base_color's alpha is the opacity.
     translucent: bool = False
+    # Show/hide WITHOUT recompiling: visibility rides the per-frame model-
+    # matrix dynamic (hidden → zero matrix → every triangle lands at
+    # clip-space w=0 and the near clipper rejects it), so toggling changes
+    # no trace structure — the cached frame program is reused as-is. Hidden
+    # objects cast no shadows either (the shadow pass shares the matrix).
+    # NOTE: this is a VALUE change, deliberately absent from the capture
+    # key; under XLA's static shapes a draw-list change would recompile,
+    # which is why classic CPU frustum culling is a pessimization here
+    # (the draw chain is flat to 1M triangles — PERF.md) and show/hide is
+    # the right primitive to expose instead.
+    visible: bool = True
 
     @property
     def instance_count(self) -> int:
@@ -243,6 +254,18 @@ class SceneObject:
         )
 
 
+_ZERO_MODEL = np.zeros((4, 4), np.float32)
+
+
+def stacked_models(objects: "list[SceneObject]") -> np.ndarray:
+    """(N, 4, 4) per-frame model-matrix dynamic: hidden objects contribute
+    the zero matrix (see SceneObject.visible)."""
+    return np.stack([
+        np.asarray(o.model_matrix, np.float32) if o.visible else _ZERO_MODEL
+        for o in objects
+    ])
+
+
 @dataclass
 class DirectionalLight:
     direction: "tuple" = (0.3, -0.5, 0.8)  # direction TOWARD the light
@@ -281,6 +304,11 @@ class Scene:
     point_lights: "list[PointLight]" = field(default_factory=list)
     ambient: "tuple" = (0.03, 0.03, 0.04)
     skybox: "Optional[object]" = None  # cube-map Texture (6, S, S, C)
+    # Image-based light (renderer.environment.EnvironmentLight). When set,
+    # the deferred resolve replaces the flat ``ambient`` term with SH
+    # diffuse + prefiltered GGX specular, and (unless ``skybox`` is also
+    # set) uses the environment cube as the background.
+    environment: "Optional[object]" = None
 
     def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
         """(L, 3) positions, (L, 3) colors·intensity, (L,) radii.

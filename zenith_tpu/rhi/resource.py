@@ -309,7 +309,8 @@ class Texture:
             desc = TextureDesc.new_cube(name, w, format, usage)
         else:
             desc = TextureDesc.new_2d_array(name, w, h, layers, format, usage)
-        return Texture(desc, jax.device_put(linear))
+        return Texture(desc, jax.device_put(linear),
+                       host_pixels=np.ascontiguousarray(linear, np.float32))
 
     @staticmethod
     def from_numpy_3d(name: str, pixels: np.ndarray, format: Format,

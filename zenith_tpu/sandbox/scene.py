@@ -98,12 +98,9 @@ def brushed_texture(size: int = 256, rng=None) -> Texture:
     return Texture.from_numpy("brushed", px, Format.RGBA8_SRGB, generate_mips=True)
 
 
-def sky_cube_texture(size: int = 64):
-    """Procedural gradient sky cube (6, S, S, 4): zenith→horizon gradient
-    with a warm sun glow — exercises the cube-map sampling path end-to-end
-    (reference texture.rs:94-105)."""
-    from zenith_tpu.rhi import Format, Texture
-
+def sky_cube_pixels(size: int = 64) -> np.ndarray:
+    """Procedural gradient sky (6, S, S, 4) linear radiance: zenith→horizon
+    gradient with a warm sun glow."""
     u = (np.arange(size, dtype=np.float32) + 0.5) / size * 2 - 1
     uu, vv = np.meshgrid(u, u)
     ones = np.ones_like(uu)
@@ -132,15 +129,23 @@ def sky_cube_texture(size: int = 64):
         faces.append(
             np.concatenate([col, np.ones_like(up)], -1).astype(np.float32)
         )
+    return np.stack(faces)
+
+
+def sky_cube_texture(size: int = 64):
+    """The procedural sky as a cube-map Texture — exercises the cube-map
+    sampling path end-to-end (reference texture.rs:94-105)."""
+    from zenith_tpu.rhi import Format, Texture
+
     return Texture.from_numpy_layers(
-        "sky", np.stack(faces), Format.RGBA32F, cube=True
+        "sky", sky_cube_pixels(size), Format.RGBA32F, cube=True
     )
 
 
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
                 textured: bool = False, skybox: bool = True,
                 instances: int = 0, gun_instances: int = 0,
-                glass: bool = False) -> Scene:
+                glass: bool = False, ibl: bool = False) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -254,6 +259,16 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
             )
         )
 
+    environment = None
+    if ibl:
+        # Split-sum IBL from the same procedural sky: SH diffuse +
+        # GGX-prefiltered specular replace the flat ambient, and the env
+        # cube doubles as the background (no separate skybox texture).
+        from zenith_tpu.renderer import EnvironmentLight
+
+        environment = EnvironmentLight.from_cube_pixels(
+            "sky.env", sky_cube_pixels(), num_mips=5, samples=64
+        )
     return Scene(
         objects=objects,
         sun=DirectionalLight(
@@ -264,7 +279,8 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
         ),
         point_lights=lights,
         ambient=(0.02, 0.02, 0.03),
-        skybox=sky_cube_texture() if skybox else None,
+        skybox=sky_cube_texture() if (skybox and not ibl) else None,
+        environment=environment,
     )
 
 
@@ -283,6 +299,10 @@ class SceneApp(RenderableApp):
         parser.add_argument("--glass", action="store_true",
                             help="two translucent panes through the "
                                  "in-order blend kernel")
+        parser.add_argument("--ibl", action="store_true",
+                            help="image-based lighting from the procedural "
+                                 "sky (SH diffuse + prefiltered GGX "
+                                 "specular; deferred mode)")
         parser.add_argument("--gun-instances", type=int, default=0,
                             help="instanced cerberus copies (geometry "
                                  "scaling; 30 ~= 1M submitted tris)")
@@ -306,6 +326,7 @@ class SceneApp(RenderableApp):
         self.instances = ns.instances
         self.gun_instances = ns.gun_instances
         self.glass = ns.glass
+        self.ibl = ns.ibl
         self.wireframe = ns.wireframe
         self.msaa = ns.msaa
         self.bloom_mips = ns.bloom_mips
@@ -325,7 +346,8 @@ class SceneApp(RenderableApp):
                             textured=self.textured and self.mode == "deferred",
                             instances=self.instances,
                             gun_instances=self.gun_instances,
-                            glass=self.glass and self.mode == "deferred")
+                            glass=self.glass and self.mode == "deferred",
+                            ibl=self.ibl and self.mode == "deferred")
         if self.mode == "deferred":
             self.renderer = DeferredRenderer(scene, wireframe=self.wireframe)
         else:
