@@ -473,6 +473,64 @@ class TestDeferredSharded:
         assert sharded.shape == single.shape
         np.testing.assert_allclose(sharded, single, atol=2e-4)
 
+    def test_deferred_ibl_sharded_matches_single(self, cpu_devices):
+        """IBL under a mesh: the env cube mips + SH dynamic replicate, the
+        per-band resolve (SH eval + sample_cube_lod gathers + env-as-sky
+        background) must match single-device."""
+        import numpy as np
+
+        from zenith_tpu.core.camera import Camera
+        from zenith_tpu.core.mathtypes import Degree, Radians
+        from zenith_tpu.parallel import default_mesh
+        from zenith_tpu.renderer import DeferredRenderer, EnvironmentLight
+        from zenith_tpu.renderer.scene import Scene, SceneObject
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        core = RhiCore()
+        device = core.create_render_device()
+        w, h = 128, 64
+
+        env_px = np.full((6, 16, 16, 4), 0.05, np.float32)
+        env_px[4, ..., 1] = 1.5  # green +Z sky
+        env_px[..., 3] = 1.0
+        env = EnvironmentLight.from_cube_pixels(
+            "spmd.env", env_px, num_mips=2, samples=8
+        )
+
+        def render(mesh):
+            scene = Scene(
+                objects=[
+                    SceneObject.quad(device, "ground", size=80.0, z=0.0,
+                                     base_color=(0.6, 0.6, 0.6, 1.0)),
+                    SceneObject.cube(device, "box", size=14.0, z0=0.0,
+                                     base_color=(1.0, 1.0, 1.0, 1.0),
+                                     metallic=1.0, roughness=0.3),
+                ],
+                sun=None,
+                environment=env,
+            )
+            renderer = DeferredRenderer(scene, shadows=False)
+            cam = Camera(fov_y=Degree(45.0), aspect_ratio=w / h)
+            cam.set_position(np.array([0.0, -55.0, 22.0], np.float32))
+            cam.set_yaw_pitch(Radians(0.0), Radians(-0.3))
+            builder = RenderGraphBuilder()
+            out = builder.create(TextureDesc.color("out", w, h))
+            builder.export(out)
+            renderer.render_to(builder, out, cam, w, h)
+            compiled = builder.build().compile(
+                device, PipelineCache(),
+                CompileOptions(tile_h=8, tile_w=128, mesh=mesh),
+            )
+            compiled.execute(device)
+            return np.asarray(compiled.value(out))
+
+        single = render(None)
+        sharded = render(default_mesh(8, backend="cpu"))
+        np.testing.assert_allclose(sharded, single, atol=2e-4)
+        # Sanity: the scene is actually env-lit (green dominates).
+        assert single[..., 1].max() > single[..., 0].max() * 1.5
+
 
 class TestMSAAPersistenceUnderMesh:
     """VERDICT r2 weak #7: MSAA per-sample attachment persistence must

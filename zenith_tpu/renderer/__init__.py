@@ -2,7 +2,7 @@
 the BASELINE.md config ladder: triangle → mesh → shadow+forward → deferred
 PBR → post)."""
 
-from zenith_tpu.renderer.deferred import DeferredRenderer
+from zenith_tpu.renderer.deferred import DeferredRenderer, SSAOOptions
 from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
@@ -24,6 +24,7 @@ __all__ = [
     "PointLight",
     "PostProcess",
     "PresentEncode",
+    "SSAOOptions",
     "Scene",
     "SceneObject",
     "TriangleRenderer",

@@ -231,13 +231,36 @@ def _ggx_brdf(n, v, l, albedo, metallic, roughness):
     return (kd * albedo / np.pi + spec) * ndl
 
 
+class SSAOOptions:
+    """Screen-space ambient-occlusion settings (ops.ssao). ``radius`` and
+    ``bias`` are world-space; tune radius to the scene scale."""
+
+    def __init__(self, samples: int = 12, radius: float = 4.0,
+                 bias: float = 0.04, intensity: float = 1.0,
+                 blur_taps: int = 4, depth_tol: float = 5e-4):
+        self.samples = int(samples)
+        self.radius = float(radius)
+        self.bias = float(bias)
+        self.intensity = float(intensity)
+        self.blur_taps = int(blur_taps)
+        self.depth_tol = float(depth_tol)
+
+    def __zenith_capture_key__(self):
+        return ("ssao-opts", self.samples, self.radius, self.bias,
+                self.intensity, self.blur_taps, self.depth_tol)
+
+
 class DeferredRenderer:
     """G-buffer + PBR lighting over a Scene."""
 
     def __init__(self, scene: Scene, shadows: bool = True,
-                 wireframe: bool = False):
+                 wireframe: bool = False,
+                 ssao: "bool | SSAOOptions" = False):
         self.scene = scene
         self.wireframe = wireframe
+        if ssao is True:
+            ssao = SSAOOptions()
+        self.ssao: "SSAOOptions | None" = ssao or None
         self.shadows = shadows and scene.sun is not None and scene.sun.cast_shadows
         self._static_cache = StaticGeometryCache()
         # Textured mode: the per-draw material textures are packed into one
@@ -733,6 +756,71 @@ class DeferredRenderer:
 
             node.execute(record_gbuffer_inst)
 
+        # -- node: SSAO (lambda, full-screen; ops.ssao) -----------------------------
+        ao_handle = None
+        if self.ssao is not None:
+            from zenith_tpu.ops.ssao import (
+                hemisphere_kernel,
+                ssao_blur,
+                ssao_occlusion,
+            )
+
+            opts = self.ssao
+            kern = hemisphere_kernel(opts.samples)  # tiny (K, 3) constant
+            ao_handle = builder.create(
+                TextureDesc.color("ssao.ao", width, height, Format.R32F)
+            )
+            anode = builder.add_lambda_node("ssao")
+            ao_n_in = anode.read(g_normal)
+            ao_p_in = anode.read(g_pos)
+            ao_d_in = anode.read(g_depth)
+            ao_w = anode.write(ao_handle)
+
+            def record_ssao(ctx):
+                normal = ctx.get(ao_n_in)[..., :3]
+                wpos = ctx.get(ao_p_in)[..., :3]
+                dep = ctx.get(ao_d_in)
+                tap_pos = tap_depth = None
+                row0 = 0
+                if ctx.sharded:
+                    # Taps land anywhere on screen; gather from the full
+                    # surfaces.
+                    tap_pos = ctx.get_full(ao_p_in)[..., :3]
+                    tap_depth = ctx.get_full(ao_d_in)
+                    s_axis, s_n, _ = ctx._shard_ctx
+                    row0 = jax.lax.axis_index(s_axis) * dep.shape[0]
+                raw = ssao_occlusion(
+                    wpos, normal, dep, ctx.dynamic("def.view_proj"), kern,
+                    radius=opts.radius, bias=opts.bias,
+                    intensity=opts.intensity,
+                    tap_pos=tap_pos, tap_depth=tap_depth, row0=row0,
+                )
+                taps = opts.blur_taps
+                if ctx.sharded and dep.shape[0] >= taps:
+                    # Vertical blur taps cross band boundaries: ring halo
+                    # exchange (same scheme as bloom), then crop — output
+                    # bit-equal to single-device.
+                    from zenith_tpu.parallel.sharding import (
+                        halo_exchange_rows,
+                    )
+
+                    s_axis, _, _ = ctx._shard_ctx
+                    bh = dep.shape[0]
+                    ext = ssao_blur(
+                        halo_exchange_rows(raw, s_axis, taps),
+                        halo_exchange_rows(dep, s_axis, taps),
+                        taps=taps, depth_tol=opts.depth_tol,
+                    )[taps:taps + bh]
+                    ctx.set(ao_w, ext[..., None])
+                else:
+                    ctx.set(
+                        ao_w,
+                        ssao_blur(raw, dep, taps=taps,
+                                  depth_tol=opts.depth_tol)[..., None],
+                    )
+
+            anode.execute(record_ssao)
+
         # -- node: lighting resolve (lambda, full-screen) ---------------------------
         # The environment's prefiltered cube doubles as the skybox unless the
         # scene overrides it; when both are the same Texture the import is
@@ -750,6 +838,7 @@ class DeferredRenderer:
         p_in = node.read(g_pos)
         d_in = node.read(g_depth)
         sm_in = node.read(sm_handle) if sm_handle is not None else None
+        ao_in = node.read(ao_handle) if ao_handle is not None else None
         env_in = node.read(env_handle) if env_handle is not None else None
         if sky_handle is None:
             sky_in = None
@@ -780,6 +869,12 @@ class DeferredRenderer:
             v = cam_pos - world
             v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8)
 
+            # SSAO attenuates AMBIENT visibility only (flat ambient or IBL);
+            # direct sun/point light keeps its shadow-map visibility.
+            ao = (
+                ctx.get(ao_in)[..., 0:1] if ao_in is not None
+                else jnp.float32(1.0)
+            )
             if env_in is not None:
                 # Split-sum IBL (ops.ibl): SH diffuse + prefiltered GGX
                 # specular with the analytic env-BRDF — replaces the flat
@@ -805,10 +900,12 @@ class DeferredRenderer:
                 color = (
                     albedo * (1.0 - metallic) * irr
                     + pre * (f0 * scale + bias)
+                ) * ao + emissive * albedo
+            else:
+                color = (
+                    ctx.dynamic("def.ambient") * albedo * ao
                     + emissive * albedo
                 )
-            else:
-                color = ctx.dynamic("def.ambient") * albedo + emissive * albedo
 
             if has_sun:
                 l = ctx.dynamic("def.sun_dir")

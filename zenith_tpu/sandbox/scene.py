@@ -303,6 +303,9 @@ class SceneApp(RenderableApp):
                             help="image-based lighting from the procedural "
                                  "sky (SH diffuse + prefiltered GGX "
                                  "specular; deferred mode)")
+        parser.add_argument("--ssao", action="store_true",
+                            help="screen-space ambient occlusion on the "
+                                 "ambient/IBL terms (deferred mode)")
         parser.add_argument("--gun-instances", type=int, default=0,
                             help="instanced cerberus copies (geometry "
                                  "scaling; 30 ~= 1M submitted tris)")
@@ -327,6 +330,7 @@ class SceneApp(RenderableApp):
         self.gun_instances = ns.gun_instances
         self.glass = ns.glass
         self.ibl = ns.ibl
+        self.ssao = ns.ssao
         self.wireframe = ns.wireframe
         self.msaa = ns.msaa
         self.bloom_mips = ns.bloom_mips
@@ -349,7 +353,12 @@ class SceneApp(RenderableApp):
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred")
         if self.mode == "deferred":
-            self.renderer = DeferredRenderer(scene, wireframe=self.wireframe)
+            from zenith_tpu.renderer import SSAOOptions
+
+            self.renderer = DeferredRenderer(
+                scene, wireframe=self.wireframe,
+                ssao=SSAOOptions(radius=6.0) if self.ssao else False,
+            )
         else:
             self.renderer = ForwardShadowRenderer(
                 scene, wireframe=self.wireframe, msaa=self.msaa
