@@ -66,6 +66,8 @@ class Camera:
         # products per setter doubled the per-frame camera cost.
         self._view = None
         self._rvp = None
+        self._rivp = None
+        self._inv_fp = None  # (flip @ proj)⁻¹, constant per projection
 
     # -- accessors ---------------------------------------------------------
 
@@ -103,6 +105,26 @@ class Camera:
         return self._rvp
 
     @property
+    def render_inv_view_projection(self) -> np.ndarray:
+        """(flip @ proj @ view)⁻¹ — the NDC→world matrix skybox/IBL rays
+        need. Computed analytically: the projection half is inverted ONCE
+        (it is constant per camera) and the view half is a rigid transform
+        whose inverse is a transpose — no per-frame LAPACK call (a 4×4
+        np.linalg.inv measured ~0.03 ms/frame on the rebuild path)."""
+        if self._rivp is None:
+            if self._inv_fp is None:
+                self._inv_fp = np.linalg.inv(
+                    (m.VULKAN_Y_FLIP @ self._proj).astype(np.float64)
+                )
+            v = self.view.astype(np.float64)
+            r_t = v[:3, :3].T
+            inv_v = np.eye(4)
+            inv_v[:3, :3] = r_t
+            inv_v[:3, 3] = -r_t @ v[:3, 3]
+            self._rivp = (inv_v @ self._inv_fp).astype(np.float32)
+        return self._rivp
+
+    @property
     def forward(self) -> np.ndarray:
         return self._forward
 
@@ -120,6 +142,7 @@ class Camera:
         self._position = np.asarray(position, dtype=np.float32).copy()
         self._view = None
         self._rvp = None
+        self._rivp = None
 
     def set_yaw_pitch(self, yaw: Radians, pitch: Radians) -> None:
         self._yaw = yaw
@@ -139,6 +162,7 @@ class Camera:
         ).astype(np.float32)
         self._view = None
         self._rvp = None
+        self._rivp = None
 
     def rotate(
         self, delta_yaw: Radians, delta_pitch: Radians, max_pitch: Radians
@@ -150,6 +174,7 @@ class Camera:
         self._rotation = m.quat_from_euler_zxy(self._yaw.value, self._pitch.value, 0.0)
         self._view = None
         self._rvp = None
+        self._rivp = None
 
     def update_local_basis(self) -> None:
         self._update_local_basis()
@@ -167,10 +192,12 @@ class Camera:
         self._up = np.ascontiguousarray(r[:3, 2])
         self._view = None
         self._rvp = None
+        self._rivp = None
 
     def _update_view(self) -> None:
         self._view = None
         self._rvp = None
+        self._rivp = None
 
 
 class CameraController:

@@ -467,10 +467,7 @@ class DeferredRenderer:
         builder.set_dynamic("def.camera_pos", camera.location)
         if scene.skybox is not None or env is not None:
             builder.set_dynamic(
-                "def.inv_vp",
-                np.linalg.inv(
-                    np.asarray(camera.render_view_projection, np.float64)
-                ).astype(np.float32),
+                "def.inv_vp", camera.render_inv_view_projection
             )
         if env is not None:
             # SH coefficients are host-resident by construction

@@ -529,7 +529,5 @@ def _camera_dynamics(prefix: str, camera, want_inv_vp: bool) -> dict:
         f"{prefix}.camera_pos": np.asarray(camera.location, np.float32),
     }
     if want_inv_vp:
-        d[f"{prefix}.inv_vp"] = np.linalg.inv(
-            np.asarray(vp, np.float64)
-        ).astype(np.float32)
+        d[f"{prefix}.inv_vp"] = camera.render_inv_view_projection
     return d

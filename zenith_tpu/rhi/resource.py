@@ -15,6 +15,7 @@ read-after-write hazards cannot exist by construction.
 from __future__ import annotations
 
 import enum
+import functools
 
 from zenith_tpu.core.collections import FastFlag
 from dataclasses import dataclass, field
@@ -176,8 +177,11 @@ class TextureDesc:
     @staticmethod
     def color(name: str, width: int, height: int,
               format: Format = Format.RGBA32F) -> "TextureDesc":
-        return TextureDesc(name, width, height, format,
-                           TextureUsage.COLOR_ATTACHMENT | TextureUsage.SAMPLED)
+        """Memoized: renderers call this every frame for their attachment
+        descs (the graph is rebuilt per frame); returning the SAME frozen
+        instance keeps the per-frame desc cost at a dict probe and lets
+        the structure key / pipeline cache hit identity fast paths."""
+        return _color_texture_desc(name, width, height, format)
 
     @staticmethod
     def stencil(name: str, width: int, height: int) -> "TextureDesc":
@@ -208,9 +212,21 @@ class TextureDesc:
                                     self.format.compute_dtype)
 
 
+# Flag unions precomputed once: FastFlag.__or__ is Python-level and these
+# run per desc per frame on the rebuild path.
+_COLOR_USAGE = TextureUsage.COLOR_ATTACHMENT | TextureUsage.SAMPLED
+_DEPTH_USAGE = TextureUsage.DEPTH_ATTACHMENT | TextureUsage.SAMPLED
+
+
+@functools.lru_cache(maxsize=4096)
+def _color_texture_desc(name: str, width: int, height: int,
+                        format: Format) -> "TextureDesc":
+    return TextureDesc(name, width, height, format, _COLOR_USAGE)
+
+
+@functools.lru_cache(maxsize=4096)
 def _depth_texture_desc(name: str, width: int, height: int) -> "TextureDesc":
-    return TextureDesc(name, width, height, Format.D32F,
-                       TextureUsage.DEPTH_ATTACHMENT | TextureUsage.SAMPLED)
+    return TextureDesc(name, width, height, Format.D32F, _DEPTH_USAGE)
 
 
 # The reference exposes both a `depth` extent field and a `depth(...)` preset
