@@ -67,6 +67,7 @@ def tone_and_bloom(
     bloom_threshold: float = 1.0,
     bloom_strength: float = 0.35,
     tonemap: str = "aces",
+    fxaa: bool = False,
 ) -> jnp.ndarray:
     rgb = hdr[..., :3]
     h, w = rgb.shape[0], rgb.shape[1]
@@ -83,6 +84,10 @@ def tone_and_bloom(
 
     combined = rgb + bloom * bloom_strength
     mapped = aces_tonemap(combined) if tonemap == "aces" else reinhard_tonemap(combined)
+    if fxaa:
+        from zenith_tpu.ops.aa import post_aa
+
+        mapped = post_aa(mapped)
     return jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1)
 
 
@@ -97,12 +102,14 @@ def tone_and_bloom_banded(
     bloom_threshold: float = 1.0,
     bloom_strength: float = 0.35,
     tonemap: str = "aces",
+    fxaa: bool = False,
 ) -> jnp.ndarray:
     """SPMD row-banded tone_and_bloom: ring halo exchange (ppermute) extends
     the band by BLOOM_HALO rows each side, the full chain runs on the
     extended band, and the result crops back — bit-exact with the
     single-device output (the halo wraps at the frame edges exactly like
-    jnp.roll does). Requires an even band height ≥ BLOOM_HALO."""
+    jnp.roll does; the FXAA pass reaches 1 row, well inside the halo).
+    Requires an even band height ≥ BLOOM_HALO."""
     from zenith_tpu.parallel.sharding import halo_exchange_rows
 
     bh = hdr_band.shape[0]
@@ -115,6 +122,7 @@ def tone_and_bloom_banded(
         bloom_threshold=bloom_threshold,
         bloom_strength=bloom_strength,
         tonemap=tonemap,
+        fxaa=fxaa,
     )
     return out[BLOOM_HALO:BLOOM_HALO + bh]
 
@@ -136,11 +144,16 @@ class PostProcess:
     """
 
     def __init__(self, bloom_threshold: float = 1.0, bloom_strength: float = 0.35,
-                 tonemap: str = "aces", bloom_mips: int = 0):
+                 tonemap: str = "aces", bloom_mips: int = 0,
+                 fxaa: bool = False):
         self.bloom_threshold = bloom_threshold
         self.bloom_strength = bloom_strength
         self.tonemap = tonemap
         self.bloom_mips = bloom_mips
+        # FXAA-class post AA on the tonemapped output (ops.aa.post_aa) —
+        # the deferred path's anti-aliasing story (its G-buffer can't MSAA
+        # economically; forward mode has real MSAA instead).
+        self.fxaa = fxaa
 
     def render_to(
         self,
@@ -213,6 +226,7 @@ class PostProcess:
         dst = node.write(output)
         strength = self.bloom_strength
         tonemap = self.tonemap
+        fxaa = self.fxaa
 
         def record_combine(ctx):
             hdr = ctx.get(hdr_in)
@@ -228,6 +242,10 @@ class PostProcess:
                 aces_tonemap(combined) if tonemap == "aces"
                 else reinhard_tonemap(combined)
             )
+            if fxaa:
+                from zenith_tpu.ops.aa import post_aa
+
+                mapped = post_aa(mapped)
             ctx.set(dst, jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1))
 
         node.execute(record_combine)
@@ -245,6 +263,7 @@ class PostProcess:
             bloom_threshold=self.bloom_threshold,
             bloom_strength=self.bloom_strength,
             tonemap=self.tonemap,
+            fxaa=self.fxaa,
         )
 
         def record(ctx):

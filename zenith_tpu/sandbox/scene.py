@@ -306,6 +306,10 @@ class SceneApp(RenderableApp):
         parser.add_argument("--ssao", action="store_true",
                             help="screen-space ambient occlusion on the "
                                  "ambient/IBL terms (deferred mode)")
+        parser.add_argument("--fxaa", action="store_true",
+                            help="FXAA-class post AA on the tonemapped "
+                                 "output (gather-free; the deferred path's "
+                                 "anti-aliasing)")
         parser.add_argument("--gun-instances", type=int, default=0,
                             help="instanced cerberus copies (geometry "
                                  "scaling; 30 ~= 1M submitted tris)")
@@ -331,6 +335,7 @@ class SceneApp(RenderableApp):
         self.glass = ns.glass
         self.ibl = ns.ibl
         self.ssao = ns.ssao
+        self.fxaa = ns.fxaa
         self.wireframe = ns.wireframe
         self.msaa = ns.msaa
         self.bloom_mips = ns.bloom_mips
@@ -364,7 +369,7 @@ class SceneApp(RenderableApp):
                 scene, wireframe=self.wireframe, msaa=self.msaa
             )
         self.post = (
-            PostProcess(bloom_mips=self.bloom_mips)
+            PostProcess(bloom_mips=self.bloom_mips, fxaa=self.fxaa)
             if self.post_enabled else None
         )
         self.camera = Camera(
