@@ -434,3 +434,30 @@ class TestVisibilityToggle:
         sy, sx = px_of((0.0, 0.0, 0.0))
         assert hidden[sy, sx, :3].sum() > shown[sy, sx, :3].sum() * 1.2
         assert np.isfinite(hidden).all()
+
+    def test_retained_visibility_via_models_dynamic(self, device):
+        """Retained execution: frame_dynamics(include_models=True) carries
+        visibility/motion through the stacked model-matrix dynamic -- the
+        SAME compiled program re-executes with the object hidden."""
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache
+
+        scene = build_test_scene(device)
+        renderer = DeferredRenderer(scene)
+        cam = make_camera()
+        builder = RenderGraphBuilder()
+        color = builder.create(TextureDesc.color("rt", W, H))
+        builder.export(color)
+        renderer.render_to(builder, color, cam, W, H)
+        compiled = builder.build().compile(device, PipelineCache(), OPTS)
+        compiled.execute(device)
+        shown = np.asarray(compiled.value(color))
+        scene.objects[0].visible = False
+        compiled.execute(
+            device,
+            dynamics=renderer.frame_dynamics(cam, include_models=True),
+        )
+        hidden = np.asarray(compiled.value(color))
+        cy, cx = H // 2, W // 2
+        assert not np.allclose(shown[cy, cx], hidden[cy, cx])
+        assert np.isfinite(hidden).all()

@@ -438,16 +438,25 @@ class DeferredRenderer:
                 depth_load_op=LoadOp.LOAD,
             )
 
-    def frame_dynamics(self, camera: Camera) -> dict:
+    def frame_dynamics(self, camera: Camera,
+                       include_models: bool = False) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
-        this renderer declares is static per scene)."""
+        this renderer declares is static per scene). Pass
+        ``include_models=True`` when objects move or toggle
+        ``SceneObject.visible`` between retained frames — both ride the
+        stacked model-matrix dynamic."""
         from zenith_tpu.renderer.forward import _camera_dynamics
 
-        return _camera_dynamics(
+        d = _camera_dynamics(
             "def", camera,
             want_inv_vp=(self.scene.skybox is not None
                          or self.scene.environment is not None),
         )
+        if include_models:
+            from zenith_tpu.renderer.scene import stacked_models
+
+            d["def.models"] = stacked_models(self.scene.objects)
+        return d
 
     def render_to(
         self,

@@ -282,10 +282,18 @@ class ForwardShadowRenderer:
         )
         self._ca_load = ColorAttachmentDesc(load_op=LoadOp.LOAD)
 
-    def frame_dynamics(self, camera: Camera) -> dict:
+    def frame_dynamics(self, camera: Camera,
+                       include_models: bool = False) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
-        this renderer declares is static per scene)."""
-        return _camera_dynamics("fwd", camera, want_inv_vp=False)
+        this renderer declares is static per scene). Pass
+        ``include_models=True`` when objects move or toggle
+        ``SceneObject.visible`` between retained frames."""
+        d = _camera_dynamics("fwd", camera, want_inv_vp=False)
+        if include_models:
+            from zenith_tpu.renderer.scene import stacked_models
+
+            d["fwd.models"] = stacked_models(self.scene.objects)
+        return d
 
     def render_to(
         self,
