@@ -24,6 +24,7 @@ class RenderContext:
         self._swapchain_texture = swapchain_texture
         self._extent = extent
         self.present_source = None  # set via present_from()
+        self.requested_outputs = {}  # name -> resource (request_output)
 
     @property
     def extent(self) -> "Tuple[int, int]":
@@ -41,6 +42,15 @@ class RenderContext:
         ``PresentEncode`` node, which folds the sRGB swapchain encode into
         the frame program (one dispatch per frame)."""
         self.present_source = resource
+
+    def request_output(self, name: str, resource) -> None:
+        """Cross-frame feedback: after execute, the engine hands this
+        EXPORTED resource's final device value back through
+        ``app.on_frame_outputs({name: array})`` — device-resident round
+        trip (no host readback) for temporal state like the TAA history
+        surface or the auto-exposure scalar. Works on both the rebuild and
+        retained paths."""
+        self.requested_outputs[name] = resource
 
 
 class App:
@@ -80,3 +90,10 @@ class RenderableApp(App):
     # flow. Constraints: static graph structure; attachments must not LOAD
     # previous swapchain contents.
     update_dynamics = None
+
+    # Optional cross-frame feedback hook: called after each execute with
+    # {name: device_array} for every resource the app registered via
+    # RenderContext.request_output. Values are async device arrays — feed
+    # them straight back in as next frame's dynamics (TAA history,
+    # auto-exposure state); fetching them to host would stall the pipeline.
+    on_frame_outputs = None

@@ -66,8 +66,13 @@ class Camera:
         # products per setter doubled the per-frame camera cost.
         self._view = None
         self._rvp = None
+        self._rvp_base = None  # unjittered flip @ proj @ view
         self._rivp = None
         self._inv_fp = None  # (flip @ proj)⁻¹, constant per projection
+        # Sub-pixel projection jitter in NDC units (TAA); applied as a
+        # homogeneous translation AFTER the projection, so geometry shifts
+        # by exactly (jx/2·W, jy/2·H) pixels after the perspective divide.
+        self._jitter = (0.0, 0.0)
 
     # -- accessors ---------------------------------------------------------
 
@@ -97,12 +102,32 @@ class Camera:
         """view_projection with the Vulkan clip-space Y flip baked in — what
         renderers feed the rasterizer (see mathtypes.VULKAN_Y_FLIP).
         Cached until the next camera mutation (renderers read it several
-        times per frame)."""
+        times per frame). Includes the TAA sub-pixel jitter when set
+        (set_jitter); temporal passes reproject with the unjittered matrix
+        (render_view_projection_unjittered)."""
         if self._rvp is None:
-            self._rvp = (
+            base = self.render_view_projection_unjittered
+            jx, jy = self._jitter
+            if jx == 0.0 and jy == 0.0:
+                self._rvp = base
+            else:
+                # J @ base where J is a homogeneous (jx, jy) translation:
+                # adds jitter·w to clip x/y — two row axpys, no 4x4 matmul.
+                rvp = base.copy()
+                rvp[0] += jx * base[3]
+                rvp[1] += jy * base[3]
+                self._rvp = rvp
+        return self._rvp
+
+    @property
+    def render_view_projection_unjittered(self) -> np.ndarray:
+        """flip @ proj @ view WITHOUT the TAA jitter — what temporal
+        reprojection (history UV lookup) must use."""
+        if self._rvp_base is None:
+            self._rvp_base = (
                 m.VULKAN_Y_FLIP @ self._proj @ self.view
             ).astype(np.float32)
-        return self._rvp
+        return self._rvp_base
 
     @property
     def render_inv_view_projection(self) -> np.ndarray:
@@ -121,7 +146,14 @@ class Camera:
             inv_v = np.eye(4)
             inv_v[:3, :3] = r_t
             inv_v[:3, 3] = -r_t @ v[:3, 3]
-            self._rivp = (inv_v @ self._inv_fp).astype(np.float32)
+            rivp = inv_v @ self._inv_fp
+            jx, jy = self._jitter
+            if jx != 0.0 or jy != 0.0:
+                # inv(J @ F @ P @ V) = inv(V)·inv(F·P)·inv(J); right-multiply
+                # by the (-jx, -jy) translation = one column axpy.
+                rivp = rivp.copy()
+                rivp[:, 3] -= jx * rivp[:, 0] + jy * rivp[:, 1]
+            self._rivp = rivp.astype(np.float32)
         return self._rivp
 
     @property
@@ -142,7 +174,18 @@ class Camera:
         self._position = np.asarray(position, dtype=np.float32).copy()
         self._view = None
         self._rvp = None
+        self._rvp_base = None
         self._rivp = None
+
+    def set_jitter(self, jx: float, jy: float) -> None:
+        """Sub-pixel projection jitter in NDC units (TAA): one pixel =
+        2/width (x) or 2/height (y). Only the jittered products go stale —
+        the unjittered base survives a jitter-only change."""
+        j = (float(jx), float(jy))
+        if j != self._jitter:
+            self._jitter = j
+            self._rvp = None
+            self._rivp = None
 
     def set_yaw_pitch(self, yaw: Radians, pitch: Radians) -> None:
         self._yaw = yaw
@@ -162,6 +205,7 @@ class Camera:
         ).astype(np.float32)
         self._view = None
         self._rvp = None
+        self._rvp_base = None
         self._rivp = None
 
     def rotate(
@@ -174,6 +218,7 @@ class Camera:
         self._rotation = m.quat_from_euler_zxy(self._yaw.value, self._pitch.value, 0.0)
         self._view = None
         self._rvp = None
+        self._rvp_base = None
         self._rivp = None
 
     def update_local_basis(self) -> None:
@@ -192,11 +237,13 @@ class Camera:
         self._up = np.ascontiguousarray(r[:3, 2])
         self._view = None
         self._rvp = None
+        self._rvp_base = None
         self._rivp = None
 
     def _update_view(self) -> None:
         self._view = None
         self._rvp = None
+        self._rvp_base = None
         self._rivp = None
 
 

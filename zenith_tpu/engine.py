@@ -138,9 +138,10 @@ class Engine:
         if self._retained is not None and update_dynamics is not None:
             dyn = update_dynamics()
             if dyn is not None:
-                compiled, handle = self._retained
+                compiled, handle, requested = self._retained
                 self.swapchain.acquire_next_image()  # ring backpressure
                 self.last_retired = compiled.execute(device, dynamics=dyn)
+                self._deliver_outputs(app, compiled, requested)
                 if handle is not None:
                     compiled.present(self.swapchain, handle)
                 device.end_frame()
@@ -154,6 +155,7 @@ class Engine:
         graph = builder.build()
         compiled = graph.compile(device, self.pipeline_cache, self.compile_options)
         self.last_retired = compiled.execute(device)
+        self._deliver_outputs(app, compiled, context.requested_outputs)
 
         # Present: the app's declared present source (PresentEncode output)
         # wins; otherwise find the imported swapchain texture that some node
@@ -184,8 +186,24 @@ class Engine:
         if handle is not None:
             compiled.present(self.swapchain, handle)
         if update_dynamics is not None:
-            self._retained = (compiled, handle)
+            self._retained = (compiled, handle, dict(context.requested_outputs))
         device.end_frame()
+
+    @staticmethod
+    def _deliver_outputs(app, compiled, requested) -> None:
+        """Hand requested exported values back to the app (cross-frame
+        feedback: TAA history, auto-exposure state) — async device arrays,
+        no host sync."""
+        if not requested:
+            return
+        cb = getattr(app, "on_frame_outputs", None)
+        if cb is None:
+            logger.warning(
+                "request_output(%s) but the app defines no on_frame_outputs "
+                "hook — feedback values dropped", sorted(requested)
+            )
+            return
+        cb({name: compiled.value(res) for name, res in requested.items()})
 
     def resize(self, width: int, height: int) -> None:
         """(engine.rs:114-133)"""

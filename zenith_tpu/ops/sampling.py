@@ -451,3 +451,52 @@ def sample_shadow_pcf(
     top = t00 * (1 - fx) + t10 * fx
     bot = t01 * (1 - fx) + t11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def sample_shadow_pcf_layered(
+    shadow_layers: jnp.ndarray,  # (L, H, W) or (L, H, W, 1) depth layers
+    layer: jnp.ndarray,  # (...,) int32 per-pixel layer index in [0, L)
+    uv: jnp.ndarray,  # (..., 2)
+    ref_z: jnp.ndarray,  # (...,) reference depth to compare
+    sampler: SamplerConfig = SamplerConfig.shadow_pcf(),
+) -> jnp.ndarray:
+    """2x2 PCF compare sample from ONE layer of a depth array texture,
+    selected per pixel — cascaded shadow maps (renderer/csm.py). Taps
+    gather from the flattened (L*H*W) stack with a per-pixel layer base
+    offset, so the gather count equals the single-layer PCF."""
+    from zenith_tpu.rhi.state import CompareOp
+
+    if shadow_layers.ndim == 4:
+        shadow_layers = shadow_layers[..., 0]
+    n_layers, h, w = shadow_layers.shape
+    x = uv[..., 0] * w - 0.5
+    y = uv[..., 1] * h - 0.5
+    x0f, y0f = jnp.floor(x), jnp.floor(y)
+    fx, fy = x - x0f, y - y0f
+    x0, y0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32)
+
+    cmp = {
+        CompareOp.GREATER_OR_EQUAL: lambda a, b: a >= b,
+        CompareOp.GREATER: lambda a, b: a > b,
+        CompareOp.LESS_OR_EQUAL: lambda a, b: a <= b,
+        CompareOp.LESS: lambda a, b: a < b,
+    }[sampler.compare_op]
+
+    flat = shadow_layers.reshape(-1)
+    base = jnp.clip(layer, 0, n_layers - 1) * (h * w)
+    border = jnp.float32(sampler.border_color.value[0])
+
+    def tap(ix, iy):
+        jx, okx = _wrap_indices(ix, w, sampler.address_mode_u)
+        jy, oky = _wrap_indices(iy, h, sampler.address_mode_v)
+        d = jnp.take(flat, (base + jy * w + jx).reshape(-1), axis=0).reshape(
+            ix.shape
+        )
+        d = jnp.where(okx & oky, d, border)
+        return cmp(ref_z, d).astype(jnp.float32)
+
+    t00, t10 = tap(x0, y0), tap(x0 + 1, y0)
+    t01, t11 = tap(x0, y0 + 1), tap(x0 + 1, y0 + 1)
+    top = t00 * (1 - fx) + t10 * fx
+    bot = t01 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy

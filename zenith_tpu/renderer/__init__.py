@@ -7,6 +7,7 @@ from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
 from zenith_tpu.renderer.post import PostProcess, PresentEncode
+from zenith_tpu.renderer.taa import TemporalAA
 from zenith_tpu.renderer.scene import (
     DirectionalLight,
     PointLight,
@@ -27,5 +28,6 @@ __all__ = [
     "SSAOOptions",
     "Scene",
     "SceneObject",
+    "TemporalAA",
     "TriangleRenderer",
 ]

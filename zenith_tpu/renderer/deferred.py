@@ -452,6 +452,16 @@ class DeferredRenderer:
             want_inv_vp=(self.scene.skybox is not None
                          or self.scene.environment is not None),
         )
+        sun = self.scene.sun
+        if self.shadows and sun is not None and sun.cascades > 1:
+            # Cascade fits follow the camera — per-frame values.
+            from zenith_tpu.renderer.csm import fit_cascades
+
+            vps, splits, noffs = fit_cascades(sun, camera, int(sun.cascades))
+            d["def.light_vp"] = vps
+            d["def.casc_splits"] = splits
+            d["def.camera_fwd"] = camera.forward
+            d["def.shadow_noffs"] = noffs
         if include_models:
             from zenith_tpu.renderer.scene import stacked_models
 
@@ -498,12 +508,25 @@ class DeferredRenderer:
             builder.set_dynamic(
                 "def.sun_color", np.asarray(sun.color, np.float32) * sun.intensity
             )
+        n_casc = max(1, int(sun.cascades)) if (self.shadows and sun) else 1
         if self.shadows:
-            builder.set_dynamic("def.light_vp", sun_view_projection(sun))
             builder.set_dynamic("def.shadow_bias", np.float32(sun.shadow_bias))
-            builder.set_dynamic(
-                "def.shadow_noffs", np.float32(sun.effective_normal_offset)
-            )
+            if n_casc > 1:
+                # Cascaded shadow maps (renderer/csm.py): camera-frustum-fit
+                # light VPs are PER-FRAME values (the camera moves) — all of
+                # them ride dynamics, zero recompiles.
+                from zenith_tpu.renderer.csm import fit_cascades
+
+                vps, splits, noffs = fit_cascades(sun, camera, n_casc)
+                builder.set_dynamic("def.light_vp", vps)  # (N, 4, 4)
+                builder.set_dynamic("def.casc_splits", splits)  # (N,)
+                builder.set_dynamic("def.camera_fwd", camera.forward)
+                builder.set_dynamic("def.shadow_noffs", noffs)  # (N,)
+            else:
+                builder.set_dynamic("def.light_vp", sun_view_projection(sun))
+                builder.set_dynamic(
+                    "def.shadow_noffs", np.float32(sun.effective_normal_offset)
+                )
         # ONE dynamic per FIELD, not per object×field: N objects previously
         # declared 3N dynamics — 3N set_dynamic calls, 3N pack metas and 3N
         # per-frame capture/key entries, ~50 µs/object of host time at 64
@@ -571,78 +594,103 @@ class DeferredRenderer:
         g_pos = builder.create(TextureDesc.color("g.pos", width, height))
         g_depth = builder.create(TextureDesc.depth("g.depth", width, height))
 
-        # -- optional shadow node ------------------------------------------------
+        # -- optional shadow node(s) ----------------------------------------------
+        # n_casc == 1: one fixed-extent map (reference-style). n_casc > 1:
+        # one depth ARRAY texture, one render-to-layer node per cascade
+        # (texture.rs:536-559 sub-resource views; fit in renderer/csm.py).
         sm_handle = None
         if self.shadows:
-            sm_handle = builder.create(
-                TextureDesc.depth("sun.shadow", sun.shadow_map_size, sun.shadow_map_size)
-            )
-            node = builder.add_graphic_node("shadow")
-            if static_geo is None:
-                accesses = {
-                    i: (node.read(handles[i][0]), node.read(handles[i][1]))
-                    for i in plain_ix
-                }
-                s_acc = None
+            smsz = sun.shadow_map_size
+            if n_casc > 1:
+                sm_handle = builder.create(TextureDesc.new_2d_array(
+                    "sun.shadow", smsz, smsz, n_casc, Format.D32F
+                ))
             else:
-                accesses = None
-                s_acc = (node.read(s_vb_h), node.read(s_ib_h))
-            sm = node.write(sm_handle)
-            with node.pipeline(self._shadow_si, self._shadow_state) as binder:
-                binder.set_depth(sm, self._shadow_depth)
-
-            def record_shadow(ctx):
-                ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
-                models = ctx.dynamic("def.models")
-                if not plain_ix:  # all-instanced scenes: clear-only node
-                    return
-                if static_geo is not None:
-                    vb_all, ib_all = ctx.get(s_acc[0]), ctx.get(s_acc[1])
-                    draws = [
-                        (vb_all[vo:vo + vc], ib_all[io_:io_ + ic],
-                         {"Model": models[i]})
-                        for i, (vo, vc, io_, ic)
-                        in zip(plain_ix, static_geo.ranges)
-                    ]
-                else:
-                    draws = [
-                        (accesses[i][0], accesses[i][1],
-                         {"Model": models[i]})
+                sm_handle = builder.create(
+                    TextureDesc.depth("sun.shadow", smsz, smsz)
+                )
+            for k in range(n_casc):
+                node = builder.add_graphic_node(
+                    "shadow" if n_casc == 1 else f"shadow.c{k}"
+                )
+                if static_geo is None:
+                    accesses = {
+                        i: (node.read(handles[i][0]), node.read(handles[i][1]))
                         for i in plain_ix
-                    ]
-                ctx.draw_indexed_batch(draws)
+                    }
+                    s_acc = None
+                else:
+                    accesses = None
+                    s_acc = (node.read(s_vb_h), node.read(s_ib_h))
+                sm = (
+                    node.write(sm_handle) if n_casc == 1
+                    else node.write(sm_handle, layer=k)
+                )
+                with node.pipeline(self._shadow_si, self._shadow_state) as binder:
+                    binder.set_depth(sm, self._shadow_depth)
 
-            node.execute(record_shadow)
-
-            if inst_ix:
-                node = builder.add_graphic_node("shadow.inst")
-                inst_accesses = {
-                    i: (node.read(handles[i][0]), node.read(handles[i][1]))
-                    for i in inst_ix
-                }
-                node.read(sm_handle)
-                sm2 = node.write(sm_handle)
-                with node.pipeline(
-                    self._shadow_inst_si, self._shadow_state
-                ) as binder:
-                    binder.set_depth(sm2, self._shadow_depth_load)
-
-                def record_shadow_inst(ctx):
-                    ctx.bind("LightViewProj", ctx.dynamic("def.light_vp"))
+                def record_shadow(ctx, k=k, accesses=accesses, s_acc=s_acc):
+                    lvp = ctx.dynamic("def.light_vp")
+                    ctx.bind("LightViewProj", lvp if n_casc == 1 else lvp[k])
                     models = ctx.dynamic("def.models")
-                    for i in inst_ix:
-                        obj = objects[i]
-                        vba, iba = inst_accesses[i]
-                        ctx.draw_indexed(
-                            vba, iba,
-                            {"Model": models[i]},
-                            instance_count=obj.instance_count,
-                            instance_data={
-                                "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
-                            },
-                        )
+                    if not plain_ix:  # all-instanced scenes: clear-only node
+                        return
+                    if static_geo is not None:
+                        vb_all, ib_all = ctx.get(s_acc[0]), ctx.get(s_acc[1])
+                        draws = [
+                            (vb_all[vo:vo + vc], ib_all[io_:io_ + ic],
+                             {"Model": models[i]})
+                            for i, (vo, vc, io_, ic)
+                            in zip(plain_ix, static_geo.ranges)
+                        ]
+                    else:
+                        draws = [
+                            (accesses[i][0], accesses[i][1],
+                             {"Model": models[i]})
+                            for i in plain_ix
+                        ]
+                    ctx.draw_indexed_batch(draws)
 
-                node.execute(record_shadow_inst)
+                node.execute(record_shadow)
+
+                if inst_ix:
+                    node = builder.add_graphic_node(
+                        "shadow.inst" if n_casc == 1 else f"shadow.inst.c{k}"
+                    )
+                    inst_accesses = {
+                        i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                        for i in inst_ix
+                    }
+                    node.read(sm_handle)
+                    sm2 = (
+                        node.write(sm_handle) if n_casc == 1
+                        else node.write(sm_handle, layer=k)
+                    )
+                    with node.pipeline(
+                        self._shadow_inst_si, self._shadow_state
+                    ) as binder:
+                        binder.set_depth(sm2, self._shadow_depth_load)
+
+                    def record_shadow_inst(ctx, k=k,
+                                           inst_accesses=inst_accesses):
+                        lvp = ctx.dynamic("def.light_vp")
+                        ctx.bind(
+                            "LightViewProj", lvp if n_casc == 1 else lvp[k]
+                        )
+                        models = ctx.dynamic("def.models")
+                        for i in inst_ix:
+                            obj = objects[i]
+                            vba, iba = inst_accesses[i]
+                            ctx.draw_indexed(
+                                vba, iba,
+                                {"Model": models[i]},
+                                instance_count=obj.instance_count,
+                                instance_data={
+                                    "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
+                                },
+                            )
+
+                    node.execute(record_shadow_inst)
 
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
@@ -918,7 +966,47 @@ class DeferredRenderer:
                 sun_c = ctx.dynamic("def.sun_color")
                 contrib = _ggx_brdf(n, v, jnp.broadcast_to(l, n.shape),
                                     albedo, metallic, roughness) * sun_c
-                if shadows:
+                if shadows and n_casc > 1:
+                    # Cascade select: view distance vs split edges (a sum of
+                    # compares), per-pixel VP via static-N where-accumulate,
+                    # per-pixel layer in the PCF gather (csm.py docstring).
+                    lvps = ctx.dynamic("def.light_vp")  # (N, 4, 4)
+                    splits = ctx.dynamic("def.casc_splits")  # (N,)
+                    noffs = ctx.dynamic("def.shadow_noffs")  # (N,)
+                    fwd = ctx.dynamic("def.camera_fwd")
+                    dist = jnp.sum((world - cam_pos) * fwd, axis=-1)
+                    k_idx = jnp.zeros(dist.shape, jnp.int32)
+                    for i in range(n_casc - 1):
+                        k_idx = k_idx + (dist > splits[i]).astype(jnp.int32)
+                    noff_px = jnp.take(noffs, k_idx)[..., None]
+                    sample_pos = world + n * noff_px
+                    hom = jnp.concatenate(
+                        [sample_pos, jnp.ones_like(world[..., :1])], axis=-1
+                    )
+                    lclip = jnp.zeros(hom.shape, jnp.float32)
+                    for i in range(n_casc):
+                        lclip = jnp.where(
+                            (k_idx == i)[..., None], hom @ lvps[i].T, lclip
+                        )
+                    uv = jnp.stack(
+                        [(lclip[..., 0] + 1) * 0.5, (lclip[..., 1] + 1) * 0.5], -1
+                    )
+                    ref = lclip[..., 2] - ctx.dynamic("def.shadow_bias")
+                    from zenith_tpu.ops.sampling import (
+                        sample_shadow_pcf_layered,
+                    )
+
+                    lit = sample_shadow_pcf_layered(
+                        ctx.get(sm_in), k_idx, uv, ref, _SHADOW_SAMPLER
+                    )
+                    # Beyond the last split (or off every map): lit.
+                    inside = (
+                        (uv[..., 0] >= 0) & (uv[..., 0] <= 1)
+                        & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
+                        & (dist <= splits[n_casc - 1])
+                    )
+                    contrib = contrib * jnp.where(inside, lit, 1.0)[..., None]
+                elif shadows:
                     sample_pos = world + n * ctx.dynamic("def.shadow_noffs")
                     hom = jnp.concatenate(
                         [sample_pos, jnp.ones_like(world[..., :1])], axis=-1
@@ -1026,3 +1114,13 @@ class DeferredRenderer:
                 ctx.draw_indexed_batch(draws)
 
             gnode.execute(record_glass)
+
+        # Screen-space consumers declared AFTER this renderer (TAA history
+        # reprojection, debug views) read this frame's G-buffer planes
+        # through these handles — valid for THIS builder only.
+        self.gbuffer_handles = {
+            "albedo": g_albedo,
+            "normal": g_normal,
+            "pos": g_pos,
+            "depth": g_depth,
+        }

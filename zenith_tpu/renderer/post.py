@@ -68,8 +68,11 @@ def tone_and_bloom(
     bloom_strength: float = 0.35,
     tonemap: str = "aces",
     fxaa: bool = False,
+    exposure=None,  # traced scalar (auto-exposure) | None
 ) -> jnp.ndarray:
     rgb = hdr[..., :3]
+    if exposure is not None:
+        rgb = rgb * exposure
     h, w = rgb.shape[0], rgb.shape[1]
 
     luma = jnp.sum(rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1,
@@ -103,6 +106,7 @@ def tone_and_bloom_banded(
     bloom_strength: float = 0.35,
     tonemap: str = "aces",
     fxaa: bool = False,
+    exposure=None,
 ) -> jnp.ndarray:
     """SPMD row-banded tone_and_bloom: ring halo exchange (ppermute) extends
     the band by BLOOM_HALO rows each side, the full chain runs on the
@@ -123,6 +127,7 @@ def tone_and_bloom_banded(
         bloom_strength=bloom_strength,
         tonemap=tonemap,
         fxaa=fxaa,
+        exposure=exposure,
     )
     return out[BLOOM_HALO:BLOOM_HALO + bh]
 
@@ -145,7 +150,9 @@ class PostProcess:
 
     def __init__(self, bloom_threshold: float = 1.0, bloom_strength: float = 0.35,
                  tonemap: str = "aces", bloom_mips: int = 0,
-                 fxaa: bool = False):
+                 fxaa: bool = False, auto_exposure: bool = False,
+                 exposure_key: float = 0.18, adapt_speed: float = 1.5,
+                 exposure_min: float = 0.05, exposure_max: float = 16.0):
         self.bloom_threshold = bloom_threshold
         self.bloom_strength = bloom_strength
         self.tonemap = tonemap
@@ -154,6 +161,96 @@ class PostProcess:
         # the deferred path's anti-aliasing story (its G-buffer can't MSAA
         # economically; forward mode has real MSAA instead).
         self.fxaa = fxaa
+        # Auto-exposure (eye adaptation): log-average scene luminance drives
+        # a temporally smoothed exposure multiplier applied before bloom +
+        # tonemap. The adapted value lives on DEVICE and rides the engine's
+        # feedback path (request_output → on_frame_outputs → feedback()):
+        # the frame program exports a (1,) buffer, the app hands it back as
+        # next frame's "post.ae_prev" dynamic — no host readback, one cached
+        # program for every frame (a "post.ae_valid" scalar gates frame 0).
+        self.auto_exposure = auto_exposure
+        self.exposure_key = float(exposure_key)
+        self.adapt_speed = float(adapt_speed)
+        self.exposure_min = float(exposure_min)
+        self.exposure_max = float(exposure_max)
+        self._ae_state = None  # (1,) jax.Array from last frame's feedback
+        self._dt = 1.0 / 60.0
+        self.exposure_out = None  # graph handle, set per render_to
+
+    def __zenith_capture_key__(self):
+        """Structure-key identity: the trace-shaping config only. The
+        per-frame state (_ae_state, _dt) rides dynamics — keying it here
+        would recompile every frame (None → array on frame 1)."""
+        return (
+            "PostProcess", self.bloom_threshold, self.bloom_strength,
+            self.tonemap, self.bloom_mips, self.fxaa, self.auto_exposure,
+            self.exposure_key, self.adapt_speed, self.exposure_min,
+            self.exposure_max,
+        )
+
+    # -- auto-exposure cross-frame state -----------------------------------
+
+    def set_delta_time(self, dt: float) -> None:
+        """Frame delta for the adaptation rate (call from app.tick)."""
+        self._dt = max(float(dt), 1e-4)
+
+    def feedback(self, exposure) -> None:
+        """Engine feedback: this frame's adapted exposure → next frame."""
+        self._ae_state = exposure
+
+    def frame_dynamics(self) -> dict:
+        """Retained-mode per-frame values (merge into update_dynamics)."""
+        if not self.auto_exposure:
+            return {}
+        d = {
+            "post.ae_dt": np.float32(self._dt),
+            "post.ae_valid": np.float32(
+                0.0 if self._ae_state is None else 1.0
+            ),
+        }
+        if self._ae_state is not None:
+            d["post.ae_prev"] = self._ae_state
+        return d
+
+    def _declare_ae(self, builder: RenderGraphBuilder):
+        """Dynamics + the exported (1,) state buffer for auto-exposure."""
+        from zenith_tpu.rhi.resource import BufferDesc
+
+        prev = (
+            self._ae_state if self._ae_state is not None
+            else jnp.ones((1,), jnp.float32)
+        )
+        builder.set_dynamic("post.ae_prev", prev)
+        builder.set_dynamic("post.ae_dt", np.float32(self._dt))
+        builder.set_dynamic("post.ae_valid", np.float32(
+            0.0 if self._ae_state is None else 1.0
+        ))
+        ae = builder.create(BufferDesc.storage("post.ae", (1,)))
+        builder.export(ae)
+        self.exposure_out = ae
+        return ae
+
+    def _adapted_exposure(self, ctx, rgb: jnp.ndarray) -> jnp.ndarray:
+        """Traced scalar: exposure adapted toward key/avg-luminance.
+        ``rgb`` may be a row band under SPMD — the log-average is pmean'd
+        over the mesh axis so every band adapts identically."""
+        luma = jnp.sum(rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
+        log_avg = jnp.mean(jnp.log(luma + 1e-4))
+        if ctx.sharded and ctx.num_shards > 1:
+            import jax
+
+            log_avg = jax.lax.pmean(log_avg, ctx.shard_axis)
+        target = jnp.clip(
+            self.exposure_key / jnp.maximum(jnp.exp(log_avg), 1e-4),
+            self.exposure_min, self.exposure_max,
+        )
+        prev = ctx.dynamic("post.ae_prev")[0]
+        k = 1.0 - jnp.exp(-ctx.dynamic("post.ae_dt") * self.adapt_speed)
+        return jnp.where(
+            ctx.dynamic("post.ae_valid") > 0.0,
+            prev + (target - prev) * k,
+            target,
+        )
 
     def render_to(
         self,
@@ -186,14 +283,21 @@ class PostProcess:
             "bloom.chain", w, h, tdesc.format, mip_levels=n_mips + 1
         ))
 
-        # Node: bright-pass into mip 0.
+        # Node: bright-pass into mip 0 (+ the adapted-exposure scalar, which
+        # scales the scene BEFORE thresholding so bloom tracks adaptation).
+        ae = self._declare_ae(builder) if self.auto_exposure else None
         node = builder.add_lambda_node("post.bright")
         src = node.read(hdr_input)
         dst0 = node.write(chain, mip=0)
+        ae_w = node.write(ae) if ae is not None else None
         threshold = self.bloom_threshold
 
         def record_bright(ctx):
             rgb = ctx.get(src)[..., :3]
+            if ae_w is not None:
+                exposure = self._adapted_exposure(ctx, rgb)
+                ctx.set(ae_w, exposure[None])
+                rgb = rgb * exposure
             luma = jnp.sum(
                 rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1,
                 keepdims=True,
@@ -223,6 +327,7 @@ class PostProcess:
         node = builder.add_lambda_node("post.combine")
         hdr_in = node.read(hdr_input)
         mip_reads = [node.read(chain, mip=k) for k in range(n_mips + 1)]
+        ae_r = node.read(ae) if ae is not None else None
         dst = node.write(output)
         strength = self.bloom_strength
         tonemap = self.tonemap
@@ -230,6 +335,11 @@ class PostProcess:
 
         def record_combine(ctx):
             hdr = ctx.get(hdr_in)
+            if ae_r is not None:
+                exposure = ctx.get(ae_r)[0]
+                hdr = jnp.concatenate(
+                    [hdr[..., :3] * exposure, hdr[..., 3:4]], axis=-1
+                )
             # Coarse→fine accumulation (each level upsampled into the next).
             acc = ctx.get(mip_reads[-1])[..., :3]
             for k in range(n_mips - 1, -1, -1):
@@ -256,9 +366,11 @@ class PostProcess:
         hdr_input: RenderGraphResource,
         output: RenderGraphResource,
     ) -> None:
+        ae = self._declare_ae(builder) if self.auto_exposure else None
         node = builder.add_lambda_node("post")
         src = node.read(hdr_input)
         dst = node.write(output)
+        ae_w = node.write(ae) if ae is not None else None
         kwargs = dict(
             bloom_threshold=self.bloom_threshold,
             bloom_strength=self.bloom_strength,
@@ -269,20 +381,26 @@ class PostProcess:
         def record(ctx):
             hdr = ctx.get(src)
             banded = ctx.sharded and ctx.num_shards > 1
+            exposure = None
+            if ae_w is not None:
+                exposure = self._adapted_exposure(ctx, hdr[..., :3])
+                ctx.set(ae_w, exposure[None])
             if banded and hdr.shape[0] >= BLOOM_HALO and hdr.shape[0] % 2 == 0:
                 # Row-banded under a mesh: halo-exchange instead of the
                 # row-local contract (bloom's blur crosses band boundaries).
-                out = tone_and_bloom_banded(hdr, ctx.shard_axis, **kwargs)
+                out = tone_and_bloom_banded(hdr, ctx.shard_axis,
+                                            exposure=exposure, **kwargs)
             elif banded:
                 # Bands thinner than the halo (or odd): gather the whole
                 # surface, compute, slice back (correct for any size).
                 import jax
 
-                full = tone_and_bloom(ctx.get_full(src), **kwargs)
+                full = tone_and_bloom(ctx.get_full(src), exposure=exposure,
+                                      **kwargs)
                 y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
                 out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
             else:
-                out = tone_and_bloom(hdr, **kwargs)
+                out = tone_and_bloom(hdr, exposure=exposure, **kwargs)
             ctx.set(dst, out)
 
         node.execute(record)

@@ -281,6 +281,12 @@ class DirectionalLight:
     # normal before projecting into light space — the robust fix for acne on
     # surfaces steep in light space. None → 1.5 shadow texels.
     shadow_normal_offset: "float | None" = None
+    # Cascaded shadow maps (renderer/csm.py; deferred renderer only):
+    # cascades > 1 renders N camera-frustum-fit depth layers instead of the
+    # one fixed-extent map; shadow_far bounds the shadowed view distance.
+    cascades: int = 1
+    cascade_lambda: float = 0.7  # uniform↔logarithmic split mix
+    cascade_margin: float = 150.0  # out-of-slice caster pull-back (world)
 
     @property
     def effective_normal_offset(self) -> float:

@@ -1192,11 +1192,21 @@ class RenderGraph:
                 nan_pixels=jax.lax.psum(stats.nan_pixels, axis),
             )
 
-        # Every frame output is a row-banded surface under a mesh (graphic
+        # Texture outputs are row-banded surfaces under a mesh (graphic
         # attachments band by construction; lambda writes are row-local by
-        # contract — a replicated write trips shard_map's shape check).
+        # contract). BUFFER outputs are replicated by contract: cross-band
+        # scalars (e.g. the auto-exposure state) must be psum/pmean'd by
+        # their writer so every shard holds the same value — banding a (1,)
+        # buffer would hand consumers an (n_shards,) stack instead.
         out_specs = (
-            {str(rid): P(axis) for rid in output_ids},
+            {
+                str(rid): (
+                    P(axis)
+                    if self.resources[rid].texture_desc() is not None
+                    else P()
+                )
+                for rid in output_ids
+            },
             FrameStatsOutput(bin_overflow=P(), nan_pixels=P()),
         )
 

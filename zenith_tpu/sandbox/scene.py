@@ -310,6 +310,18 @@ class SceneApp(RenderableApp):
                             help="FXAA-class post AA on the tonemapped "
                                  "output (gather-free; the deferred path's "
                                  "anti-aliasing)")
+        parser.add_argument("--taa", action="store_true",
+                            help="temporal AA: Halton-jittered projection + "
+                                 "G-buffer reprojection + clamped history "
+                                 "blend (deferred mode)")
+        parser.add_argument("--cascades", type=int, default=1,
+                            help="cascaded shadow maps: N camera-frustum-fit "
+                                 "depth layers instead of the one "
+                                 "fixed-extent sun map (deferred mode)")
+        parser.add_argument("--auto-exposure", action="store_true",
+                            help="eye adaptation: log-average-luminance "
+                                 "driven exposure, adapted on device across "
+                                 "frames (feedback path, no host readback)")
         parser.add_argument("--gun-instances", type=int, default=0,
                             help="instanced cerberus copies (geometry "
                                  "scaling; 30 ~= 1M submitted tris)")
@@ -336,6 +348,10 @@ class SceneApp(RenderableApp):
         self.ibl = ns.ibl
         self.ssao = ns.ssao
         self.fxaa = ns.fxaa
+        self.use_taa = ns.taa and ns.mode == "deferred"
+        self.taa = None
+        self.auto_exposure = ns.auto_exposure
+        self.cascades = ns.cascades
         self.wireframe = ns.wireframe
         self.msaa = ns.msaa
         self.bloom_mips = ns.bloom_mips
@@ -357,6 +373,10 @@ class SceneApp(RenderableApp):
                             gun_instances=self.gun_instances,
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred")
+        if self.cascades > 1 and scene.sun is not None:
+            from dataclasses import replace as _dc_replace
+
+            scene.sun = _dc_replace(scene.sun, cascades=self.cascades)
         if self.mode == "deferred":
             from zenith_tpu.renderer import SSAOOptions
 
@@ -369,12 +389,18 @@ class SceneApp(RenderableApp):
                 scene, wireframe=self.wireframe, msaa=self.msaa
             )
         self.post = (
-            PostProcess(bloom_mips=self.bloom_mips, fxaa=self.fxaa)
+            PostProcess(bloom_mips=self.bloom_mips, fxaa=self.fxaa,
+                        auto_exposure=self.auto_exposure)
             if self.post_enabled else None
         )
         self.camera = Camera(
             fov_y=Degree(35.0), aspect_ratio=window.width / max(window.height, 1)
         )
+        if self.use_taa:
+            from zenith_tpu.renderer import TemporalAA
+
+            self.taa = TemporalAA()
+        self._extent = (window.width, window.height)
         self._radius = 170.0
         self._height = 25.0
         self._update_camera()
@@ -382,6 +408,10 @@ class SceneApp(RenderableApp):
     def tick(self, delta_time: float) -> None:
         self.orbit += delta_time * float(os.environ.get("ZENITH_ORBIT_SPEED", "0.4"))
         self._update_camera()
+        if self.taa is not None:
+            self.taa.jitter_camera(self.camera, *self._extent)
+        if self.post is not None and self.post.auto_exposure:
+            self.post.set_delta_time(delta_time)
 
     def _update_camera(self) -> None:
         x = math.sin(self.orbit) * self._radius
@@ -395,7 +425,20 @@ class SceneApp(RenderableApp):
         the scene's dynamics are static. Returns None unless --retained."""
         if not self.retained or self.renderer is None:
             return None
-        return self.renderer.frame_dynamics(self.camera)
+        d = self.renderer.frame_dynamics(self.camera)
+        if self.taa is not None:
+            d.update(self.taa.frame_dynamics(self.camera))
+        if self.post is not None and self.post.auto_exposure:
+            d.update(self.post.frame_dynamics())
+        return d
+
+    def on_frame_outputs(self, outputs) -> None:
+        """Engine feedback (request_output): TAA history + adapted exposure
+        for next frame."""
+        if self.taa is not None and "taa.history" in outputs:
+            self.taa.feedback(outputs["taa.history"])
+        if self.post is not None and "post.ae" in outputs:
+            self.post.feedback(outputs["post.ae"])
 
     def render(self, context: RenderContext) -> None:
         width, height = context.extent
@@ -404,7 +447,7 @@ class SceneApp(RenderableApp):
         builder = context.builder()
         out = builder.import_resource(context.swapchain_texture())
 
-        if self.post is not None:
+        if self.post is not None or self.taa is not None:
             hdr = builder.create(
                 TextureDesc.color("scene.hdr", width, height, Format.RGBA32F)
             )
@@ -418,8 +461,24 @@ class SceneApp(RenderableApp):
             depth = builder.create(TextureDesc.depth("scene.depth", width, height))
             self.renderer.render_to(builder, target, depth, self.camera)
 
+        if self.taa is not None:
+            taa_out = (
+                builder.create(TextureDesc.color(
+                    "scene.taa", width, height, Format.RGBA32F
+                ))
+                if self.post is not None else out
+            )
+            self.taa.render_to(
+                builder, hdr, taa_out, self.camera, width, height,
+                self.renderer.gbuffer_handles,
+            )
+            context.request_output("taa.history", taa_out)
+            target = taa_out
+
         if self.post is not None:
-            self.post.render_to(builder, hdr, out)
+            self.post.render_to(builder, target, out)
+            if self.post.exposure_out is not None:
+                context.request_output("post.ae", self.post.exposure_out)
 
 
 def main() -> None:
