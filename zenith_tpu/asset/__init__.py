@@ -188,9 +188,13 @@ def registry() -> AssetRegistry:
 
 
 from zenith_tpu.asset.render_types import (  # noqa: E402
+    AnimationChannel,
+    AnimationClip,
     Material,
     Mesh,
     MeshCollection,
+    Skin,
+    SkinnedVertex,
     TextureAsset,
     TextureFormat,
     Vertex,
@@ -205,9 +209,13 @@ __all__ = [
     "AssetRegistry",
     "AssetType",
     "AssetUrl",
+    "AnimationChannel",
+    "AnimationClip",
     "Material",
     "Mesh",
     "MeshCollection",
+    "Skin",
+    "SkinnedVertex",
     "TextureAsset",
     "TextureFormat",
     "Vertex",

@@ -231,6 +231,7 @@ class RawGltfProcessor:
         self._mesh_urls: List[str] = []
         self._material_urls: List[str] = []
         self._materials_baked: Dict[int, str] = {}
+        self._skins_built: Dict[int, tuple] = {}
 
     def bake(self) -> MeshCollection:
         doc = self.raw.doc
@@ -253,11 +254,127 @@ class RawGltfProcessor:
         node = self.raw.doc["nodes"][node_index]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
-            self._bake_mesh(node["mesh"], world)
+            self._bake_mesh(node["mesh"], world, node.get("skin"))
         for child in node.get("children", []):
             self._process_node(child, world)
 
-    def _bake_mesh(self, mesh_index: int, world: np.ndarray) -> None:
+    # -- skins + animations (framework extension; the reference loader has
+    # no skin support at all) -----------------------------------------------
+
+    def _build_skin(self, skin_index: int):
+        """doc['skins'][i] → (render_types.Skin, old→new joint remap array,
+        node-index→new-joint map). Joints are reindexed parent-before-child
+        (the Skin contract; glTF permits any order)."""
+        from zenith_tpu.asset.render_types import Skin
+
+        cached = self._skins_built.get(skin_index)
+        if cached is not None:
+            return cached
+        doc = self.raw.doc
+        skin = doc["skins"][skin_index]
+        joints = list(skin["joints"])
+        jset = {n: i for i, n in enumerate(joints)}
+        parent_of: "Dict[int, int]" = {}
+        for ni, node in enumerate(doc["nodes"]):
+            for c in node.get("children", []):
+                parent_of[c] = ni
+        order: "List[int]" = []
+        seen: set = set()
+
+        def visit(n):
+            if n in seen:
+                return
+            seen.add(n)
+            p = parent_of.get(n)
+            if p is not None and p in jset:
+                visit(p)
+            order.append(n)
+
+        for n in joints:
+            visit(n)
+        remap = np.empty((len(joints),), np.int32)
+        for new_i, n in enumerate(order):
+            remap[jset[n]] = new_i
+        inv_raw = self.raw.read_accessor(
+            skin["inverseBindMatrices"]
+        ).astype(np.float32)
+        j = len(joints)
+        inv = np.empty((j, 4, 4), np.float32)
+        rest_t = np.zeros((j, 3), np.float32)
+        rest_r = np.tile(np.asarray([0, 0, 0, 1], np.float32), (j, 1))
+        rest_s = np.ones((j, 3), np.float32)
+        parents = np.full((j,), -1, np.int32)
+        for new_i, n in enumerate(order):
+            # MAT4 accessors are column-major in the file.
+            inv[new_i] = inv_raw[jset[n]].reshape(4, 4).T
+            node = doc["nodes"][n]
+            if "matrix" in node:
+                logger.warning(
+                    "joint node %d uses a matrix transform; only its "
+                    "translation is honored as the rest pose", n
+                )
+                rest_t[new_i] = np.asarray(
+                    node["matrix"], np.float32
+                ).reshape(4, 4).T[:3, 3]
+            else:
+                rest_t[new_i] = node.get("translation", (0.0, 0.0, 0.0))
+                rest_r[new_i] = node.get("rotation", (0.0, 0.0, 0.0, 1.0))
+                rest_s[new_i] = node.get("scale", (1.0, 1.0, 1.0))
+            p = parent_of.get(n)
+            if p is not None and p in jset:
+                parents[new_i] = remap[jset[p]]
+        node_to_joint = {n: int(remap[jset[n]]) for n in joints}
+        built = (
+            Skin(inv, parents, rest_t, rest_r, rest_s), remap, node_to_joint
+        )
+        self._skins_built[skin_index] = built
+        return built
+
+    def _bake_animations(self, node_to_joint: "Dict[int, int]"):
+        """All document animations whose channels target this skin's
+        joints (linear interpolation; CUBICSPLINE channels are skipped
+        with a warning)."""
+        from zenith_tpu.asset.render_types import (
+            AnimationChannel,
+            AnimationClip,
+        )
+
+        clips = []
+        for ai, anim in enumerate(self.raw.doc.get("animations", [])):
+            channels = []
+            for ch in anim.get("channels", []):
+                tgt = ch.get("target", {})
+                node = tgt.get("node")
+                path = tgt.get("path")
+                if node not in node_to_joint or path not in (
+                    "translation", "rotation", "scale"
+                ):
+                    continue
+                smp = anim["samplers"][ch["sampler"]]
+                interp = smp.get("interpolation", "LINEAR")
+                if interp == "CUBICSPLINE":
+                    logger.warning(
+                        "animation %d: CUBICSPLINE channel skipped "
+                        "(linear/step only)", ai
+                    )
+                    continue
+                times = self.raw.read_accessor(smp["input"]).astype(
+                    np.float32
+                ).reshape(-1)
+                values = self.raw.read_accessor(smp["output"]).astype(
+                    np.float32
+                )
+                channels.append(AnimationChannel(
+                    node_to_joint[node], path, times, values
+                ))
+            if channels:
+                clips.append(
+                    AnimationClip(anim.get("name", f"anim{ai}"), channels)
+                )
+        return clips
+
+    def _bake_mesh(self, mesh_index: int, world: np.ndarray,
+                   skin_index: "Optional[int]" = None) -> None:
         mesh = self.raw.doc["meshes"][mesh_index]
         for prim_index, prim in enumerate(mesh.get("primitives", [])):
             attrs = prim["attributes"]
@@ -270,10 +387,16 @@ class RawGltfProcessor:
                 indices = np.arange(n, dtype=np.uint32)
             indices = indices.astype(np.int32)
 
-            # Apply the node's world transform (improvement over the
-            # reference, which drops transforms).
-            positions = positions @ world[:3, :3].T + world[:3, 3]
-            normal_mat = np.linalg.inv(world[:3, :3]).T
+            skinned = skin_index is not None and "JOINTS_0" in attrs
+            if skinned:
+                # glTF §skins: a skinned mesh ignores its node's transform —
+                # vertices stay in bind space; joints place them.
+                normal_mat = np.eye(3, dtype=np.float32)
+            else:
+                # Apply the node's world transform (improvement over the
+                # reference, which drops transforms).
+                positions = positions @ world[:3, :3].T + world[:3, 3]
+                normal_mat = np.linalg.inv(world[:3, :3]).T
 
             if "NORMAL" in attrs:
                 normals = self.raw.read_accessor(attrs["NORMAL"]).astype(np.float32)
@@ -291,13 +414,32 @@ class RawGltfProcessor:
             vertices = np.concatenate([positions, normals, uvs], axis=1)
             assert vertices.shape[1] == VERTEX_FLOATS
 
+            skin_obj = None
+            jw = None
+            clips = None
+            if skinned:
+                skin_obj, remap, node_to_joint = self._build_skin(skin_index)
+                joints_raw = self.raw.read_accessor(
+                    attrs["JOINTS_0"]
+                ).astype(np.int64)  # integer indices (never normalized)
+                weights = self.raw.read_accessor(
+                    attrs["WEIGHTS_0"]
+                ).astype(np.float32)  # normalized u8/u16 handled upstream
+                wsum = weights.sum(axis=1, keepdims=True)
+                weights = weights / np.where(wsum > 1e-8, wsum, 1.0)
+                jw = np.concatenate([
+                    remap[joints_raw].astype(np.float32), weights
+                ], axis=1)
+                clips = self._bake_animations(node_to_joint)
+
             material_index = prim.get("material", 0)
             material_url = self._bake_material(material_index)
 
             mesh_url = self.asset_url.sibling(
                 f"{Path(self.asset_url.path).stem}_{mesh_index}_{prim_index}.mesh"
             )
-            asset = Mesh(mesh_url, vertices, indices, material_index)
+            asset = Mesh(mesh_url, vertices, indices, material_index,
+                         skin_vertex_data=jw, skin=skin_obj, clips=clips)
             asset.save(self.cache_dir / mesh_url.path)
             registry().register(asset)
             self._mesh_urls.append(mesh_url.path)

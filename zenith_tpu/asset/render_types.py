@@ -23,6 +23,16 @@ from zenith_tpu.rhi.state import VertexLayout
 Vertex = VertexLayout.from_fields(("position", 3), ("normal", 3), ("tex_coord", 2))
 VERTEX_FLOATS = Vertex.stride_floats  # 8
 
+# Skinned variant: + 4 joint indices (stored as f32, cast in the vertex
+# stage) and 4 weights — glTF JOINTS_0/WEIGHTS_0. The reference's loader
+# has no skin support at all (gltf_loader.rs reads positions/normals/uvs
+# only); this is a framework extension.
+SkinnedVertex = VertexLayout.from_fields(
+    ("position", 3), ("normal", 3), ("tex_coord", 2),
+    ("joints", 4), ("weights", 4),
+)
+SKINNED_VERTEX_FLOATS = SkinnedVertex.stride_floats  # 16
+
 
 class TextureFormat(enum.Enum):
     """(render.rs:72-108) — R8G8B8A8 maps to sRGB like the reference."""
@@ -48,18 +58,94 @@ class TextureFormat(enum.Enum):
         }[self]
 
 
+class Skin:
+    """Joint hierarchy + bind data (glTF `skins`). ``parents`` must be
+    topologically ordered (parent index < child index; -1 = root) — the
+    glTF baker reindexes joints to guarantee it."""
+
+    def __init__(self, inverse_bind: np.ndarray, parents: np.ndarray,
+                 rest_t: np.ndarray, rest_r: np.ndarray, rest_s: np.ndarray):
+        self.inverse_bind = np.ascontiguousarray(inverse_bind, np.float32)
+        self.parents = np.ascontiguousarray(parents, np.int32).reshape(-1)
+        self.rest_t = np.ascontiguousarray(rest_t, np.float32)
+        self.rest_r = np.ascontiguousarray(rest_r, np.float32)  # xyzw quats
+        self.rest_s = np.ascontiguousarray(rest_s, np.float32)
+        j = self.parents.shape[0]
+        assert self.inverse_bind.shape == (j, 4, 4)
+        assert self.rest_t.shape == (j, 3) and self.rest_s.shape == (j, 3)
+        assert self.rest_r.shape == (j, 4)
+        assert all(p < i for i, p in enumerate(self.parents)), (
+            "skin joints must be parent-before-child ordered"
+        )
+
+    @property
+    def num_joints(self) -> int:
+        return self.parents.shape[0]
+
+
+class AnimationChannel:
+    """One animated TRS component of one joint (glTF channel+sampler,
+    linear interpolation)."""
+
+    def __init__(self, joint: int, path: str, times: np.ndarray,
+                 values: np.ndarray):
+        assert path in ("translation", "rotation", "scale")
+        self.joint = int(joint)
+        self.path = path
+        self.times = np.ascontiguousarray(times, np.float32).reshape(-1)
+        self.values = np.ascontiguousarray(values, np.float32)
+        want = 4 if path == "rotation" else 3
+        assert self.values.shape == (self.times.shape[0], want)
+
+
+class AnimationClip:
+    """A named set of channels (glTF `animations[i]`)."""
+
+    def __init__(self, name: str, channels: "list[AnimationChannel]",
+                 duration: "float | None" = None):
+        self.name = name
+        self.channels = list(channels)
+        self.duration = float(
+            duration if duration is not None
+            else max((float(c.times[-1]) for c in self.channels), default=0.0)
+        )
+
+
 class Mesh(Asset):
-    """(render.rs:28-70)"""
+    """(render.rs:28-70) + optional skin extension (joints/weights vertex
+    data, Skin hierarchy, AnimationClips) the reference loader lacks."""
 
     asset_type = AssetType.MESH
 
     def __init__(self, url: AssetUrl, vertices: np.ndarray, indices: np.ndarray,
-                 material_index: int = 0):
+                 material_index: int = 0,
+                 skin_vertex_data: "Optional[np.ndarray]" = None,
+                 skin: "Optional[Skin]" = None,
+                 clips: "Optional[list[AnimationClip]]" = None):
         super().__init__(url)
         assert vertices.ndim == 2 and vertices.shape[1] == VERTEX_FLOATS
         self.vertices = np.ascontiguousarray(vertices, dtype=np.float32)
         self.indices = np.ascontiguousarray(indices, dtype=np.int32).reshape(-1)
         self.material_index = int(material_index)
+        # (N, 8) float32: 4 joint indices + 4 normalized weights per vertex.
+        self.skin_vertex_data = (
+            None if skin_vertex_data is None
+            else np.ascontiguousarray(skin_vertex_data, np.float32)
+        )
+        if self.skin_vertex_data is not None:
+            assert self.skin_vertex_data.shape == (self.vertices.shape[0], 8)
+        self.skin = skin
+        self.clips = list(clips) if clips else []
+
+    @property
+    def is_skinned(self) -> bool:
+        return self.skin is not None and self.skin_vertex_data is not None
+
+    def skinned_vertices(self) -> np.ndarray:
+        """(N, 16) SkinnedVertex-layout buffer (position+normal+uv+joints+
+        weights) for upload."""
+        assert self.is_skinned
+        return np.concatenate([self.vertices, self.skin_vertex_data], axis=1)
 
     @property
     def num_vertices(self) -> int:
@@ -70,15 +156,61 @@ class Mesh(Asset):
         return self.indices.shape[0] // 3
 
     def arrays(self) -> "Dict[str, np.ndarray]":
-        return {"vertices": self.vertices, "indices": self.indices}
+        out = {"vertices": self.vertices, "indices": self.indices}
+        if self.is_skinned:
+            out["skin.jw"] = self.skin_vertex_data
+            out["skin.inverse_bind"] = self.skin.inverse_bind
+            out["skin.parents"] = self.skin.parents
+            out["skin.rest_t"] = self.skin.rest_t
+            out["skin.rest_r"] = self.skin.rest_r
+            out["skin.rest_s"] = self.skin.rest_s
+            for ci, clip in enumerate(self.clips):
+                for hi, ch in enumerate(clip.channels):
+                    out[f"anim{ci}.ch{hi}.t"] = ch.times
+                    out[f"anim{ci}.ch{hi}.v"] = ch.values
+        return out
 
     def metadata(self) -> "Dict[str, Any]":
-        return {"material_index": self.material_index}
+        meta: "Dict[str, Any]" = {"material_index": self.material_index}
+        if self.is_skinned:
+            meta["clips"] = [
+                {
+                    "name": clip.name,
+                    "duration": clip.duration,
+                    "channels": [
+                        {"joint": ch.joint, "path": ch.path}
+                        for ch in clip.channels
+                    ],
+                }
+                for clip in self.clips
+            ]
+        return meta
 
     @classmethod
     def from_parts(cls, url, arrays, metadata):
+        skin = None
+        jw = arrays.get("skin.jw")
+        clips = []
+        if jw is not None:
+            skin = Skin(
+                arrays["skin.inverse_bind"], arrays["skin.parents"],
+                arrays["skin.rest_t"], arrays["skin.rest_r"],
+                arrays["skin.rest_s"],
+            )
+            for ci, cm in enumerate(metadata.get("clips", [])):
+                channels = [
+                    AnimationChannel(
+                        chm["joint"], chm["path"],
+                        arrays[f"anim{ci}.ch{hi}.t"],
+                        arrays[f"anim{ci}.ch{hi}.v"],
+                    )
+                    for hi, chm in enumerate(cm["channels"])
+                ]
+                clips.append(AnimationClip(cm["name"], channels,
+                                           cm.get("duration")))
         return cls(url, arrays["vertices"], arrays["indices"],
-                   metadata.get("material_index", 0))
+                   metadata.get("material_index", 0),
+                   skin_vertex_data=jw, skin=skin, clips=clips)
 
 
 class TextureAsset(Asset):

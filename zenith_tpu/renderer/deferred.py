@@ -88,6 +88,58 @@ def _gbuffer_inst_vs(attrs, res):
     }
 
 
+def _skin_blend(attrs, res):
+    """Linear-blend skinning on device: gather each vertex's 4 joint
+    matrices from the (J,4,4) palette uniform, blend by weight — dense
+    batched einsum over the whole vertex buffer (MXU food). Returns
+    (skinned hom positions (N,4), skinned normals (N,3))."""
+    pos = attrs["position"]
+    n = pos.shape[0]
+    jidx = attrs["joints"].astype(jnp.int32)  # (N, 4)
+    w = attrs["weights"]  # (N, 4)
+    mats = res["Joints"]  # (J, 4, 4) — a dynamic; animation = value change
+    flat = mats.reshape(-1, 16)
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    nrm = attrs["normal"]
+    p_acc = jnp.zeros((n, 4), jnp.float32)
+    n_acc = jnp.zeros((n, 3), jnp.float32)
+    for k in range(4):
+        mk = jnp.take(flat, jidx[:, k], axis=0).reshape(n, 4, 4)
+        p_acc = p_acc + w[:, k:k + 1] * jnp.einsum("nj,nij->ni", hom, mk)
+        n_acc = n_acc + w[:, k:k + 1] * jnp.einsum(
+            "nj,nij->ni", nrm, mk[:, :3, :3]
+        )
+    return p_acc, n_acc
+
+
+def _joint_palette(obj) -> np.ndarray:
+    """(J,4,4) palette for the Joints uniform: the object's animated
+    matrices, or identity (bind pose) before any animation sampled."""
+    if obj.joint_matrices is not None:
+        return np.ascontiguousarray(obj.joint_matrices, dtype=np.float32)
+    j = obj.skin.num_joints
+    return np.broadcast_to(
+        np.eye(4, dtype=np.float32), (j, 4, 4)
+    ).copy()
+
+
+def _gbuffer_skin_vs(attrs, res):
+    skinned, snrm = _skin_blend(attrs, res)
+    world = skinned @ res["Model"].T
+    return {
+        "position": world @ res["ViewProj"].T,
+        "world_pos": world[:, :3],
+        "normal": snrm @ res["Model"][:3, :3].T,
+        "uv": attrs["tex_coord"],
+    }
+
+
+def _shadow_skin_vs(attrs, res):
+    skinned, _ = _skin_blend(attrs, res)
+    world = skinned @ res["Model"].T
+    return {"position": world @ res["LightViewProj"].T}
+
+
 # Atlas binding name -> its per-draw UV-transform uniform name (each map
 # type has its own atlas cell layout, hence its own transform).
 _UVX_NAME = {
@@ -344,6 +396,37 @@ class DeferredRenderer:
             inputs=[attr("position", 3),
                     attr("inst_offset", 3, per_instance=True)],
         )
+        # Skinned variants (SceneObject.skin): SkinnedVertex layout
+        # (+joints/weights) and a (J,4,4) palette uniform; the fragment
+        # stage is the plain untextured G-buffer FS (same varyings).
+        self.has_skinned = any(o.skin is not None for o in objs)
+        if self.has_skinned:
+            assert not any(
+                o.skin is not None and (
+                    o.instance_offsets is not None or o.translucent
+                    or o.base_color_texture is not None
+                )
+                for o in objs
+            ), "skinned objects: plain opaque untextured only"
+            self.gbuffer_skin_vs = Shader.vertex(
+                "gbuffer.skin.vs", _gbuffer_skin_vs,
+                bindings=[uniform("Model"), uniform("ViewProj"),
+                          uniform("Joints")],
+                inputs=[attr("position", 3), attr("normal", 3),
+                        attr("tex_coord", 2), attr("joints", 4),
+                        attr("weights", 4)],
+            )
+            self.shadow_skin_vs = Shader.vertex(
+                "shadow.skin.vs", _shadow_skin_vs,
+                bindings=[uniform("Model"), uniform("LightViewProj"),
+                          uniform("Joints")],
+                inputs=[attr("position", 3), attr("normal", 3),
+                        attr("joints", 4), attr("weights", 4)],
+            )
+            self.gbuffer_skin_fs = Shader.fragment(
+                "gbuffer.skin.fs", _make_gbuffer_fs(False),
+                bindings=[uniform("BaseColor"), uniform("MatParams")],
+            )
         # Frame-invariant pipeline inputs, built ONCE: render_to runs every
         # frame (the graph is rebuilt per frame), and reusing the same desc
         # objects makes the structure key / pipeline-cache probes hit the
@@ -360,6 +443,17 @@ class DeferredRenderer:
         self._gbuffer_inst_si = GraphicShaderInput(
             self.gbuffer_inst_vs, self.gbuffer_fs, VERTEX_LAYOUT
         )
+        if self.has_skinned:
+            from zenith_tpu.asset.render_types import (
+                SkinnedVertex as SKINNED_LAYOUT,
+            )
+
+            self._shadow_skin_si = GraphicShaderInput(
+                self.shadow_skin_vs, None, SKINNED_LAYOUT
+            )
+            self._gbuffer_skin_si = GraphicShaderInput(
+                self.gbuffer_skin_vs, self.gbuffer_skin_fs, SKINNED_LAYOUT
+            )
         self._shadow_state = GraphicPipelineState(
             rasterization=RasterizationState(
                 cull_mode=CullMode.NONE, front_face=FrontFace.CLOCKWISE
@@ -462,6 +556,10 @@ class DeferredRenderer:
             d["def.casc_splits"] = splits
             d["def.camera_fwd"] = camera.forward
             d["def.shadow_noffs"] = noffs
+        for o in self.scene.objects:
+            if o.skin is not None:
+                # Animation = per-frame palette values.
+                d[f"def.joints.{o.name}"] = _joint_palette(o)
         if include_models:
             from zenith_tpu.renderer.scene import stacked_models
 
@@ -556,10 +654,17 @@ class DeferredRenderer:
         # skip the opaque passes (shadow + G-buffer) and draw in the glass
         # node after lighting.
         plain_ix = [i for i, o in enumerate(scene.objects)
-                    if o.instance_offsets is None and not o.translucent]
+                    if o.instance_offsets is None and not o.translucent
+                    and o.skin is None]
         inst_ix = [i for i, o in enumerate(scene.objects)
                    if o.instance_offsets is not None and not o.translucent]
         trans_ix = [i for i, o in enumerate(scene.objects) if o.translucent]
+        skin_ix = [i for i, o in enumerate(scene.objects) if o.skin is not None]
+        for i in skin_ix:
+            obj = scene.objects[i]
+            builder.set_dynamic(
+                f"def.joints.{obj.name}", _joint_palette(obj)
+            )
 
         # Static batching (renderer/static_batch.py): all plain opaque
         # draws share ONE concatenated vertex/index buffer pair, imported
@@ -569,8 +674,8 @@ class DeferredRenderer:
         # differ per object anyway).
         static_geo = self._static_cache.get(scene.objects, plain_ix)
         per_obj_ix = (
-            inst_ix + trans_ix if static_geo is not None
-            else plain_ix + inst_ix + trans_ix
+            inst_ix + trans_ix + skin_ix if static_geo is not None
+            else plain_ix + inst_ix + trans_ix + skin_ix
         )
         handles = {
             i: (
@@ -692,6 +797,45 @@ class DeferredRenderer:
 
                     node.execute(record_shadow_inst)
 
+                if skin_ix:
+                    node = builder.add_graphic_node(
+                        "shadow.skin" if n_casc == 1 else f"shadow.skin.c{k}"
+                    )
+                    skin_accesses = {
+                        i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                        for i in skin_ix
+                    }
+                    node.read(sm_handle)
+                    sm3 = (
+                        node.write(sm_handle) if n_casc == 1
+                        else node.write(sm_handle, layer=k)
+                    )
+                    with node.pipeline(
+                        self._shadow_skin_si, self._shadow_state
+                    ) as binder:
+                        binder.set_depth(sm3, self._shadow_depth_load)
+
+                    def record_shadow_skin(ctx, k=k,
+                                           skin_accesses=skin_accesses):
+                        lvp = ctx.dynamic("def.light_vp")
+                        ctx.bind(
+                            "LightViewProj", lvp if n_casc == 1 else lvp[k]
+                        )
+                        models = ctx.dynamic("def.models")
+                        draws = []
+                        for i in skin_ix:
+                            obj = objects[i]
+                            vba, iba = skin_accesses[i]
+                            draws.append((vba, iba, {
+                                "Model": models[i],
+                                "Joints": ctx.dynamic(
+                                    f"def.joints.{obj.name}"
+                                ),
+                            }))
+                        ctx.draw_indexed_batch(draws)
+
+                    node.execute(record_shadow_skin)
+
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
         if static_geo is None:
@@ -809,6 +953,47 @@ class DeferredRenderer:
                     )
 
             node.execute(record_gbuffer_inst)
+
+        if skin_ix:
+            node = builder.add_graphic_node("gbuffer.skin")
+            skin_acc = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                for i in skin_ix
+            }
+            for h in (g_albedo, g_normal, g_pos, g_depth):
+                node.read(h)
+            a3 = node.write(g_albedo)
+            n3 = node.write(g_normal)
+            p3 = node.write(g_pos)
+            d3 = node.write(g_depth)
+            with node.pipeline(
+                self._gbuffer_skin_si, self._gbuffer_state
+            ) as binder:
+                binder.push_color(a3, self._ca_load)
+                binder.push_color(n3, self._ca_load)
+                binder.push_color(p3, self._ca_load)
+                binder.set_depth(d3, self._gbuffer_depth_load)
+
+            def record_gbuffer_skin(ctx):
+                ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+                models = ctx.dynamic("def.models")
+                bcs = ctx.dynamic("def.base_colors")
+                mats = ctx.dynamic("def.mats")
+                draws = []
+                for i in skin_ix:
+                    obj = objects[i]
+                    vba, iba = skin_acc[i]
+                    draws.append((vba, iba, {
+                        "Model": models[i],
+                        "BaseColor": bcs[i],
+                        "MatParams": mats[i],
+                        "Joints": ctx.dynamic(f"def.joints.{obj.name}"),
+                    }))
+                ctx.draw_indexed_batch(
+                    draws, per_draw_uniforms=("BaseColor", "MatParams")
+                )
+
+            node.execute(record_gbuffer_skin)
 
         # -- node: SSAO (lambda, full-screen; ops.ssao) -----------------------------
         ao_handle = None

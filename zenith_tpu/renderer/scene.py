@@ -63,6 +63,17 @@ class SceneObject:
     # (the draw chain is flat to 1M triangles — PERF.md) and show/hide is
     # the right primitive to expose instead.
     visible: bool = True
+    # Skeletal skinning: a Skin (asset.render_types) marks the vertex
+    # buffer as SkinnedVertex layout (16 floats: +joints/weights); the
+    # deferred renderer draws the object through its skinned pipelines.
+    # ``joint_matrices`` is the per-frame (J,4,4) palette (world @
+    # inverse_bind, see renderer/animation.AnimationPlayer) — a DYNAMIC
+    # value: animating it never recompiles (only its SHAPE is keyed).
+    skin: "Optional[object]" = None
+    joint_matrices: "Optional[np.ndarray]" = None
+    # AnimationClips carried from the mesh asset (renderer/animation.py
+    # samples one into joint_matrices each frame; not trace-shaping).
+    clips: "Optional[list]" = None
 
     @property
     def instance_count(self) -> int:
@@ -125,6 +136,7 @@ class SceneObject:
             None if self.instance_offsets is None
             else tuple(self.instance_offsets.shape),
             self.translucent,
+            None if self.skin is None else int(self.skin.num_joints),
             self.base_color_texture is not None,
             self.normal_texture is not None,
             self.mra_texture is not None,
@@ -139,10 +151,20 @@ class SceneObject:
                   model_matrix: "Optional[np.ndarray]" = None, **kwargs) -> "SceneObject":
         return SceneObject(
             name=name,
-            vertex_buffer=device.upload_buffer(f"{name}.vb", mesh.vertices, BufferUsage.VERTEX),
+            vertex_buffer=device.upload_buffer(
+                f"{name}.vb",
+                mesh.skinned_vertices() if getattr(mesh, "is_skinned", False)
+                else mesh.vertices,
+                BufferUsage.VERTEX,
+            ),
             index_buffer=device.upload_buffer(f"{name}.ib", mesh.indices, BufferUsage.INDEX),
             model_matrix=(np.asarray(model_matrix, np.float32)
                           if model_matrix is not None else np.eye(4, dtype=np.float32)),
+            skin=mesh.skin if getattr(mesh, "is_skinned", False) else None,
+            clips=(
+                (list(mesh.clips) or None)
+                if getattr(mesh, "is_skinned", False) else None
+            ),
             **kwargs,
         )
 

@@ -98,6 +98,82 @@ def brushed_texture(size: int = 256, rng=None) -> Texture:
     return Texture.from_numpy("brushed", px, Format.RGBA8_SRGB, generate_mips=True)
 
 
+def skinned_tube(bones: int = 5, rings: int = 24, sides: int = 16,
+                 radius: float = 4.0, height: float = 42.0):
+    """Procedural skinned cylinder ("tentacle"): a bone chain along +Z,
+    each vertex weighted between its two nearest joints, plus a waving
+    AnimationClip (per-joint X-axis rotation keyframes with a phase
+    offset). Exercises the full skinning pipeline with zero content
+    dependencies."""
+    from zenith_tpu.asset import AssetUrl
+    from zenith_tpu.asset.render_types import (
+        AnimationChannel,
+        AnimationClip,
+        Mesh as MeshAsset,
+        Skin,
+    )
+
+    # Geometry: rings+1 circles of `sides` vertices.
+    verts = []
+    jw = []
+    seg = height / (bones - 1)
+    for r in range(rings + 1):
+        z = height * r / rings
+        v = r / rings
+        for s in range(sides):
+            a = 2 * math.pi * s / sides
+            nx, ny = math.cos(a), math.sin(a)
+            verts.append([radius * nx, radius * ny, z, nx, ny, 0.0,
+                          s / sides, v])
+            f = min(z / seg, bones - 1 - 1e-4)
+            j0 = int(f)
+            w1 = f - j0
+            jw.append([j0, min(j0 + 1, bones - 1), 0, 0,
+                       1.0 - w1, w1, 0.0, 0.0])
+    tris = []
+    for r in range(rings):
+        for s in range(sides):
+            a0 = r * sides + s
+            a1 = r * sides + (s + 1) % sides
+            b0 = a0 + sides
+            b1 = a1 + sides
+            tris += [[a0, a1, b0], [a1, b1, b0]]
+
+    # Bone chain: joint k at world z = k·seg; locals are pure +Z offsets.
+    rest_t = np.zeros((bones, 3), np.float32)
+    rest_t[1:, 2] = seg
+    rest_r = np.tile(np.asarray([0, 0, 0, 1], np.float32), (bones, 1))
+    rest_s = np.ones((bones, 3), np.float32)
+    inv_bind = np.stack([np.eye(4, dtype=np.float32) for _ in range(bones)])
+    for k in range(bones):
+        inv_bind[k, 2, 3] = -k * seg
+    skin = Skin(inv_bind, np.arange(-1, bones - 1, dtype=np.int32),
+                rest_t, rest_r, rest_s)
+
+    # Wave clip: X-axis rotation keyframes, phase-shifted down the chain.
+    duration = 2.0
+    keys = np.linspace(0.0, duration, 17).astype(np.float32)
+    channels = []
+    for k in range(1, bones):
+        amp = 0.35
+        ang = amp * np.sin(2 * np.pi * keys / duration + 0.8 * k)
+        quats = np.stack([
+            np.sin(ang / 2), np.zeros_like(ang), np.zeros_like(ang),
+            np.cos(ang / 2),
+        ], axis=1).astype(np.float32)
+        channels.append(AnimationChannel(k, "rotation", keys, quats))
+    clip = AnimationClip("wave", channels, duration)
+
+    return MeshAsset(
+        AssetUrl("procedural/tentacle"),
+        np.asarray(verts, np.float32),
+        np.asarray(tris, np.int32),
+        skin_vertex_data=np.asarray(jw, np.float32),
+        skin=skin,
+        clips=[clip],
+    )
+
+
 def sky_cube_pixels(size: int = 64) -> np.ndarray:
     """Procedural gradient sky (6, S, S, 4) linear radiance: zenith→horizon
     gradient with a warm sun glow."""
@@ -145,7 +221,8 @@ def sky_cube_texture(size: int = 64):
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
                 textured: bool = False, skybox: bool = True,
                 instances: int = 0, gun_instances: int = 0,
-                glass: bool = False, ibl: bool = False) -> Scene:
+                glass: bool = False, ibl: bool = False,
+                skinned: bool = False) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -259,6 +336,20 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
             )
         )
 
+    if skinned:
+        # A waving skinned tentacle beside the gun (full skeletal pipeline:
+        # SkinnedVertex buffers, joint-palette dynamics, skinned shadow +
+        # G-buffer nodes; renderer/animation.AnimationPlayer drives it).
+        span = float(np.linalg.norm(bmax - bmin))
+        tube = skinned_tube()
+        objects.append(SceneObject.from_mesh(
+            render_device, tube, "tentacle",
+            model_matrix=m.mat4_translation(
+                np.array([-0.75 * span, 0.25 * span, z_min], np.float32)
+            ),
+            base_color=(0.45, 0.75, 0.5, 1.0), metallic=0.1, roughness=0.5,
+        ))
+
     environment = None
     if ibl:
         # Split-sum IBL from the same procedural sky: SH diffuse +
@@ -314,6 +405,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--skinned", action="store_true",
+                            help="add a waving skinned tentacle (skeletal "
+                                 "animation: joint palettes ride dynamics, "
+                                 "zero recompiles; deferred mode)")
         parser.add_argument("--cascades", type=int, default=1,
                             help="cascaded shadow maps: N camera-frustum-fit "
                                  "depth layers instead of the one "
@@ -352,6 +447,9 @@ class SceneApp(RenderableApp):
         self.taa = None
         self.auto_exposure = ns.auto_exposure
         self.cascades = ns.cascades
+        self.skinned = ns.skinned and ns.mode == "deferred"
+        self._players = []  # (AnimationPlayer, SceneObject)
+        self._anim_t = 0.0
         self.wireframe = ns.wireframe
         self.msaa = ns.msaa
         self.bloom_mips = ns.bloom_mips
@@ -372,7 +470,16 @@ class SceneApp(RenderableApp):
                             instances=self.instances,
                             gun_instances=self.gun_instances,
                             glass=self.glass and self.mode == "deferred",
-                            ibl=self.ibl and self.mode == "deferred")
+                            ibl=self.ibl and self.mode == "deferred",
+                            skinned=self.skinned)
+        if self.skinned:
+            from zenith_tpu.renderer.animation import AnimationPlayer
+
+            for obj in scene.objects:
+                if obj.skin is not None and obj.clips:
+                    player = AnimationPlayer(obj.skin, obj.clips[0])
+                    obj.joint_matrices = player.joint_matrices(0.0)
+                    self._players.append((player, obj))
         if self.cascades > 1 and scene.sun is not None:
             from dataclasses import replace as _dc_replace
 
@@ -412,6 +519,9 @@ class SceneApp(RenderableApp):
             self.taa.jitter_camera(self.camera, *self._extent)
         if self.post is not None and self.post.auto_exposure:
             self.post.set_delta_time(delta_time)
+        self._anim_t += delta_time
+        for player, obj in self._players:
+            obj.joint_matrices = player.joint_matrices(self._anim_t)
 
     def _update_camera(self) -> None:
         x = math.sin(self.orbit) * self._radius
