@@ -69,7 +69,8 @@ def _ggx_point_light(nx, ny, nz, vx, vy, vz, lx, ly, lz,
 
 
 def _tiled_lights_kernel(
-    lights_ref,  # SMEM (L, 8): px py pz radius cr cg cb pad
+    lights_ref,  # SMEM (L, 16): px py pz radius cr cg cb spot
+    #                            dx dy dz cos_outer inv_cone pad pad pad
     cam_ref,  # SMEM (1, 8): camera xyz …
     am_ref,  # VMEM (4, TH, TW) albedo+metallic
     nr_ref,  # VMEM (4, TH, TW) normal+roughness
@@ -136,8 +137,22 @@ def _tiled_lights_kernel(
                 nx, ny, nz, vx, vy, vz, lxp, lyp, lzp,
                 ar, ag, ab, metal, rough,
             )
+            # Spot cone falloff (smooth inner→outer edge). Point lights
+            # carry spot=0 → factor 1 with zero extra scalar loads skipped
+            # by the compiler is not guaranteed, but the math is 6 vector
+            # ops — cheap next to the ~40-op BRDF it gates.
+            spot = lights_ref[li, 7]
+            dx = lights_ref[li, 8]
+            dy = lights_ref[li, 9]
+            dz = lights_ref[li, 10]
+            cos_outer = lights_ref[li, 11]
+            inv_cone = lights_ref[li, 12]
+            # cos of angle between the beam axis and light→surface.
+            cosang = -(lxp * dx + lyp * dy + lzp * dz)
+            t = jnp.clip((cosang - cos_outer) * inv_cone, 0.0, 1.0)
+            cone = 1.0 + spot * (t * t - 1.0)
             # Uncovered pixels carry undefined G-buffer data — mask them.
-            w = jnp.where(covered, att * win, 0.0)
+            w = jnp.where(covered, att * win * cone, 0.0)
             cr = lights_ref[li, 4]
             cg = lights_ref[li, 5]
             cb = lights_ref[li, 6]
@@ -158,8 +173,14 @@ def accumulate_point_lights(
     tile_h: int = 16,
     tile_w: int = 128,
     interpret: Optional[bool] = None,
+    spot_params: "Optional[jnp.ndarray]" = None,  # (L, 5): dir3 ci co
 ) -> jnp.ndarray:
-    """Tile-culled point-light sum → (H, W, 3) linear radiance."""
+    """Tile-culled point/spot-light sum → (H, W, 3) linear radiance.
+
+    ``spot_params`` rows are (dir_x, dir_y, dir_z, cos_inner, cos_outer)
+    per light; a row of zeros (or cos_inner <= cos_outer <= -1) marks a
+    point light. Spots reuse the point path (position, radius window,
+    inverse-square) times a smooth cone-edge factor."""
     if interpret is None:
         interpret = pallas_interpret()
     h, w = depth.shape
@@ -167,15 +188,35 @@ def accumulate_point_lights(
     if l == 0:
         return jnp.zeros((h, w, 3), jnp.float32)
 
+    if spot_params is None:
+        spot_cols = jnp.zeros((l, 8), jnp.float32)
+    else:
+        sp = spot_params.astype(jnp.float32)
+        d = sp[:, :3]
+        is_spot = (
+            jnp.linalg.norm(d, axis=1) > 1e-6
+        ).astype(jnp.float32)[:, None]
+        cos_inner = sp[:, 3:4]
+        cos_outer = sp[:, 4:5]
+        inv_cone = 1.0 / jnp.maximum(cos_inner - cos_outer, 1e-4)
+        spot_cols = jnp.concatenate(
+            [d, cos_outer, inv_cone, jnp.zeros((l, 3), jnp.float32)],
+            axis=1,
+        )  # dx dy dz cos_outer inv_cone pad pad pad
+        # The `spot` flag lives at column 7 (after the color triplet).
     lights = jnp.concatenate(
         [
             light_pos.astype(jnp.float32),
             light_radius.astype(jnp.float32)[:, None],
             light_color.astype(jnp.float32),
-            jnp.zeros((l, 1), jnp.float32),
+            (
+                is_spot if spot_params is not None
+                else jnp.zeros((l, 1), jnp.float32)
+            ),
+            spot_cols,
         ],
         axis=1,
-    )  # (L, 8)
+    )  # (L, 16)
     cam = jnp.zeros((1, 8), jnp.float32).at[0, :3].set(
         camera_pos.astype(jnp.float32)
     )
@@ -202,7 +243,7 @@ def accumulate_point_lights(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((l, 8), lambda ty, tx: (0, 0),
+            pl.BlockSpec((l, 16), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda ty, tx: (0, 0),
                          memory_space=pltpu.SMEM),

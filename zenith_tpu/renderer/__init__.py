@@ -13,6 +13,7 @@ from zenith_tpu.renderer.scene import (
     PointLight,
     Scene,
     SceneObject,
+    SpotLight,
 )
 from zenith_tpu.renderer.triangle import TriangleRenderer
 
@@ -28,6 +29,7 @@ __all__ = [
     "SSAOOptions",
     "Scene",
     "SceneObject",
+    "SpotLight",
     "TemporalAA",
     "TriangleRenderer",
 ]

@@ -579,6 +579,18 @@ class DeferredRenderer:
         sun = scene.sun
         env = scene.environment
         pl_pos, pl_col, pl_rad = scene.point_light_arrays()
+        sl_pos, sl_col, sl_rad, sl_params = scene.spot_light_arrays()
+        has_spots = sl_pos.shape[0] > 0
+        if has_spots:
+            # One merged table through ONE tiled-culling kernel pass:
+            # points first (zero cone params = point), spots appended.
+            spot_params = np.concatenate([
+                np.zeros((pl_pos.shape[0], 5), np.float32), sl_params
+            ])
+            pl_pos = np.concatenate([pl_pos, sl_pos])
+            pl_col = np.concatenate([pl_col, sl_col])
+            pl_rad = np.concatenate([pl_rad, sl_rad])
+            builder.set_dynamic("def.sl_params", spot_params)
 
         builder.set_dynamic("def.view_proj", camera.render_view_projection)
         builder.set_dynamic("def.camera_pos", camera.location)
@@ -1227,6 +1239,9 @@ class DeferredRenderer:
                     ctx.dynamic("def.pl_pos"),
                     ctx.dynamic("def.pl_col"),
                     ctx.dynamic("def.pl_rad"),
+                    spot_params=(
+                        ctx.dynamic("def.sl_params") if has_spots else None
+                    ),
                 )
 
             if sky_in is not None:

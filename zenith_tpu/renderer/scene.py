@@ -326,10 +326,26 @@ class PointLight:
 
 
 @dataclass
+class SpotLight:
+    """Cone light: a point light times a smooth angular falloff between
+    the inner (full intensity) and outer (zero) cone angles. Rides the
+    same tiled-culling kernel as point lights (ops.lighting)."""
+
+    position: "tuple"
+    direction: "tuple" = (0.0, 0.0, -1.0)  # beam axis, away from the light
+    color: "tuple" = (1.0, 1.0, 1.0)
+    intensity: float = 100.0
+    radius: float = 50.0  # influence cutoff
+    inner_deg: float = 18.0
+    outer_deg: float = 26.0
+
+
+@dataclass
 class Scene:
     objects: "list[SceneObject]" = field(default_factory=list)
     sun: "Optional[DirectionalLight]" = None
     point_lights: "list[PointLight]" = field(default_factory=list)
+    spot_lights: "list[SpotLight]" = field(default_factory=list)
     ambient: "tuple" = (0.03, 0.03, 0.04)
     skybox: "Optional[object]" = None  # cube-map Texture (6, S, S, C)
     # Image-based light (renderer.environment.EnvironmentLight). When set,
@@ -377,5 +393,44 @@ class Scene:
         )
         return arrays
 
+    def spot_light_arrays(self):
+        """(S,3) positions, (S,3) colors·intensity, (S,) radii, (S,5)
+        cone params (unit dir xyz, cos inner, cos outer) — cached like
+        point_light_arrays."""
+        cache = getattr(self, "_sl_cache", None)
+        key = tuple(map(id, self.spot_lights))
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        if not self.spot_lights:
+            arrays = (
+                np.zeros((0, 3), np.float32),
+                np.zeros((0, 3), np.float32),
+                np.zeros((0,), np.float32),
+                np.zeros((0, 5), np.float32),
+            )
+        else:
+            import math as _math
+
+            pos = np.array([sl.position for sl in self.spot_lights], np.float32)
+            col = np.array(
+                [np.asarray(sl.color, np.float32) * sl.intensity
+                 for sl in self.spot_lights],
+                np.float32,
+            )
+            rad = np.array([sl.radius for sl in self.spot_lights], np.float32)
+            params = np.zeros((len(self.spot_lights), 5), np.float32)
+            for i, sl in enumerate(self.spot_lights):
+                d = np.asarray(sl.direction, np.float64)
+                d = d / max(float(np.linalg.norm(d)), 1e-8)
+                params[i, :3] = d
+                params[i, 3] = _math.cos(_math.radians(sl.inner_deg))
+                params[i, 4] = _math.cos(_math.radians(sl.outer_deg))
+            arrays = (pos, col, rad, params)
+        object.__setattr__(
+            self, "_sl_cache", (key, arrays, list(self.spot_lights))
+        )
+        return arrays
+
     def invalidate_light_cache(self) -> None:
         object.__setattr__(self, "_pl_cache", None)
+        object.__setattr__(self, "_sl_cache", None)

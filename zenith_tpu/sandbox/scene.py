@@ -405,6 +405,9 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--spots", type=int, default=0,
+                            help="N colored spot lights aimed at the ground "
+                                 "(tiled-culled cone lights; deferred mode)")
         parser.add_argument("--skinned", action="store_true",
                             help="add a waving skinned tentacle (skeletal "
                                  "animation: joint palettes ride dynamics, "
@@ -448,6 +451,7 @@ class SceneApp(RenderableApp):
         self.auto_exposure = ns.auto_exposure
         self.cascades = ns.cascades
         self.skinned = ns.skinned and ns.mode == "deferred"
+        self.spots = ns.spots if ns.mode == "deferred" else 0
         self._players = []  # (AnimationPlayer, SceneObject)
         self._anim_t = 0.0
         self.wireframe = ns.wireframe
@@ -472,6 +476,21 @@ class SceneApp(RenderableApp):
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred",
                             skinned=self.skinned)
+        if self.spots > 0:
+            from zenith_tpu.renderer import SpotLight
+
+            span = 120.0
+            for i in range(self.spots):
+                a = 2 * math.pi * i / self.spots + 0.8
+                hue = [(3.0, 0.6, 0.5), (0.5, 3.0, 0.8), (0.6, 0.9, 3.0)][i % 3]
+                scene.spot_lights.append(SpotLight(
+                    position=(span * 0.5 * math.cos(a),
+                              span * 0.5 * math.sin(a), 45.0),
+                    direction=(0.25 * math.cos(a + 2), 0.25 * math.sin(a + 2),
+                               -1.0),
+                    color=hue, intensity=1800.0, radius=130.0,
+                    inner_deg=14.0, outer_deg=22.0,
+                ))
         if self.skinned:
             from zenith_tpu.renderer.animation import AnimationPlayer
 
