@@ -254,7 +254,8 @@ class RawGltfProcessor:
         node = self.raw.doc["nodes"][node_index]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
-            self._bake_mesh(node["mesh"], world, node.get("skin"))
+            self._bake_mesh(node["mesh"], world, node.get("skin"),
+                            node_index)
         for child in node.get("children", []):
             self._process_node(child, world)
 
@@ -373,8 +374,45 @@ class RawGltfProcessor:
                 )
         return clips
 
+    def _bake_weight_clips(self, node_index: int, n_targets: int):
+        """Morph-weight animations: glTF path "weights" channels targeting
+        this mesh's node. The output accessor is a flat scalar stream of
+        K·T values → (K, T) rows."""
+        from zenith_tpu.asset.render_types import (
+            AnimationChannel,
+            AnimationClip,
+        )
+
+        clips = []
+        for ai, anim in enumerate(self.raw.doc.get("animations", [])):
+            channels = []
+            for ch in anim.get("channels", []):
+                tgt = ch.get("target", {})
+                if tgt.get("node") != node_index or tgt.get("path") != "weights":
+                    continue
+                smp = anim["samplers"][ch["sampler"]]
+                if smp.get("interpolation", "LINEAR") == "CUBICSPLINE":
+                    logger.warning(
+                        "animation %d: CUBICSPLINE weights channel skipped",
+                        ai,
+                    )
+                    continue
+                times = self.raw.read_accessor(smp["input"]).astype(
+                    np.float32
+                ).reshape(-1)
+                values = self.raw.read_accessor(smp["output"]).astype(
+                    np.float32
+                ).reshape(times.shape[0], n_targets)
+                channels.append(AnimationChannel(-1, "weights", times, values))
+            if channels:
+                clips.append(
+                    AnimationClip(anim.get("name", f"anim{ai}"), channels)
+                )
+        return clips
+
     def _bake_mesh(self, mesh_index: int, world: np.ndarray,
-                   skin_index: "Optional[int]" = None) -> None:
+                   skin_index: "Optional[int]" = None,
+                   node_index: "Optional[int]" = None) -> None:
         mesh = self.raw.doc["meshes"][mesh_index]
         for prim_index, prim in enumerate(mesh.get("primitives", [])):
             attrs = prim["attributes"]
@@ -416,7 +454,7 @@ class RawGltfProcessor:
 
             skin_obj = None
             jw = None
-            clips = None
+            clips: "List" = []
             if skinned:
                 skin_obj, remap, node_to_joint = self._build_skin(skin_index)
                 joints_raw = self.raw.read_accessor(
@@ -430,7 +468,30 @@ class RawGltfProcessor:
                 jw = np.concatenate([
                     remap[joints_raw].astype(np.float32), weights
                 ], axis=1)
-                clips = self._bake_animations(node_to_joint)
+                clips = clips + self._bake_animations(node_to_joint)
+
+            # Morph targets (primitive `targets`): POSITION deltas only;
+            # delta vectors rotate with the baked world transform (they are
+            # directions, not points).
+            morph_deltas = None
+            targets = prim.get("targets") or []
+            if targets:
+                tds = []
+                for tgt in targets:
+                    if "POSITION" not in tgt:
+                        tds.append(np.zeros((n, 3), np.float32))
+                        continue
+                    d = self.raw.read_accessor(
+                        tgt["POSITION"]
+                    ).astype(np.float32)
+                    if not skinned:
+                        d = d @ world[:3, :3].T
+                    tds.append(d)
+                morph_deltas = np.stack(tds)
+                if node_index is not None:
+                    clips = clips + self._bake_weight_clips(
+                        node_index, len(targets)
+                    )
 
             material_index = prim.get("material", 0)
             material_url = self._bake_material(material_index)
@@ -439,7 +500,8 @@ class RawGltfProcessor:
                 f"{Path(self.asset_url.path).stem}_{mesh_index}_{prim_index}.mesh"
             )
             asset = Mesh(mesh_url, vertices, indices, material_index,
-                         skin_vertex_data=jw, skin=skin_obj, clips=clips)
+                         skin_vertex_data=jw, skin=skin_obj, clips=clips,
+                         morph_deltas=morph_deltas)
             asset.save(self.cache_dir / mesh_url.path)
             registry().register(asset)
             self._mesh_urls.append(mesh_url.path)

@@ -89,13 +89,18 @@ class AnimationChannel:
 
     def __init__(self, joint: int, path: str, times: np.ndarray,
                  values: np.ndarray):
-        assert path in ("translation", "rotation", "scale")
-        self.joint = int(joint)
+        assert path in ("translation", "rotation", "scale", "weights")
+        self.joint = int(joint)  # -1 for mesh-targeted "weights" channels
         self.path = path
         self.times = np.ascontiguousarray(times, np.float32).reshape(-1)
         self.values = np.ascontiguousarray(values, np.float32)
-        want = 4 if path == "rotation" else 3
-        assert self.values.shape == (self.times.shape[0], want)
+        if path == "weights":
+            # (K, T) morph-target weight rows.
+            assert self.values.ndim == 2
+            assert self.values.shape[0] == self.times.shape[0]
+        else:
+            want = 4 if path == "rotation" else 3
+            assert self.values.shape == (self.times.shape[0], want)
 
 
 class AnimationClip:
@@ -121,7 +126,8 @@ class Mesh(Asset):
                  material_index: int = 0,
                  skin_vertex_data: "Optional[np.ndarray]" = None,
                  skin: "Optional[Skin]" = None,
-                 clips: "Optional[list[AnimationClip]]" = None):
+                 clips: "Optional[list[AnimationClip]]" = None,
+                 morph_deltas: "Optional[np.ndarray]" = None):
         super().__init__(url)
         assert vertices.ndim == 2 and vertices.shape[1] == VERTEX_FLOATS
         self.vertices = np.ascontiguousarray(vertices, dtype=np.float32)
@@ -136,6 +142,20 @@ class Mesh(Asset):
             assert self.skin_vertex_data.shape == (self.vertices.shape[0], 8)
         self.skin = skin
         self.clips = list(clips) if clips else []
+        # Morph targets (glTF primitive `targets`): (T, N, 3) POSITION
+        # deltas; base normals are kept (small-deformation approximation).
+        self.morph_deltas = (
+            None if morph_deltas is None
+            else np.ascontiguousarray(morph_deltas, np.float32)
+        )
+        if self.morph_deltas is not None:
+            assert self.morph_deltas.ndim == 3
+            assert self.morph_deltas.shape[1] == self.vertices.shape[0]
+            assert self.morph_deltas.shape[2] == 3
+
+    @property
+    def num_morph_targets(self) -> int:
+        return 0 if self.morph_deltas is None else self.morph_deltas.shape[0]
 
     @property
     def is_skinned(self) -> bool:
@@ -164,15 +184,17 @@ class Mesh(Asset):
             out["skin.rest_t"] = self.skin.rest_t
             out["skin.rest_r"] = self.skin.rest_r
             out["skin.rest_s"] = self.skin.rest_s
-            for ci, clip in enumerate(self.clips):
-                for hi, ch in enumerate(clip.channels):
-                    out[f"anim{ci}.ch{hi}.t"] = ch.times
-                    out[f"anim{ci}.ch{hi}.v"] = ch.values
+        if self.morph_deltas is not None:
+            out["morph.deltas"] = self.morph_deltas
+        for ci, clip in enumerate(self.clips):
+            for hi, ch in enumerate(clip.channels):
+                out[f"anim{ci}.ch{hi}.t"] = ch.times
+                out[f"anim{ci}.ch{hi}.v"] = ch.values
         return out
 
     def metadata(self) -> "Dict[str, Any]":
         meta: "Dict[str, Any]" = {"material_index": self.material_index}
-        if self.is_skinned:
+        if self.clips:
             meta["clips"] = [
                 {
                     "name": clip.name,
@@ -190,27 +212,28 @@ class Mesh(Asset):
     def from_parts(cls, url, arrays, metadata):
         skin = None
         jw = arrays.get("skin.jw")
-        clips = []
         if jw is not None:
             skin = Skin(
                 arrays["skin.inverse_bind"], arrays["skin.parents"],
                 arrays["skin.rest_t"], arrays["skin.rest_r"],
                 arrays["skin.rest_s"],
             )
-            for ci, cm in enumerate(metadata.get("clips", [])):
-                channels = [
-                    AnimationChannel(
-                        chm["joint"], chm["path"],
-                        arrays[f"anim{ci}.ch{hi}.t"],
-                        arrays[f"anim{ci}.ch{hi}.v"],
-                    )
-                    for hi, chm in enumerate(cm["channels"])
-                ]
-                clips.append(AnimationClip(cm["name"], channels,
-                                           cm.get("duration")))
+        clips = []
+        for ci, cm in enumerate(metadata.get("clips", [])):
+            channels = [
+                AnimationChannel(
+                    chm["joint"], chm["path"],
+                    arrays[f"anim{ci}.ch{hi}.t"],
+                    arrays[f"anim{ci}.ch{hi}.v"],
+                )
+                for hi, chm in enumerate(cm["channels"])
+            ]
+            clips.append(AnimationClip(cm["name"], channels,
+                                       cm.get("duration")))
         return cls(url, arrays["vertices"], arrays["indices"],
                    metadata.get("material_index", 0),
-                   skin_vertex_data=jw, skin=skin, clips=clips)
+                   skin_vertex_data=jw, skin=skin, clips=clips,
+                   morph_deltas=arrays.get("morph.deltas"))
 
 
 class TextureAsset(Asset):

@@ -62,6 +62,20 @@ def _trs_matrix(t: np.ndarray, r: np.ndarray, s: np.ndarray) -> np.ndarray:
     return m
 
 
+def sample_morph_weights(clip: AnimationClip, t: float,
+                         num_targets: int, loop: bool = True) -> np.ndarray:
+    """(T,) morph-target weights at time t from the clip's ``weights``
+    channel (glTF animation path "weights"; linear interpolation). Zeros
+    when the clip has no weights channel."""
+    if loop and clip.duration > 0:
+        t = float(t) % clip.duration
+    for ch in clip.channels:
+        if ch.path == "weights":
+            w = _sample_channel(ch.times, ch.values, t, False)
+            return np.asarray(w, np.float32).reshape(-1)[:num_targets]
+    return np.zeros((num_targets,), np.float32)
+
+
 class AnimationPlayer:
     """Samples one clip over one skin. Stateless in time — pass ``t``."""
 

@@ -112,6 +112,13 @@ def _skin_blend(attrs, res):
     return p_acc, n_acc
 
 
+def _morph_weights(obj) -> np.ndarray:
+    """(T,) weight vector for the MorphWeights uniform (zeros = base)."""
+    if obj.morph_weights is not None:
+        return np.ascontiguousarray(obj.morph_weights, np.float32)
+    return np.zeros((obj.morph_deltas.shape[0],), np.float32)
+
+
 def _joint_palette(obj) -> np.ndarray:
     """(J,4,4) palette for the Joints uniform: the object's animated
     matrices, or identity (bind pose) before any animation sampled."""
@@ -137,6 +144,36 @@ def _gbuffer_skin_vs(attrs, res):
 def _shadow_skin_vs(attrs, res):
     skinned, _ = _skin_blend(attrs, res)
     world = skinned @ res["Model"].T
+    return {"position": world @ res["LightViewProj"].T}
+
+
+def _morphed_position(attrs, res):
+    """Morph-target blend: base position + Σ wₜ·deltaₜ — one (T)×(T,N,3)
+    contraction over the whole vertex buffer (dense, MXU-friendly). Base
+    normals are kept (small-deformation approximation, documented)."""
+    w = res["MorphWeights"]  # (T,) — a dynamic: animating never recompiles
+    deltas = res["MorphDeltas"]  # (T, N, 3) — imported static data
+    return attrs["position"] + jnp.einsum("t,tnc->nc", w, deltas)
+
+
+def _gbuffer_morph_vs(attrs, res):
+    pos = _morphed_position(attrs, res)
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
+    return {
+        "position": world @ res["ViewProj"].T,
+        "world_pos": world[:, :3],
+        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+        "uv": attrs["tex_coord"],
+    }
+
+
+def _shadow_morph_vs(attrs, res):
+    pos = _morphed_position(attrs, res)
+    n = pos.shape[0]
+    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+    world = hom @ res["Model"].T
     return {"position": world @ res["LightViewProj"].T}
 
 
@@ -427,6 +464,36 @@ class DeferredRenderer:
                 "gbuffer.skin.fs", _make_gbuffer_fs(False),
                 bindings=[uniform("BaseColor"), uniform("MatParams")],
             )
+        # Morph-target variants (SceneObject.morph_deltas): plain layout,
+        # a (T,N,3) delta storage buffer + (T,) weight dynamic.
+        self.has_morphs = any(o.morph_deltas is not None for o in objs)
+        if self.has_morphs:
+            from zenith_tpu.rhi import storage
+
+            assert not any(
+                o.morph_deltas is not None and (
+                    o.skin is not None or o.instance_offsets is not None
+                    or o.translucent or o.base_color_texture is not None
+                )
+                for o in objs
+            ), "morphed objects: plain opaque untextured only"
+            self.gbuffer_morph_vs = Shader.vertex(
+                "gbuffer.morph.vs", _gbuffer_morph_vs,
+                bindings=[uniform("Model"), uniform("ViewProj"),
+                          uniform("MorphWeights"), storage("MorphDeltas")],
+                inputs=[attr("position", 3), attr("normal", 3),
+                        attr("tex_coord", 2)],
+            )
+            self.shadow_morph_vs = Shader.vertex(
+                "shadow.morph.vs", _shadow_morph_vs,
+                bindings=[uniform("Model"), uniform("LightViewProj"),
+                          uniform("MorphWeights"), storage("MorphDeltas")],
+                inputs=[attr("position", 3)],
+            )
+            self.gbuffer_morph_fs = Shader.fragment(
+                "gbuffer.morph.fs", _make_gbuffer_fs(False),
+                bindings=[uniform("BaseColor"), uniform("MatParams")],
+            )
         # Frame-invariant pipeline inputs, built ONCE: render_to runs every
         # frame (the graph is rebuilt per frame), and reusing the same desc
         # objects makes the structure key / pipeline-cache probes hit the
@@ -453,6 +520,13 @@ class DeferredRenderer:
             )
             self._gbuffer_skin_si = GraphicShaderInput(
                 self.gbuffer_skin_vs, self.gbuffer_skin_fs, SKINNED_LAYOUT
+            )
+        if self.has_morphs:
+            self._shadow_morph_si = GraphicShaderInput(
+                self.shadow_morph_vs, None, VERTEX_LAYOUT
+            )
+            self._gbuffer_morph_si = GraphicShaderInput(
+                self.gbuffer_morph_vs, self.gbuffer_morph_fs, VERTEX_LAYOUT
             )
         self._shadow_state = GraphicPipelineState(
             rasterization=RasterizationState(
@@ -560,6 +634,8 @@ class DeferredRenderer:
             if o.skin is not None:
                 # Animation = per-frame palette values.
                 d[f"def.joints.{o.name}"] = _joint_palette(o)
+            if o.morph_deltas is not None:
+                d[f"def.mweights.{o.name}"] = _morph_weights(o)
         if include_models:
             from zenith_tpu.renderer.scene import stacked_models
 
@@ -667,16 +743,27 @@ class DeferredRenderer:
         # node after lighting.
         plain_ix = [i for i, o in enumerate(scene.objects)
                     if o.instance_offsets is None and not o.translucent
-                    and o.skin is None]
+                    and o.skin is None and o.morph_deltas is None]
         inst_ix = [i for i, o in enumerate(scene.objects)
                    if o.instance_offsets is not None and not o.translucent]
         trans_ix = [i for i, o in enumerate(scene.objects) if o.translucent]
         skin_ix = [i for i, o in enumerate(scene.objects) if o.skin is not None]
+        morph_ix = [i for i, o in enumerate(scene.objects)
+                    if o.morph_deltas is not None]
         for i in skin_ix:
             obj = scene.objects[i]
             builder.set_dynamic(
                 f"def.joints.{obj.name}", _joint_palette(obj)
             )
+        for i in morph_ix:
+            obj = scene.objects[i]
+            builder.set_dynamic(
+                f"def.mweights.{obj.name}", _morph_weights(obj)
+            )
+        morph_handles = {
+            i: builder.import_resource(scene.objects[i].morph_deltas)
+            for i in morph_ix
+        }
 
         # Static batching (renderer/static_batch.py): all plain opaque
         # draws share ONE concatenated vertex/index buffer pair, imported
@@ -686,8 +773,9 @@ class DeferredRenderer:
         # differ per object anyway).
         static_geo = self._static_cache.get(scene.objects, plain_ix)
         per_obj_ix = (
-            inst_ix + trans_ix + skin_ix if static_geo is not None
-            else plain_ix + inst_ix + trans_ix + skin_ix
+            inst_ix + trans_ix + skin_ix + morph_ix
+            if static_geo is not None
+            else plain_ix + inst_ix + trans_ix + skin_ix + morph_ix
         )
         handles = {
             i: (
@@ -848,6 +936,48 @@ class DeferredRenderer:
 
                     node.execute(record_shadow_skin)
 
+                if morph_ix:
+                    node = builder.add_graphic_node(
+                        "shadow.morph" if n_casc == 1
+                        else f"shadow.morph.c{k}"
+                    )
+                    morph_accesses = {
+                        i: (node.read(handles[i][0]), node.read(handles[i][1]),
+                            node.read(morph_handles[i]))
+                        for i in morph_ix
+                    }
+                    node.read(sm_handle)
+                    sm4 = (
+                        node.write(sm_handle) if n_casc == 1
+                        else node.write(sm_handle, layer=k)
+                    )
+                    with node.pipeline(
+                        self._shadow_morph_si, self._shadow_state
+                    ) as binder:
+                        binder.set_depth(sm4, self._shadow_depth_load)
+
+                    def record_shadow_morph(ctx, k=k,
+                                            morph_accesses=morph_accesses):
+                        lvp = ctx.dynamic("def.light_vp")
+                        ctx.bind(
+                            "LightViewProj", lvp if n_casc == 1 else lvp[k]
+                        )
+                        models = ctx.dynamic("def.models")
+                        draws = []
+                        for i in morph_ix:
+                            obj = objects[i]
+                            vba, iba, mda = morph_accesses[i]
+                            draws.append((vba, iba, {
+                                "Model": models[i],
+                                "MorphWeights": ctx.dynamic(
+                                    f"def.mweights.{obj.name}"
+                                ),
+                                "MorphDeltas": ctx.get(mda),
+                            }))
+                        ctx.draw_indexed_batch(draws)
+
+                    node.execute(record_shadow_morph)
+
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
         if static_geo is None:
@@ -1006,6 +1136,51 @@ class DeferredRenderer:
                 )
 
             node.execute(record_gbuffer_skin)
+
+        if morph_ix:
+            node = builder.add_graphic_node("gbuffer.morph")
+            morph_acc = {
+                i: (node.read(handles[i][0]), node.read(handles[i][1]),
+                    node.read(morph_handles[i]))
+                for i in morph_ix
+            }
+            for h in (g_albedo, g_normal, g_pos, g_depth):
+                node.read(h)
+            a4 = node.write(g_albedo)
+            n4 = node.write(g_normal)
+            p4 = node.write(g_pos)
+            d4 = node.write(g_depth)
+            with node.pipeline(
+                self._gbuffer_morph_si, self._gbuffer_state
+            ) as binder:
+                binder.push_color(a4, self._ca_load)
+                binder.push_color(n4, self._ca_load)
+                binder.push_color(p4, self._ca_load)
+                binder.set_depth(d4, self._gbuffer_depth_load)
+
+            def record_gbuffer_morph(ctx):
+                ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
+                models = ctx.dynamic("def.models")
+                bcs = ctx.dynamic("def.base_colors")
+                mats = ctx.dynamic("def.mats")
+                draws = []
+                for i in morph_ix:
+                    obj = objects[i]
+                    vba, iba, mda = morph_acc[i]
+                    draws.append((vba, iba, {
+                        "Model": models[i],
+                        "BaseColor": bcs[i],
+                        "MatParams": mats[i],
+                        "MorphWeights": ctx.dynamic(
+                            f"def.mweights.{obj.name}"
+                        ),
+                        "MorphDeltas": ctx.get(mda),
+                    }))
+                ctx.draw_indexed_batch(
+                    draws, per_draw_uniforms=("BaseColor", "MatParams")
+                )
+
+            node.execute(record_gbuffer_morph)
 
         # -- node: SSAO (lambda, full-screen; ops.ssao) -----------------------------
         ao_handle = None

@@ -74,6 +74,12 @@ class SceneObject:
     # AnimationClips carried from the mesh asset (renderer/animation.py
     # samples one into joint_matrices each frame; not trace-shaping).
     clips: "Optional[list]" = None
+    # Morph targets: a (T, N, 3) POSITION-delta rhi Buffer (static data —
+    # imported once; from_mesh uploads it) and the per-frame (T,) weights
+    # (a dynamic; animating them never recompiles).
+    # pos' = pos + Σ w_t · delta_t in the vertex stage.
+    morph_deltas: "Optional[Buffer]" = None
+    morph_weights: "Optional[np.ndarray]" = None
 
     @property
     def instance_count(self) -> int:
@@ -137,6 +143,8 @@ class SceneObject:
             else tuple(self.instance_offsets.shape),
             self.translucent,
             None if self.skin is None else int(self.skin.num_joints),
+            None if self.morph_deltas is None
+            else tuple(self.morph_deltas.shape),
             self.base_color_texture is not None,
             self.normal_texture is not None,
             self.mra_texture is not None,
@@ -161,9 +169,12 @@ class SceneObject:
             model_matrix=(np.asarray(model_matrix, np.float32)
                           if model_matrix is not None else np.eye(4, dtype=np.float32)),
             skin=mesh.skin if getattr(mesh, "is_skinned", False) else None,
-            clips=(
-                (list(mesh.clips) or None)
-                if getattr(mesh, "is_skinned", False) else None
+            clips=(list(getattr(mesh, "clips", []) or []) or None),
+            morph_deltas=(
+                device.upload_buffer(
+                    f"{name}.morph", mesh.morph_deltas, BufferUsage.STORAGE
+                )
+                if getattr(mesh, "morph_deltas", None) is not None else None
             ),
             **kwargs,
         )

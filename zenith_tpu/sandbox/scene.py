@@ -174,6 +174,67 @@ def skinned_tube(bones: int = 5, rings: int = 24, sides: int = 16,
     )
 
 
+
+def morphing_blob(rings: int = 24, sides: int = 32, radius: float = 9.0):
+    """Procedural morph-target demo: a UV sphere with two POSITION-delta
+    targets (a polar spike and an equatorial bulge) and a looping
+    "pulse" weights clip — exercises the morph pipeline with zero content
+    dependencies."""
+    from zenith_tpu.asset import AssetUrl
+    from zenith_tpu.asset.render_types import (
+        AnimationChannel,
+        AnimationClip,
+        Mesh as MeshAsset,
+    )
+
+    verts = []
+    for r in range(rings + 1):
+        theta = math.pi * r / rings  # 0 at +Z pole
+        for s in range(sides):
+            phi = 2 * math.pi * s / sides
+            nx = math.sin(theta) * math.cos(phi)
+            ny = math.sin(theta) * math.sin(phi)
+            nz = math.cos(theta)
+            verts.append([radius * nx, radius * ny, radius * nz,
+                          nx, ny, nz, s / sides, r / rings])
+    v = np.asarray(verts, np.float32)
+    tris = []
+    for r in range(rings):
+        for s in range(sides):
+            a0 = r * sides + s
+            a1 = r * sides + (s + 1) % sides
+            b0 = a0 + sides
+            b1 = a1 + sides
+            if r > 0:
+                tris.append([a0, a1, b0])
+            if r < rings - 1:
+                tris.append([a1, b1, b0])
+    n_verts = v.shape[0]
+    nrm = v[:, 3:6]
+    z = v[:, 2] / radius
+    # Target 0: polar spike (outward push, concentrated at the +Z pole).
+    spike = nrm * (radius * 0.9 * np.clip(z, 0.0, 1.0) ** 4)[:, None]
+    # Target 1: equatorial bulge (radial push where |z| is small).
+    radial = np.concatenate([v[:, :2], np.zeros((n_verts, 1), np.float32)], 1)
+    rn = np.linalg.norm(radial, axis=1, keepdims=True)
+    radial = radial / np.where(rn > 1e-6, rn, 1.0)
+    bulge = radial * (radius * 0.45 * np.exp(-(z * 2.2) ** 2))[:, None]
+    deltas = np.stack([spike, bulge]).astype(np.float32)
+
+    times = np.array([0.0, 0.75, 1.5, 2.25, 3.0], np.float32)
+    weights = np.array(
+        [[0, 0], [1, 0], [0, 0], [0, 1], [0, 0]], np.float32
+    )
+    clip = AnimationClip("pulse", [
+        AnimationChannel(-1, "weights", times, weights)
+    ], 3.0)
+    return MeshAsset(
+        AssetUrl("procedural/blob"),
+        v, np.asarray(tris, np.int32),
+        morph_deltas=deltas, clips=[clip],
+    )
+
+
 def sky_cube_pixels(size: int = 64) -> np.ndarray:
     """Procedural gradient sky (6, S, S, 4) linear radiance: zenith→horizon
     gradient with a warm sun glow."""
@@ -222,7 +283,7 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
                 textured: bool = False, skybox: bool = True,
                 instances: int = 0, gun_instances: int = 0,
                 glass: bool = False, ibl: bool = False,
-                skinned: bool = False) -> Scene:
+                skinned: bool = False, morph: bool = False) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
         cache_dir=os.environ.get("ZENITH_CACHE", "cache"),
@@ -350,6 +411,19 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
             base_color=(0.45, 0.75, 0.5, 1.0), metallic=0.1, roughness=0.5,
         ))
 
+    if morph:
+        # A pulsing morph-target blob on the other side (POSITION-delta
+        # targets + a looping weights clip; weights ride dynamics).
+        span = float(np.linalg.norm(bmax - bmin))
+        blob = morphing_blob()
+        objects.append(SceneObject.from_mesh(
+            render_device, blob, "blob",
+            model_matrix=m.mat4_translation(
+                np.array([0.8 * span, 0.3 * span, z_min + 10.0], np.float32)
+            ),
+            base_color=(0.8, 0.55, 0.3, 1.0), metallic=0.2, roughness=0.35,
+        ))
+
     environment = None
     if ibl:
         # Split-sum IBL from the same procedural sky: SH diffuse +
@@ -405,6 +479,9 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--morph", action="store_true",
+                            help="add a pulsing morph-target blob (POSITION "
+                                 "deltas + weights clip; deferred mode)")
         parser.add_argument("--spots", type=int, default=0,
                             help="N colored spot lights aimed at the ground "
                                  "(tiled-culled cone lights; deferred mode)")
@@ -451,8 +528,10 @@ class SceneApp(RenderableApp):
         self.auto_exposure = ns.auto_exposure
         self.cascades = ns.cascades
         self.skinned = ns.skinned and ns.mode == "deferred"
+        self.morph = ns.morph and ns.mode == "deferred"
         self.spots = ns.spots if ns.mode == "deferred" else 0
         self._players = []  # (AnimationPlayer, SceneObject)
+        self._morphers = []  # (AnimationClip, SceneObject)
         self._anim_t = 0.0
         self.wireframe = ns.wireframe
         self.msaa = ns.msaa
@@ -475,7 +554,7 @@ class SceneApp(RenderableApp):
                             gun_instances=self.gun_instances,
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred",
-                            skinned=self.skinned)
+                            skinned=self.skinned, morph=self.morph)
         if self.spots > 0:
             from zenith_tpu.renderer import SpotLight
 
@@ -499,6 +578,10 @@ class SceneApp(RenderableApp):
                     player = AnimationPlayer(obj.skin, obj.clips[0])
                     obj.joint_matrices = player.joint_matrices(0.0)
                     self._players.append((player, obj))
+        if self.morph:
+            for obj in scene.objects:
+                if obj.morph_deltas is not None and obj.clips:
+                    self._morphers.append((obj.clips[0], obj))
         if self.cascades > 1 and scene.sun is not None:
             from dataclasses import replace as _dc_replace
 
@@ -541,6 +624,12 @@ class SceneApp(RenderableApp):
         self._anim_t += delta_time
         for player, obj in self._players:
             obj.joint_matrices = player.joint_matrices(self._anim_t)
+        for clip, obj in self._morphers:
+            from zenith_tpu.renderer.animation import sample_morph_weights
+
+            obj.morph_weights = sample_morph_weights(
+                clip, self._anim_t, obj.morph_deltas.shape[0]
+            )
 
     def _update_camera(self) -> None:
         x = math.sin(self.orbit) * self._radius
