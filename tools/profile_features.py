@@ -28,17 +28,28 @@ CONFIGS = {
     "ibl": {"ibl": True},
     "ssao": {"ssao": True},
     "fxaa": {"fxaa": True},
+    "taa": {"taa": True},
+    "ae": {"auto_exposure": True},
+    "csm3": {"cascades": 3},
+    "skinned": {"skinned": True},
+    "morph": {"morph": True},
+    "spots": {"spots": 4},
     "all": {"ibl": True, "ssao": True, "fxaa": True},
+    "all_taa": {"ibl": True, "ssao": True, "taa": True,
+                "auto_exposure": True, "cascades": 3},
 }
 
 
-def measure(cfg: dict, frames: int = 120, reps: int = 4) -> dict:
+def measure(cfg: dict, frames: int = 120, reps: int = 4,
+            size: str = "1920x1080") -> dict:
     import numpy as np
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dataclasses import replace as dc_replace
 
     from zenith_tpu import asset
     from zenith_tpu.core.camera import Camera
@@ -47,7 +58,9 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4) -> dict:
         DeferredRenderer,
         PostProcess,
         PresentEncode,
+        SpotLight,
         SSAOOptions,
+        TemporalAA,
     )
     from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
     from zenith_tpu.rhi import Format, PipelineCache, RhiCore, TextureDesc
@@ -57,16 +70,45 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4) -> dict:
     core = RhiCore()
     device = core.create_render_device()
     scene = build_scene(device, 100, np.random.default_rng(42),
-                        ibl=cfg.get("ibl", False))
+                        ibl=cfg.get("ibl", False),
+                        skinned=cfg.get("skinned", False),
+                        morph=cfg.get("morph", False))
+    if cfg.get("cascades", 1) > 1:
+        scene.sun = dc_replace(scene.sun, cascades=cfg["cascades"])
+    for i in range(cfg.get("spots", 0)):
+        a = 2 * math.pi * i / cfg["spots"] + 0.8
+        scene.spot_lights.append(SpotLight(
+            position=(60 * math.cos(a), 60 * math.sin(a), 45.0),
+            direction=(0.25 * math.cos(a + 2), 0.25 * math.sin(a + 2), -1.0),
+            color=(3.0, 0.6, 0.5), intensity=1800.0, radius=130.0,
+        ))
     renderer = DeferredRenderer(
         scene, ssao=SSAOOptions(radius=6.0) if cfg.get("ssao") else False
     )
-    post = PostProcess(fxaa=cfg.get("fxaa", False))
+    post = PostProcess(fxaa=cfg.get("fxaa", False),
+                       auto_exposure=cfg.get("auto_exposure", False))
+    taa = TemporalAA() if cfg.get("taa") else None
     present = PresentEncode(Format.BGRA8_SRGB)
     pipeline_cache = PipelineCache()
     options = CompileOptions()
-    w, h = 1920, 1080
+    w, h = (int(x) for x in size.split("x"))
     camera = Camera(fov_y=Degree(35.0), aspect_ratio=w / h)
+
+    # Animation players for the skinned/morph configs (host-side sampling
+    # is part of the per-frame cost being measured).
+    players = []
+    morphers = []
+    if cfg.get("skinned") or cfg.get("morph"):
+        from zenith_tpu.renderer.animation import (
+            AnimationPlayer,
+            sample_morph_weights,
+        )
+
+        for obj in scene.objects:
+            if obj.skin is not None and obj.clips:
+                players.append((AnimationPlayer(obj.skin, obj.clips[0]), obj))
+            if obj.morph_deltas is not None and obj.clips:
+                morphers.append((obj.clips[0], obj))
 
     def frame(orbit: float):
         camera.set_position(np.array(
@@ -74,16 +116,39 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4) -> dict:
             np.float32,
         ))
         camera.set_yaw_pitch(Radians(orbit), Radians(-math.atan2(20.0, 170.0)))
+        if taa is not None:
+            taa.jitter_camera(camera, w, h)
+        for player, obj in players:
+            obj.joint_matrices = player.joint_matrices(orbit)
+        for clip, obj in morphers:
+            from zenith_tpu.renderer.animation import sample_morph_weights
+
+            obj.morph_weights = sample_morph_weights(
+                clip, orbit, obj.morph_deltas.shape[0]
+            )
         builder = RenderGraphBuilder()
         hdr = builder.create(TextureDesc.color("scene.hdr", w, h, Format.RGBA32F))
         out = builder.create(TextureDesc.color("scene.out", w, h, Format.RGBA32F))
         enc = builder.create(TextureDesc.color("scene.enc", w, h, Format.BGRA8_SRGB))
         builder.export(enc)
         renderer.render_to(builder, hdr, camera, w, h)
-        post.render_to(builder, hdr, out)
+        post_in = hdr
+        if taa is not None:
+            taa_out = builder.create(
+                TextureDesc.color("scene.taa", w, h, Format.RGBA32F)
+            )
+            taa.render_to(builder, hdr, taa_out, camera, w, h,
+                          renderer.gbuffer_handles)
+            post_in = taa_out
+        post.render_to(builder, post_in, out)
         present.render_to(builder, out, enc)
         compiled = builder.build().compile(device, pipeline_cache, options)
         compiled.execute(device)
+        # Cross-frame feedback (device-resident, async — part of the path).
+        if taa is not None:
+            taa.feedback(compiled.value(post_in))
+        if post.auto_exposure and post.exposure_out is not None:
+            post.feedback(compiled.value(post.exposure_out))
         return compiled.value(enc)
 
     img = frame(0.0)
@@ -104,15 +169,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", type=str, default=None)
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--size", type=str, default="1920x1080")
     args = ap.parse_args()
     if args.one is not None:
-        print(json.dumps(measure(CONFIGS[args.one], frames=args.frames)))
+        print(json.dumps(measure(CONFIGS[args.one], frames=args.frames,
+                                 reps=args.reps, size=args.size)))
         return
     results = {}
     for name in CONFIGS:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name,
-             "--frames", str(args.frames)],
+             "--frames", str(args.frames), "--reps", str(args.reps),
+             "--size", args.size],
             capture_output=True, text=True, timeout=900,
         )
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
