@@ -267,3 +267,82 @@ class TestSceneTAA:
         frame = np.asarray(window.last_frame)
         assert np.isfinite(frame.astype(np.float64)).all()
         assert frame[..., :3].std() > 1.0  # actually rendered something
+
+
+class TestSPMD:
+    def test_taa_node_sharded_matches_single(self, cpu_devices):
+        """The TAA node under CompileOptions(mesh): reprojection gathers run
+        on the gathered full surfaces and the band slices back — output
+        matches single-device within fp tolerance."""
+        import jax
+
+        from zenith_tpu.parallel.sharding import default_mesh
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.renderer import TemporalAA
+        from zenith_tpu.rhi import Format, PipelineCache, RhiCore, TextureDesc
+
+        core = RhiCore()
+        device = core.create_render_device()
+        h2, w2 = 256, 128
+        cam = Camera(fov_y=Degree(40.0), aspect_ratio=w2 / h2)
+        cam.set_position(np.array([0.0, -40.0, 10.0], np.float32))
+        cam.set_yaw_pitch(Radians(0.0), Radians(-0.2))
+        history = np.random.default_rng(5).uniform(
+            0, 1, (h2, w2, 4)
+        ).astype(np.float32)
+
+        def run(options, taa):
+            builder = RenderGraphBuilder()
+            hdr = builder.create(TextureDesc.color("hdr", w2, h2))
+            gpos = builder.create(TextureDesc.color("gpos", w2, h2))
+            gdep = builder.create(TextureDesc.depth("gdep", w2, h2))
+            out = builder.create(TextureDesc.color("taa.out", w2, h2))
+
+            gen = builder.add_lambda_node("gen")
+            hdr_w = gen.write(hdr)
+            p_w = gen.write(gpos)
+            d_w = gen.write(gdep)
+
+            def record_gen(ctx):
+                import jax.numpy as jnp
+
+                bh = h2 // ctx.num_shards
+                row0 = 0
+                if ctx.sharded:
+                    row0 = jax.lax.axis_index(ctx.shard_axis) * bh
+                rows = row0 + jnp.arange(bh, dtype=jnp.float32)[:, None]
+                cols = jnp.arange(w2, dtype=jnp.float32)[None, :]
+                base = 0.3 + 0.5 * jnp.sin(rows * 0.11) * jnp.cos(cols * 0.07)
+                img = jnp.stack(
+                    [base, 1.0 - base, base * 0.5, jnp.ones_like(base)], -1
+                )
+                ctx.set(hdr_w, img)
+                # A world plane at z=0 spanning the view.
+                wx = (cols / w2 - 0.5) * 60.0
+                wy = jnp.broadcast_to((rows / h2 - 0.5) * 30.0 + 10.0,
+                                      (bh, w2))
+                wpos = jnp.stack(
+                    [jnp.broadcast_to(wx, (bh, w2)), wy,
+                     jnp.zeros((bh, w2), jnp.float32),
+                     jnp.zeros((bh, w2), jnp.float32)], -1
+                )
+                ctx.set(p_w, wpos)
+                ctx.set(d_w, jnp.full((bh, w2), 0.5, jnp.float32))
+
+            gen.execute(record_gen)
+            taa.feedback(jax.numpy.asarray(history))
+            taa._hw = (h2, w2)  # seed so feedback survives render_to
+            taa.render_to(builder, hdr, out, cam, w2, h2,
+                          {"pos": gpos, "depth": gdep})
+            compiled = builder.build().compile(
+                device, PipelineCache(), options
+            )
+            compiled.execute(device)
+            return np.asarray(compiled.value(out))
+
+        img1 = run(CompileOptions(tile_h=8, tile_w=128), TemporalAA())
+        mesh = default_mesh(8, backend="cpu")
+        img8 = run(CompileOptions(tile_h=8, tile_w=128, mesh=mesh),
+                   TemporalAA())
+        assert img1[..., :3].std() > 0.01
+        np.testing.assert_allclose(img8, img1, atol=1e-5)
