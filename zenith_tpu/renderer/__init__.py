@@ -6,6 +6,7 @@ from zenith_tpu.renderer.deferred import DeferredRenderer, SSAOOptions
 from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
+from zenith_tpu.renderer.particles import ParticleSystem
 from zenith_tpu.renderer.post import PostProcess, PresentEncode
 from zenith_tpu.renderer.taa import TemporalAA
 from zenith_tpu.renderer.scene import (
@@ -23,6 +24,7 @@ __all__ = [
     "EnvironmentLight",
     "ForwardShadowRenderer",
     "MeshRenderer",
+    "ParticleSystem",
     "PointLight",
     "PostProcess",
     "PresentEncode",

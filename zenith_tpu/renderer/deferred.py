@@ -735,7 +735,12 @@ class DeferredRenderer:
             if obj.instance_offsets is not None:
                 builder.set_dynamic(
                     f"def.inst.{obj.name}",
-                    np.asarray(obj.instance_offsets, np.float32),
+                    # Device-resident offsets (GPU-sim particles) pass through
+                    # untouched — np.asarray on a jax.Array would
+                    # force a device sync + download per frame.
+                    obj.instance_offsets
+                    if isinstance(obj.instance_offsets, jax.Array)
+                    else np.asarray(obj.instance_offsets, np.float32),
                 )
         # Instanced objects draw through their own nodes (one pipeline per
         # node; the instanced vertex stage differs); translucent objects

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -334,7 +335,12 @@ class ForwardShadowRenderer:
             if obj.instance_offsets is not None:
                 builder.set_dynamic(
                     f"fwd.inst.{obj.name}",
-                    np.asarray(obj.instance_offsets, np.float32),
+                    # Device-resident offsets (GPU-sim particles) pass through
+                    # untouched — np.asarray on a jax.Array would
+                    # force a device sync + download per frame.
+                    obj.instance_offsets
+                    if isinstance(obj.instance_offsets, jax.Array)
+                    else np.asarray(obj.instance_offsets, np.float32),
                 )
         plain_ix = [i for i, o in enumerate(scene.objects)
                     if o.instance_offsets is None]

@@ -479,6 +479,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--particles", type=int, default=0,
+                            help="N GPU-simulated spark particles (compute "
+                                 "node in the frame program + instanced "
+                                 "draw; deferred mode)")
         parser.add_argument("--morph", action="store_true",
                             help="add a pulsing morph-target blob (POSITION "
                                  "deltas + weights clip; deferred mode)")
@@ -529,6 +533,9 @@ class SceneApp(RenderableApp):
         self.cascades = ns.cascades
         self.skinned = ns.skinned and ns.mode == "deferred"
         self.morph = ns.morph and ns.mode == "deferred"
+        self.n_particles = ns.particles if ns.mode == "deferred" else 0
+        self.psys = None
+        self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
         self._players = []  # (AnimationPlayer, SceneObject)
         self._morphers = []  # (AnimationClip, SceneObject)
@@ -555,6 +562,18 @@ class SceneApp(RenderableApp):
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred",
                             skinned=self.skinned, morph=self.morph)
+        if self.n_particles > 0:
+            from zenith_tpu.renderer import ParticleSystem
+
+            self.psys = ParticleSystem(
+                self.n_particles, emitter=(40.0, 30.0, 3.0)
+            )
+            scene.objects.append(SceneObject.cube(
+                render_device, "sparks", size=1.0, z0=-0.5,
+                base_color=(1.0, 0.75, 0.3, 1.0), roughness=0.4,
+                emissive=(4.0, 2.4, 0.8),
+                instance_offsets=self.psys.positions,
+            ))
         if self.spots > 0:
             from zenith_tpu.renderer import SpotLight
 
@@ -622,6 +641,12 @@ class SceneApp(RenderableApp):
         if self.post is not None and self.post.auto_exposure:
             self.post.set_delta_time(delta_time)
         self._anim_t += delta_time
+        self._dt = delta_time
+        if self.psys is not None:
+            for obj in (self.renderer.scene.objects
+                        if self.renderer is not None else []):
+                if obj.name == "sparks":
+                    obj.instance_offsets = self.psys.positions
         for player, obj in self._players:
             obj.joint_matrices = player.joint_matrices(self._anim_t)
         for clip, obj in self._morphers:
@@ -648,11 +673,16 @@ class SceneApp(RenderableApp):
             d.update(self.taa.frame_dynamics(self.camera))
         if self.post is not None and self.post.auto_exposure:
             d.update(self.post.frame_dynamics())
+        if self.psys is not None:
+            d.update(self.psys.frame_dynamics(self._dt))
+            d["def.inst.sparks"] = self.psys.positions
         return d
 
     def on_frame_outputs(self, outputs) -> None:
-        """Engine feedback (request_output): TAA history + adapted exposure
-        for next frame."""
+        """Engine feedback (request_output): TAA history, adapted exposure,
+        particle state for next frame."""
+        if self.psys is not None and "psys.state" in outputs:
+            self.psys.feedback(outputs["psys.state"], outputs["psys.pos"])
         if self.taa is not None and "taa.history" in outputs:
             self.taa.feedback(outputs["taa.history"])
         if self.post is not None and "post.ae" in outputs:
@@ -678,6 +708,11 @@ class SceneApp(RenderableApp):
         else:
             depth = builder.create(TextureDesc.depth("scene.depth", width, height))
             self.renderer.render_to(builder, target, depth, self.camera)
+
+        if self.psys is not None:
+            state_h, pos_h = self.psys.sim_to(builder, self._dt)
+            context.request_output("psys.state", state_h)
+            context.request_output("psys.pos", pos_h)
 
         if self.taa is not None:
             taa_out = (
