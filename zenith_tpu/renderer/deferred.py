@@ -655,6 +655,15 @@ class DeferredRenderer:
         sun = scene.sun
         env = scene.environment
         pl_pos, pl_col, pl_rad = scene.point_light_arrays()
+        # Shadow-casting point lights leave the tiled-kernel table and
+        # shade through the dense path with cube-PCF visibility
+        # (renderer/omni.py).
+        omni_lights = [pl for pl in scene.point_lights if pl.cast_shadows]
+        if omni_lights:
+            keep = np.asarray(
+                [not pl.cast_shadows for pl in scene.point_lights], bool
+            )
+            pl_pos, pl_col, pl_rad = pl_pos[keep], pl_col[keep], pl_rad[keep]
         sl_pos, sl_col, sl_rad, sl_params = scene.spot_light_arrays()
         has_spots = sl_pos.shape[0] > 0
         if has_spots:
@@ -694,6 +703,21 @@ class DeferredRenderer:
             builder.set_dynamic(
                 "def.sun_color", np.asarray(sun.color, np.float32) * sun.intensity
             )
+        if omni_lights:
+            from zenith_tpu.renderer.omni import omni_face_matrices
+
+            for li, pl in enumerate(omni_lights):
+                builder.set_dynamic(
+                    f"def.omni{li}.vps",
+                    omni_face_matrices(pl.position, pl.shadow_near, pl.radius),
+                )
+                builder.set_dynamic(
+                    f"def.omni{li}.pos", np.asarray(pl.position, np.float32)
+                )
+                builder.set_dynamic(
+                    f"def.omni{li}.col",
+                    np.asarray(pl.color, np.float32) * pl.intensity,
+                )
         n_casc = max(1, int(sun.cascades)) if (self.shadows and sun) else 1
         if self.shadows:
             builder.set_dynamic("def.shadow_bias", np.float32(sun.shadow_bias))
@@ -983,6 +1007,59 @@ class DeferredRenderer:
 
                     node.execute(record_shadow_morph)
 
+        # -- omni (cube) shadow faces for shadow-casting point lights --------------
+        # Six render-to-layer depth nodes per light (renderer/omni.py face
+        # matrices); casters are the plain opaque set (the static batch) —
+        # the usual local-light scope.
+        omni_handles = []
+        for li, pl in enumerate(omni_lights):
+            cube = builder.create(TextureDesc.new_cube(
+                f"omni{li}.shadow", pl.shadow_map_size, Format.D32F
+            ))
+            for fk in range(6):
+                node = builder.add_graphic_node(f"omni{li}.f{fk}")
+                if static_geo is None:
+                    o_acc = {
+                        i: (node.read(handles[i][0]), node.read(handles[i][1]))
+                        for i in plain_ix
+                    }
+                    so_acc = None
+                else:
+                    o_acc = None
+                    so_acc = (node.read(s_vb_h), node.read(s_ib_h))
+                dsw = node.write(cube, layer=fk)
+                with node.pipeline(
+                    self._shadow_si, self._shadow_state
+                ) as binder:
+                    binder.set_depth(dsw, self._shadow_depth)
+
+                def record_face(ctx, li=li, fk=fk, o_acc=o_acc,
+                                so_acc=so_acc):
+                    ctx.bind(
+                        "LightViewProj", ctx.dynamic(f"def.omni{li}.vps")[fk]
+                    )
+                    models = ctx.dynamic("def.models")
+                    if not plain_ix:
+                        return
+                    if static_geo is not None:
+                        vb_all = ctx.get(so_acc[0])
+                        ib_all = ctx.get(so_acc[1])
+                        draws = [
+                            (vb_all[vo:vo + vc], ib_all[io_:io_ + ic],
+                             {"Model": models[i]})
+                            for i, (vo, vc, io_, ic)
+                            in zip(plain_ix, static_geo.ranges)
+                        ]
+                    else:
+                        draws = [
+                            (o_acc[i][0], o_acc[i][1], {"Model": models[i]})
+                            for i in plain_ix
+                        ]
+                    ctx.draw_indexed_batch(draws)
+
+                node.execute(record_face)
+            omni_handles.append(cube)
+
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
         if static_geo is None:
@@ -1269,6 +1346,11 @@ class DeferredRenderer:
         p_in = node.read(g_pos)
         d_in = node.read(g_depth)
         sm_in = node.read(sm_handle) if sm_handle is not None else None
+        omni_in = [node.read(h) for h in omni_handles]
+        omni_params = [
+            (float(pl.shadow_near), float(pl.radius), float(pl.shadow_bias))
+            for pl in omni_lights
+        ]
         ao_in = node.read(ao_handle) if ao_handle is not None else None
         env_in = node.read(env_handle) if env_handle is not None else None
         if sky_handle is None:
@@ -1423,6 +1505,37 @@ class DeferredRenderer:
                         ctx.dynamic("def.sl_params") if has_spots else None
                     ),
                 )
+
+            # Shadow-casting point lights: dense BRDF (same distance window
+            # as the kernel) times cube-PCF visibility (renderer/omni.py).
+            if omni_in:
+                from zenith_tpu.ops.sampling import (
+                    cube_direction_to_face_uv,
+                    sample_shadow_pcf_layered,
+                )
+                from zenith_tpu.renderer.omni import omni_reference_z
+
+                for li, (o_near, o_far, o_bias) in enumerate(omni_params):
+                    lp = ctx.dynamic(f"def.omni{li}.pos")
+                    lcol = ctx.dynamic(f"def.omni{li}.col")
+                    to_l = lp - world
+                    d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-8)
+                    dist = jnp.sqrt(d2)
+                    ldir = to_l / dist[..., None]
+                    qq = dist / o_far
+                    win = jnp.clip(1.0 - qq ** 4, 0.0, 1.0) ** 2
+                    contrib = _ggx_brdf(
+                        n, v, ldir, albedo, metallic, roughness
+                    ) * lcol * (win / d2)[..., None]
+                    l2f = -to_l
+                    axis_d = jnp.max(jnp.abs(l2f), axis=-1)
+                    face, uv = cube_direction_to_face_uv(l2f)
+                    zref = omni_reference_z(axis_d - o_bias, o_near, o_far)
+                    vis = sample_shadow_pcf_layered(
+                        ctx.get(omni_in[li]), face, uv, zref, _SHADOW_SAMPLER
+                    )
+                    vis = jnp.where(dist < o_far, vis, 1.0)
+                    color = color + contrib * vis[..., None]
 
             if sky_in is not None:
                 # Skybox: cube-sample the per-pixel view ray for background

@@ -334,6 +334,15 @@ class PointLight:
     color: "tuple" = (1.0, 1.0, 1.0)
     intensity: float = 100.0
     radius: float = 50.0  # influence cutoff
+    # Omnidirectional shadows (renderer/omni.py; deferred renderer only):
+    # six depth faces around the light, far plane = radius. Shadowed
+    # lights shade through the dense path (cube PCF per pixel) instead of
+    # the tiled kernel — keep their count small. Casters: plain opaque
+    # objects (the static batch), like most engines' local-light shadows.
+    cast_shadows: bool = False
+    shadow_map_size: int = 256
+    shadow_near: float = 0.3
+    shadow_bias: float = 0.05  # world-space, along the face axis
 
 
 @dataclass

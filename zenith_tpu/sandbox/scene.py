@@ -479,6 +479,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--point-shadows", action="store_true",
+                            help="one shadow-casting point light (omni cube "
+                                 "shadow: 6 render-to-layer depth faces + "
+                                 "cube PCF; deferred mode)")
         parser.add_argument("--particles", type=int, default=0,
                             help="N GPU-simulated spark particles (compute "
                                  "node in the frame program + instanced "
@@ -534,6 +538,7 @@ class SceneApp(RenderableApp):
         self.skinned = ns.skinned and ns.mode == "deferred"
         self.morph = ns.morph and ns.mode == "deferred"
         self.n_particles = ns.particles if ns.mode == "deferred" else 0
+        self.point_shadows = ns.point_shadows and ns.mode == "deferred"
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -562,6 +567,14 @@ class SceneApp(RenderableApp):
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred",
                             skinned=self.skinned, morph=self.morph)
+        if self.point_shadows:
+            from zenith_tpu.renderer import PointLight
+
+            scene.point_lights.append(PointLight(
+                position=(-35.0, -25.0, 30.0),
+                color=(1.0, 0.8, 0.55), intensity=2500.0, radius=160.0,
+                cast_shadows=True, shadow_map_size=256,
+            ))
         if self.n_particles > 0:
             from zenith_tpu.renderer import ParticleSystem
 
