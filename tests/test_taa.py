@@ -346,3 +346,42 @@ class TestSPMD:
                    TemporalAA())
         assert img1[..., :3].std() > 0.01
         np.testing.assert_allclose(img8, img1, atol=1e-5)
+
+
+class TestFeedbackRobustness:
+    def test_unexported_requested_output_warns_not_crashes(self, capfd):
+        """request_output on a resource that was never exported: the frame
+        must complete, with a warning naming the missing export.
+        (capfd, not caplog: launch() reconfigures logging handlers.)"""
+        from zenith_tpu.app import RenderableApp
+        from zenith_tpu.launch import launch
+        from zenith_tpu.window import Window
+
+        got = []
+
+        class App(RenderableApp):
+            def on_frame_outputs(self, outputs):
+                got.append(outputs)
+
+            def render(self, context):
+                builder = context.builder()
+                out = builder.import_resource(context.swapchain_texture())
+                node = builder.add_lambda_node("fill")
+                dst = node.write(out)
+
+                def record(ctx):
+                    ctx.set(dst, jnp.zeros_like(ctx.get(dst)))
+
+                node.execute(record)
+                from zenith_tpu.rhi import BufferDesc
+
+                acc = builder.create(BufferDesc.storage("acc", (1,)))
+                w = node  # unused
+                context.request_output("acc", acc)  # NOT exported
+
+        window = Window(width=64, height=32, title="t")
+        loop = launch(App, argv=[], window=window, max_frames=2)
+        assert loop.frames_rendered == 2
+        assert got == []  # nothing delivered
+        err = capfd.readouterr().err
+        assert "request_output('acc')" in err and "builder.export" in err

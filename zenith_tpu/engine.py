@@ -203,7 +203,18 @@ class Engine:
                 "hook — feedback values dropped", sorted(requested)
             )
             return
-        cb({name: compiled.value(res) for name, res in requested.items()})
+        values = {}
+        for name, res in requested.items():
+            try:
+                values[name] = compiled.value(res)
+            except KeyError:
+                logger.warning(
+                    "request_output('%s'): resource #%d is not a frame "
+                    "output — did you forget builder.export()? Dropped.",
+                    name, res.id,
+                )
+        if values:
+            cb(values)
 
     def resize(self, width: int, height: int) -> None:
         """(engine.rs:114-133)"""
