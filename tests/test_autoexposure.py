@@ -108,11 +108,7 @@ class TestAdaptation:
 
 
 def _run_frame_no_ae(device, post, lum):
-    img, _ = _run_frame_any(device, post, lum)
-    return img
-
-
-def _run_frame_any(device, post, lum, options=CompileOptions(tile_h=8)):
+    """_run_frame for an AE-less PostProcess (no exposure_out to read)."""
     builder = RenderGraphBuilder()
     hdr = builder.create(TextureDesc.color("hdr", W, H))
     out = builder.create(TextureDesc.color("out", W, H))
@@ -132,9 +128,11 @@ def _run_frame_any(device, post, lum, options=CompileOptions(tile_h=8)):
 
     gen.execute(record_gen)
     post.render_to(builder, hdr, out)
-    compiled = builder.build().compile(device, PipelineCache(), options)
+    compiled = builder.build().compile(
+        device, PipelineCache(), CompileOptions(tile_h=8)
+    )
     compiled.execute(device)
-    return np.asarray(compiled.value(out)), None
+    return np.asarray(compiled.value(out))
 
 
 class TestSPMD:

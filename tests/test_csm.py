@@ -186,3 +186,24 @@ class TestSceneCSM:
         img_ns = self._render(1, shadows=False)
         darkened = (img_ns[..., :3] - img3[..., :3]) > 0.05
         assert darkened.any()
+
+
+class TestSnapInvariance:
+    def test_fixed_point_texel_phase_invariant_under_camera_motion(self):
+        """The bounding-sphere fit + per-axis texel snap: a fixed world
+        point's FRACTIONAL texel coordinate must not change as the camera
+        translates (this is what kills shadow-edge shimmer). Crossing snap
+        lattice lines must shift sampling by WHOLE texels on BOTH axes."""
+        sun = DirectionalLight(cascades=2, shadow_map_size=512)
+        p = np.array([5.0, 7.0, 0.0, 1.0])
+        fracs = []
+        for step in range(6):
+            cam = _camera()
+            cam.set_position(
+                cam.location + np.float32([2.37, 1.91, 0.0]) * step
+            )
+            vps, _, _ = fit_cascades(sun, cam, 2)
+            a = p @ vps[1].astype(np.float64).T
+            fracs.append(((a[:2] / a[3] * 0.5 + 0.5) * 512) % 1.0)
+        for f in fracs[1:]:
+            np.testing.assert_allclose(f, fracs[0], atol=2e-3)

@@ -346,3 +346,101 @@ class TestGltfSkin:
         np.testing.assert_allclose(out[:3], [-0.5, 0, 1], atol=1e-5)
         out2 = pal[1] @ np.array([-0.5, 0.0, 2.0, 1.0], np.float32)
         np.testing.assert_allclose(out2[:3], [-0.5, -1, 1], atol=1e-5)
+
+
+class TestArmatureTransforms:
+    def test_transformed_non_joint_ancestor_preserved(self, tmp_path):
+        """The classic exporter shape: a transformed non-joint 'Armature'
+        node above the root joint. Its transform is in the inverse binds,
+        so the joint hierarchy must include it (Skin.pre) — at bind pose
+        the palette must be identity."""
+        import base64
+        import json
+
+        import zenith_tpu.asset as asset_mod
+        from zenith_tpu.asset import AssetManager, registry
+
+        asset_mod.initialize()
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        idx = np.array([0, 1, 2], np.uint16)
+        joints = np.zeros((3, 4), np.uint8)
+        weights = np.tile(np.array([1, 0, 0, 0], np.float32), (3, 1))
+        # Armature at (10, 0, 0); joint at local (0, 0, 2) → world (10,0,2).
+        ib = np.eye(4, dtype=np.float32)
+        ib[0, 3] = -10.0
+        ib[2, 3] = -2.0
+        inv = ib.T.reshape(1, -1)  # column-major in the file
+        chunks = [pos.tobytes(), idx.tobytes(), joints.tobytes(),
+                  weights.tobytes(), inv.tobytes()]
+        offsets = []
+        off = 0
+        for chk in chunks:
+            off = (off + 3) & ~3
+            offsets.append(off)
+            off += len(chk)
+        blob = bytearray(off)
+        for o, chk in zip(offsets, chunks):
+            blob[o:o + len(chk)] = chk
+        doc = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0, 1]}],
+            "nodes": [
+                {"mesh": 0, "skin": 0},
+                {"name": "Armature", "translation": [10, 0, 0],
+                 "children": [2]},
+                {"translation": [0, 0, 2]},  # the (only) joint
+            ],
+            "skins": [{"joints": [2], "inverseBindMatrices": 4}],
+            "meshes": [{"primitives": [{
+                "attributes": {"POSITION": 0, "JOINTS_0": 2, "WEIGHTS_0": 3},
+                "indices": 1,
+            }]}],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": 1, "componentType": 5123, "count": 3,
+                 "type": "SCALAR"},
+                {"bufferView": 2, "componentType": 5121, "count": 3,
+                 "type": "VEC4"},
+                {"bufferView": 3, "componentType": 5126, "count": 3,
+                 "type": "VEC4"},
+                {"bufferView": 4, "componentType": 5126, "count": 1,
+                 "type": "MAT4"},
+            ],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": o, "byteLength": len(chk)}
+                for o, chk in zip(offsets, chunks)
+            ],
+            "buffers": [{
+                "byteLength": len(blob),
+                "uri": "data:application/octet-stream;base64,"
+                       + base64.b64encode(bytes(blob)).decode(),
+            }],
+        }
+        content = tmp_path / "content" / "arm"
+        content.mkdir(parents=True)
+        (content / "arm.gltf").write_text(json.dumps(doc))
+        mgr = AssetManager(root=tmp_path)
+        col = mgr.request_load("arm/arm.gltf").get()
+        mesh = registry().get(AssetUrl(col.mesh_urls[0]), Mesh)
+        # The pre-matrix carries the Armature translation...
+        np.testing.assert_allclose(mesh.skin.pre[0][:3, 3], [10, 0, 0])
+        # ... so the bind pose reproduces the identity palette exactly.
+        pal = AnimationPlayer(mesh.skin, AnimationClip("idle", []),
+                              loop=False).joint_matrices(0.0)
+        np.testing.assert_allclose(pal[0], np.eye(4), atol=1e-5)
+
+    def test_step_interpolation_holds_pose(self):
+        skin = _two_bone_skin()
+        times = np.array([0.0, 1.0], np.float32)
+        tr = np.array([[0, 0, 0], [4.0, 0, 0]], np.float32)
+        clip = AnimationClip("snap", [
+            AnimationChannel(0, "translation", times, tr,
+                             interpolation="STEP")
+        ])
+        pal = AnimationPlayer(skin, clip, loop=False).joint_matrices(0.5)
+        # STEP: hold the previous key, no glide.
+        np.testing.assert_allclose(pal[0][:3, 3], [0, 0, 0], atol=1e-6)
+        pal = AnimationPlayer(skin, clip, loop=False).joint_matrices(1.0)
+        np.testing.assert_allclose(pal[0][:3, 3], [4.0, 0, 0], atol=1e-6)

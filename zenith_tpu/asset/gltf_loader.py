@@ -304,6 +304,7 @@ class RawGltfProcessor:
         rest_t = np.zeros((j, 3), np.float32)
         rest_r = np.tile(np.asarray([0, 0, 0, 1], np.float32), (j, 1))
         rest_s = np.ones((j, 3), np.float32)
+        pre = np.tile(np.eye(4, dtype=np.float32), (j, 1, 1))
         parents = np.full((j,), -1, np.int32)
         for new_i, n in enumerate(order):
             # MAT4 accessors are column-major in the file.
@@ -321,12 +322,23 @@ class RawGltfProcessor:
                 rest_t[new_i] = node.get("translation", (0.0, 0.0, 0.0))
                 rest_r[new_i] = node.get("rotation", (0.0, 0.0, 0.0, 1.0))
                 rest_s[new_i] = node.get("scale", (1.0, 1.0, 1.0))
+            # Constant transforms BETWEEN this joint and its joint-parent
+            # (non-joint intermediates, or everything up to the scene root
+            # for root joints — the classic transformed Armature node):
+            # composed into a per-joint pre-matrix; the inverse binds
+            # include these, so dropping them offsets the bind pose.
             p = parent_of.get(n)
-            if p is not None and p in jset:
+            chain = np.eye(4, dtype=np.float64)
+            while p is not None and p not in jset:
+                chain = _node_matrix(doc["nodes"][p]).astype(np.float64) @ chain
+                p = parent_of.get(p)
+            pre[new_i] = chain.astype(np.float32)
+            if p is not None:
                 parents[new_i] = remap[jset[p]]
         node_to_joint = {n: int(remap[jset[n]]) for n in joints}
         built = (
-            Skin(inv, parents, rest_t, rest_r, rest_s), remap, node_to_joint
+            Skin(inv, parents, rest_t, rest_r, rest_s, pre=pre),
+            remap, node_to_joint,
         )
         self._skins_built[skin_index] = built
         return built
@@ -366,7 +378,10 @@ class RawGltfProcessor:
                     np.float32
                 )
                 channels.append(AnimationChannel(
-                    node_to_joint[node], path, times, values
+                    node_to_joint[node], path, times, values,
+                    interpolation=(
+                        "STEP" if interp == "STEP" else "LINEAR"
+                    ),
                 ))
             if channels:
                 clips.append(
@@ -403,7 +418,13 @@ class RawGltfProcessor:
                 values = self.raw.read_accessor(smp["output"]).astype(
                     np.float32
                 ).reshape(times.shape[0], n_targets)
-                channels.append(AnimationChannel(-1, "weights", times, values))
+                channels.append(AnimationChannel(
+                    -1, "weights", times, values,
+                    interpolation=(
+                        "STEP"
+                        if smp.get("interpolation") == "STEP" else "LINEAR"
+                    ),
+                ))
             if channels:
                 clips.append(
                     AnimationClip(anim.get("name", f"anim{ai}"), channels)

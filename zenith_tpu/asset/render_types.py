@@ -61,17 +61,29 @@ class TextureFormat(enum.Enum):
 class Skin:
     """Joint hierarchy + bind data (glTF `skins`). ``parents`` must be
     topologically ordered (parent index < child index; -1 = root) — the
-    glTF baker reindexes joints to guarantee it."""
+    glTF baker reindexes joints to guarantee it.
+
+    ``pre`` (J,4,4) carries the CONSTANT transform between each joint and
+    its joint-parent (or the scene root): non-joint intermediate nodes and
+    the classic transformed "Armature" node above the root joint. Joint
+    world = parent_world @ pre @ TRS(joint); dropping these (identity pre)
+    desyncs the hierarchy from the inverse binds, which DO include them.
+    """
 
     def __init__(self, inverse_bind: np.ndarray, parents: np.ndarray,
-                 rest_t: np.ndarray, rest_r: np.ndarray, rest_s: np.ndarray):
+                 rest_t: np.ndarray, rest_r: np.ndarray, rest_s: np.ndarray,
+                 pre: "Optional[np.ndarray]" = None):
         self.inverse_bind = np.ascontiguousarray(inverse_bind, np.float32)
         self.parents = np.ascontiguousarray(parents, np.int32).reshape(-1)
         self.rest_t = np.ascontiguousarray(rest_t, np.float32)
         self.rest_r = np.ascontiguousarray(rest_r, np.float32)  # xyzw quats
         self.rest_s = np.ascontiguousarray(rest_s, np.float32)
         j = self.parents.shape[0]
+        if pre is None:
+            pre = np.broadcast_to(np.eye(4, dtype=np.float32), (j, 4, 4))
+        self.pre = np.ascontiguousarray(pre, np.float32)
         assert self.inverse_bind.shape == (j, 4, 4)
+        assert self.pre.shape == (j, 4, 4)
         assert self.rest_t.shape == (j, 3) and self.rest_s.shape == (j, 3)
         assert self.rest_r.shape == (j, 4)
         assert all(p < i for i, p in enumerate(self.parents)), (
@@ -88,10 +100,12 @@ class AnimationChannel:
     linear interpolation)."""
 
     def __init__(self, joint: int, path: str, times: np.ndarray,
-                 values: np.ndarray):
+                 values: np.ndarray, interpolation: str = "LINEAR"):
         assert path in ("translation", "rotation", "scale", "weights")
+        assert interpolation in ("LINEAR", "STEP")
         self.joint = int(joint)  # -1 for mesh-targeted "weights" channels
         self.path = path
+        self.interpolation = interpolation
         self.times = np.ascontiguousarray(times, np.float32).reshape(-1)
         self.values = np.ascontiguousarray(values, np.float32)
         if path == "weights":
@@ -184,6 +198,7 @@ class Mesh(Asset):
             out["skin.rest_t"] = self.skin.rest_t
             out["skin.rest_r"] = self.skin.rest_r
             out["skin.rest_s"] = self.skin.rest_s
+            out["skin.pre"] = self.skin.pre
         if self.morph_deltas is not None:
             out["morph.deltas"] = self.morph_deltas
         for ci, clip in enumerate(self.clips):
@@ -200,7 +215,8 @@ class Mesh(Asset):
                     "name": clip.name,
                     "duration": clip.duration,
                     "channels": [
-                        {"joint": ch.joint, "path": ch.path}
+                        {"joint": ch.joint, "path": ch.path,
+                         "interp": ch.interpolation}
                         for ch in clip.channels
                     ],
                 }
@@ -217,6 +233,7 @@ class Mesh(Asset):
                 arrays["skin.inverse_bind"], arrays["skin.parents"],
                 arrays["skin.rest_t"], arrays["skin.rest_r"],
                 arrays["skin.rest_s"],
+                pre=arrays.get("skin.pre"),  # absent in old caches → identity
             )
         clips = []
         for ci, cm in enumerate(metadata.get("clips", [])):
@@ -225,6 +242,7 @@ class Mesh(Asset):
                     chm["joint"], chm["path"],
                     arrays[f"anim{ci}.ch{hi}.t"],
                     arrays[f"anim{ci}.ch{hi}.v"],
+                    interpolation=chm.get("interp", "LINEAR"),
                 )
                 for hi, chm in enumerate(cm["channels"])
             ]

@@ -57,8 +57,9 @@ class Camera:
         self._right = WORLD_SPACE_RIGHT.copy()
         self._up = WORLD_SPACE_UP.copy()
 
+        self._z_near = max(z_near, 1e-4)
         self._proj = m.perspective_infinite_reverse_rh(
-            fov_y, aspect_ratio, max(z_near, 1e-4)
+            fov_y, aspect_ratio, self._z_near
         )
         # View / view-projection are computed LAZILY (None = stale): the
         # render loop typically calls set_position + set_yaw_pitch back to
@@ -91,6 +92,10 @@ class Camera:
     @property
     def projection(self) -> np.ndarray:
         return self._proj
+
+    @property
+    def z_near(self) -> float:
+        return self._z_near
 
     @property
     def view_projection(self) -> np.ndarray:

@@ -34,12 +34,14 @@ def _nlerp(q0: np.ndarray, q1: np.ndarray, t: float) -> np.ndarray:
 
 
 def _sample_channel(times: np.ndarray, values: np.ndarray, t: float,
-                    is_quat: bool) -> np.ndarray:
+                    is_quat: bool, step: bool = False) -> np.ndarray:
     if t <= float(times[0]):
         return values[0]
     if t >= float(times[-1]):
         return values[-1]
     i = int(np.searchsorted(times, t, side="right")) - 1
+    if step:  # glTF STEP: hold the previous key (pose snaps)
+        return values[i]
     t0, t1 = float(times[i]), float(times[i + 1])
     f = (t - t0) / max(t1 - t0, 1e-12)
     if is_quat:
@@ -71,7 +73,10 @@ def sample_morph_weights(clip: AnimationClip, t: float,
         t = float(t) % clip.duration
     for ch in clip.channels:
         if ch.path == "weights":
-            w = _sample_channel(ch.times, ch.values, t, False)
+            w = _sample_channel(
+                ch.times, ch.values, t, False,
+                getattr(ch, "interpolation", "LINEAR") == "STEP",
+            )
             return np.asarray(w, np.float32).reshape(-1)[:num_targets]
     return np.zeros((num_targets,), np.float32)
 
@@ -88,6 +93,7 @@ class AnimationPlayer:
         for ch in clip.channels:
             self._by_joint.setdefault(ch.joint, {})[ch.path] = (
                 ch.times, ch.values,
+                getattr(ch, "interpolation", "LINEAR") == "STEP",
             )
 
     def local_trs(self, t: float):
@@ -100,14 +106,14 @@ class AnimationPlayer:
         sc = skin.rest_s.copy()
         for j, paths in self._by_joint.items():
             if "translation" in paths:
-                tm, vv = paths["translation"]
-                tr[j] = _sample_channel(tm, vv, t, False)
+                tm, vv, st = paths["translation"]
+                tr[j] = _sample_channel(tm, vv, t, False, st)
             if "rotation" in paths:
-                tm, vv = paths["rotation"]
-                ro[j] = _sample_channel(tm, vv, t, True)
+                tm, vv, st = paths["rotation"]
+                ro[j] = _sample_channel(tm, vv, t, True, st)
             if "scale" in paths:
-                tm, vv = paths["scale"]
-                sc[j] = _sample_channel(tm, vv, t, False)
+                tm, vv, st = paths["scale"]
+                sc[j] = _sample_channel(tm, vv, t, False, st)
         return tr, ro, sc
 
     def joint_matrices(self, t: float) -> np.ndarray:
@@ -118,8 +124,11 @@ class AnimationPlayer:
         tr, ro, sc = self.local_trs(t)
         j = skin.num_joints
         world = np.empty((j, 4, 4))
+        pre = skin.pre.astype(np.float64)
         for i in range(j):
-            local = _trs_matrix(tr[i], ro[i], sc[i])
+            # pre = constant non-joint transforms between this joint and
+            # its joint-parent (Armature nodes etc. — see Skin docstring).
+            local = pre[i] @ _trs_matrix(tr[i], ro[i], sc[i])
             p = int(skin.parents[i])
             world[i] = local if p < 0 else world[p] @ local
         return np.einsum(

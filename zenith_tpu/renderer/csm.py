@@ -70,18 +70,31 @@ def _frustum_slice_corners(camera, d0: float, d1: float) -> np.ndarray:
 
 
 def fit_cascades(sun, camera, n: int, *,
-                 near: float = 1.0,
+                 near: "float | None" = None,
                  max_distance: "float | None" = None,
                  lam: "float | None" = None):
     """Fit ``n`` light cameras around the camera frustum slices.
 
     Returns (vps (N,4,4) float32, splits (N,) float32 view-space far edges,
     normal_offsets (N,) float32). ``sun`` supplies direction, map size, the
-    caster margin and the split lambda; ``camera`` the frustum.
+    caster margin and the split lambda; ``camera`` the frustum (and, by
+    default, the near plane — the first slice must start AT the camera near
+    or close-up pixels fall outside every cascade and silently unshadow).
+
+    Each window is fit around the slice's BOUNDING SPHERE, not its AABB:
+    the window size is then constant for a given slice regardless of camera
+    ROTATION, which makes the texel snap exact — the ortho scale never
+    changes, so quantizing the window origin to texel steps moves sampling
+    by whole texels on BOTH axes (the AABB fit's max-extent snap still
+    shimmered on the minor axis whenever ext_x != ext_y).
     """
+    near = float(camera.z_near if near is None else near)
     far = float(max_distance if max_distance is not None else sun.shadow_far)
     lam = float(sun.cascade_lambda if lam is None else lam)
-    splits = cascade_split_distances(near, far, n, lam)
+    # Split SCHEDULE from a clamped near (a centimeter-scale camera near
+    # would collapse the log splits onto the camera's nose), but slice 0 is
+    # FIT from the true camera near so close-up pixels stay covered.
+    splits = cascade_split_distances(max(near, 1.0), far, n, lam)
 
     d = m.normalize(np.asarray(sun.direction, np.float32)).astype(np.float64)
     up = np.array([0.0, 0.0, 1.0])
@@ -100,33 +113,33 @@ def fit_cascades(sun, camera, n: int, *,
     for k in range(n):
         d1 = float(splits[k])
         corners = _frustum_slice_corners(camera, d0, d1)
-        hom = np.concatenate([corners, np.ones((8, 1))], axis=1)
-        lc = hom @ view.T  # light-space corners
-        lo = lc[:, :3].min(axis=0)
-        hi = lc[:, :3].max(axis=0)
-        # Texel snap: quantize the XY window to texel increments (window
-        # size held constant per frame by construction of the slice).
-        ext_x = hi[0] - lo[0]
-        ext_y = hi[1] - lo[1]
-        texel = max(ext_x, ext_y) / size
-        # Snap the origin down to a texel boundary, pad the far edge by the
-        # texel given up — the slice always stays inside the window and the
-        # window SIZE stays a pure function of the slice (stable per frame).
-        lo[0] = math.floor(lo[0] / texel) * texel
-        lo[1] = math.floor(lo[1] / texel) * texel
-        hi[0] = lo[0] + ext_x + texel
-        hi[1] = lo[1] + ext_y + texel
+        # Bounding sphere (mean-center; within a few % of minimal for
+        # frustum slices) — radius depends only on the slice SHAPE, so the
+        # window never breathes as the camera turns.
+        center = corners.mean(axis=0)
+        radius = float(np.linalg.norm(corners - center, axis=1).max())
+        hom = np.concatenate([center, [1.0]])
+        c_ls = (hom @ view.T)[:3]
+        # The window must be EXACTLY `size` texels wide so the snap step
+        # equals the projection's texel (win/size); otherwise the snap
+        # moves sampling by size/(size±1) texels — never integer — and the
+        # shimmer returns. texel = 2r/(size-1) makes win = size·texel cover
+        # the sphere even after flooring lo by up to one texel.
+        texel = 2.0 * radius / (size - 1.0)
+        lo_x = math.floor((c_ls[0] - radius) / texel) * texel
+        lo_y = math.floor((c_ls[1] - radius) / texel) * texel
+        win = size * texel
         # Light-space z: RH looking down -z → visible depths are negative z;
-        # near/far planes at -hi.z/-lo.z, pulled back by the caster margin
-        # so geometry between the slice and the light still occludes.
-        near_l = -hi[2] - float(sun.cascade_margin)
-        far_l = -lo[2] + 1.0
+        # near/far planes pulled back by the caster margin so geometry
+        # between the slice and the light still occludes.
+        near_l = -(c_ls[2] + radius) - float(sun.cascade_margin)
+        far_l = -(c_ls[2] - radius) + 1.0
         proj = m.orthographic_rh(
-            float(lo[0]), float(hi[0]), float(lo[1]), float(hi[1]),
+            float(lo_x), float(lo_x + win), float(lo_y), float(lo_y + win),
             float(near_l), float(far_l),
         ).astype(np.float64)
         vps[k] = (m.VULKAN_Y_FLIP @ proj @ view).astype(np.float32)
         # Normal-offset: 1.5 texels of THIS cascade's world-space texel.
-        noffs[k] = 1.5 * max(ext_x, ext_y) / size
+        noffs[k] = 1.5 * win / size
         d0 = d1
     return vps, splits, noffs

@@ -636,6 +636,20 @@ class DeferredRenderer:
                 d[f"def.joints.{o.name}"] = _joint_palette(o)
             if o.morph_deltas is not None:
                 d[f"def.mweights.{o.name}"] = _morph_weights(o)
+        omni = [pl for pl in self.scene.point_lights if pl.cast_shadows]
+        if omni:
+            # Shadow-casting point lights may move between retained frames:
+            # refresh their face matrices + position/color values.
+            from zenith_tpu.renderer.omni import omni_face_matrices
+
+            for li, pl in enumerate(omni):
+                d[f"def.omni{li}.vps"] = omni_face_matrices(
+                    pl.position, pl.shadow_near, pl.radius
+                )
+                d[f"def.omni{li}.pos"] = np.asarray(pl.position, np.float32)
+                d[f"def.omni{li}.col"] = (
+                    np.asarray(pl.color, np.float32) * pl.intensity
+                )
         if include_models:
             from zenith_tpu.renderer.scene import stacked_models
 
@@ -1455,6 +1469,10 @@ class DeferredRenderer:
                         sample_shadow_pcf_layered,
                     )
 
+                    # ctx.get (not get_full): layered attachments are
+                    # single-chip by construction — render-to-layer writes
+                    # reject SPMD meshes at compile time, so this read can
+                    # never see a row band.
                     lit = sample_shadow_pcf_layered(
                         ctx.get(sm_in), k_idx, uv, ref, _SHADOW_SAMPLER
                     )
@@ -1531,6 +1549,8 @@ class DeferredRenderer:
                     axis_d = jnp.max(jnp.abs(l2f), axis=-1)
                     face, uv = cube_direction_to_face_uv(l2f)
                     zref = omni_reference_z(axis_d - o_bias, o_near, o_far)
+                    # ctx.get: cube faces are render-to-layer writes —
+                    # single-chip by compile-time assertion (see CSM note).
                     vis = sample_shadow_pcf_layered(
                         ctx.get(omni_in[li]), face, uv, zref, _SHADOW_SAMPLER
                     )

@@ -138,10 +138,14 @@ class ParticleSystem:
     def feedback(self, state: jax.Array, positions: jax.Array) -> None:
         self._state = state
         self._positions = positions
+        # The respawn hash salt advances once per COMPLETED frame here —
+        # frame_dynamics stays pure, so update_dynamics followed by a
+        # rebuild (the return-None path) cannot double-advance it.
+        self._tick += 1
 
     def frame_dynamics(self, dt: float) -> dict:
-        """Per-frame values (retained mode merges these too)."""
-        self._tick += 1
+        """Per-frame values (retained mode merges these too). Pure — safe
+        to call more than once per frame."""
         return {
             "psys.state": self._state,
             "psys.dt": np.float32(max(dt, 1e-4)),

@@ -73,14 +73,17 @@ def taa_resolve(
     h, w = depth.shape
     rgb = cur[..., :3]
 
-    # 3x3 neighborhood bounds of the current frame (roll = shifted adds).
+    # 3x3 neighborhood bounds of the current frame — EDGE-CLAMPED shifts
+    # (pad + slice): jnp.roll would wrap toroidally and clamp border
+    # pixels against opposite-edge colors (a one-pixel ghost band).
+    padded = jnp.pad(rgb, ((1, 1), (1, 1), (0, 0)), mode="edge")
     nmin = rgb
     nmax = rgb
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
                 continue
-            r = jnp.roll(rgb, (dy, dx), axis=(0, 1))
+            r = padded[dy:dy + h, dx:dx + w]
             nmin = jnp.minimum(nmin, r)
             nmax = jnp.maximum(nmax, r)
 
@@ -157,7 +160,8 @@ class TemporalAA:
         self._seq = jitter_sequence(sequence_length)
         self._frame = 0
         self._history = None  # jax.Array (H, W, 4) | None
-        self._prev_vp = None  # np (4, 4) previous unjittered view-proj
+        self._prev_vp = None  # np (4, 4) previous frame's unjittered VP
+        self._last_vp = None  # most recent unjittered VP observed
         self._hw = None
 
     # -- per-frame camera jitter -------------------------------------------
@@ -171,6 +175,7 @@ class TemporalAA:
         """Drop history (resize, scene cut)."""
         self._history = None
         self._prev_vp = None
+        self._last_vp = None
 
     # -- cross-frame state ---------------------------------------------------
 
@@ -180,25 +185,30 @@ class TemporalAA:
 
     def frame_dynamics(self, camera) -> dict:
         """Retained-mode per-frame values (merge into update_dynamics).
-        Also rolls ``prev_vp`` forward, like render_to does on the rebuild
-        path — call exactly once per frame."""
+        IDEMPOTENT within a frame: the prev-VP roll is keyed by the camera
+        matrix actually changing, so update_dynamics followed by a rebuild
+        (the return-None path) cannot double-roll the history transform."""
         d = {
-            "taa.prev_vp": self._prev_vp_or_current(camera),
+            "taa.prev_vp": self._observe_camera(camera),
             "taa.valid": np.float32(0.0 if self._history is None else 1.0),
         }
         if self._history is not None:
             d["taa.history"] = self._history
-        self._prev_vp = np.asarray(
-            camera.render_view_projection_unjittered, np.float32
-        ).copy()
         return d
 
-    def _prev_vp_or_current(self, camera) -> np.ndarray:
-        if self._prev_vp is not None:
-            return self._prev_vp
-        return np.asarray(
+    def _observe_camera(self, camera) -> np.ndarray:
+        """Roll prev ← last ← current, shifting only when the camera's
+        unjittered VP VALUE changed (per-frame idempotency)."""
+        cur = np.asarray(
             camera.render_view_projection_unjittered, np.float32
         )
+        if self._last_vp is None:
+            self._last_vp = cur.copy()
+            self._prev_vp = self._last_vp
+        elif not np.array_equal(cur, self._last_vp):
+            self._prev_vp = self._last_vp
+            self._last_vp = cur.copy()
+        return self._prev_vp
 
     # -- graph declaration ----------------------------------------------------
 
@@ -221,13 +231,8 @@ class TemporalAA:
             else jnp.zeros((height, width, 4), jnp.float32)
         )
         builder.set_dynamic("taa.history", history)
-        builder.set_dynamic(
-            "taa.prev_vp", self._prev_vp_or_current(camera)
-        )
+        builder.set_dynamic("taa.prev_vp", self._observe_camera(camera))
         builder.set_dynamic("taa.valid", np.float32(1.0 if valid else 0.0))
-        self._prev_vp = np.asarray(
-            camera.render_view_projection_unjittered, np.float32
-        ).copy()
 
         node = builder.add_lambda_node("taa")
         src = node.read(hdr_input)

@@ -646,6 +646,11 @@ class SceneApp(RenderableApp):
         self._height = 25.0
         self._update_camera()
 
+    def resize(self, width: int, height: int) -> None:
+        self._extent = (width, height)
+        if self.taa is not None:
+            self.taa.reset()  # history shape changes; jitter scale follows
+
     def tick(self, delta_time: float) -> None:
         self.orbit += delta_time * float(os.environ.get("ZENITH_ORBIT_SPEED", "0.4"))
         self._update_camera()
