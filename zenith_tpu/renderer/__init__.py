@@ -7,7 +7,7 @@ from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
 from zenith_tpu.renderer.particles import ParticleSystem
-from zenith_tpu.renderer.post import PostProcess, PresentEncode
+from zenith_tpu.renderer.post import ColorGrade, PostProcess, PresentEncode
 from zenith_tpu.renderer.taa import TemporalAA
 from zenith_tpu.renderer.scene import (
     DirectionalLight,
@@ -20,6 +20,7 @@ from zenith_tpu.renderer.triangle import TriangleRenderer
 
 __all__ = [
     "DeferredRenderer",
+    "ColorGrade",
     "DirectionalLight",
     "EnvironmentLight",
     "ForwardShadowRenderer",

@@ -52,6 +52,84 @@ def _upsample2(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return up[:h, :w]
 
 
+class ColorGrade:
+    """Gather-free color grading (no 3D LUT: trilinear LUT lookups are 8
+    gathers/pixel — the expensive TPU primitive — while these analytic
+    knobs cover the common grade and fuse into the tonemap for free).
+
+    The knobs pack into a (7,) float32 DYNAMIC, so live-tweaking a grade
+    never recompiles the frame program.
+
+    - ``exposure_ev``: pre-tonemap exposure in stops.
+    - ``contrast``: log-space contrast around the 0.18 mid-gray pivot.
+    - ``saturation``: post-tonemap, around Rec.709 luma.
+    - ``temperature``/``tint``: white balance (warm/cool, green/magenta)
+      as per-channel linear gains.
+    - ``vignette``: corner darkening strength (smooth radial falloff).
+    """
+
+    def __init__(self, exposure_ev: float = 0.0, contrast: float = 1.0,
+                 saturation: float = 1.0, temperature: float = 0.0,
+                 tint: float = 0.0, vignette: float = 0.0):
+        self.exposure_ev = float(exposure_ev)
+        self.contrast = float(contrast)
+        self.saturation = float(saturation)
+        self.temperature = float(temperature)
+        self.tint = float(tint)
+        self.vignette = float(vignette)
+
+    def pack(self) -> np.ndarray:
+        return np.asarray(
+            [self.exposure_ev, self.contrast, self.saturation,
+             self.temperature, self.tint, self.vignette, 0.0],
+            np.float32,
+        )
+
+    def __zenith_capture_key__(self):
+        # Values ride the packed dynamic; only EXISTENCE is trace-shaping.
+        return ("ColorGrade",)
+
+
+def apply_grade_pre(rgb: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Pre-tonemap half of the grade: exposure, white balance, contrast
+    (linear HDR in/out). ``g`` is the packed (7,) vector."""
+    rgb = rgb * jnp.exp2(g[0])
+    # White balance: temperature tilts r/b, tint tilts g (small-signal
+    # linear gains, normalized to keep mid-gray luma roughly fixed).
+    t, ti = g[3], g[4]
+    gains = jnp.stack([1.0 + 0.25 * t, 1.0 + 0.25 * ti, 1.0 - 0.25 * t])
+    lw = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    gains = gains / jnp.maximum(jnp.sum(gains * lw), 1e-4)
+    rgb = rgb * gains
+    # Log-space contrast around mid-gray 0.18.
+    pivot = 0.18
+    safe = jnp.maximum(rgb, 1e-6)
+    rgb = jnp.where(
+        rgb > 0.0,
+        jnp.exp2((jnp.log2(safe) - np.log2(pivot)) * g[1] + np.log2(pivot)),
+        rgb,
+    )
+    return rgb
+
+
+def apply_grade_post(mapped: jnp.ndarray, g: jnp.ndarray,
+                     row0=0, full_h: "int | None" = None) -> jnp.ndarray:
+    """Post-tonemap half: saturation + vignette (LDR in/out). Under SPMD
+    row bands the vignette needs GLOBAL rows: pass the band's first global
+    row (traced ok) and the full surface height."""
+    lw = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    luma = jnp.sum(mapped * lw, axis=-1, keepdims=True)
+    mapped = luma + (mapped - luma) * g[2]
+    h, w = mapped.shape[0], mapped.shape[1]
+    if full_h is None:
+        full_h = h
+    ys = (row0 + jnp.arange(h, dtype=jnp.float32) + 0.5) / full_h * 2.0 - 1.0
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    r2 = (ys * ys)[:, None] + (xs * xs)[None, :]
+    fall = 1.0 - g[5] * jnp.clip(r2 * 0.5, 0.0, 1.0) ** 1.5
+    return jnp.clip(mapped * fall[..., None], 0.0, 1.0)
+
+
 def aces_tonemap(x: jnp.ndarray) -> jnp.ndarray:
     """Narkowicz ACES filmic approximation (linear HDR → linear LDR)."""
     a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
@@ -69,10 +147,15 @@ def tone_and_bloom(
     tonemap: str = "aces",
     fxaa: bool = False,
     exposure=None,  # traced scalar (auto-exposure) | None
+    grade=None,  # packed (7,) ColorGrade vector (traced) | None
+    row0=0,  # global first row (SPMD bands; vignette coordinates)
+    full_h: "int | None" = None,
 ) -> jnp.ndarray:
     rgb = hdr[..., :3]
     if exposure is not None:
         rgb = rgb * exposure
+    if grade is not None:
+        rgb = apply_grade_pre(rgb, grade)
     h, w = rgb.shape[0], rgb.shape[1]
 
     luma = jnp.sum(rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1,
@@ -87,6 +170,8 @@ def tone_and_bloom(
 
     combined = rgb + bloom * bloom_strength
     mapped = aces_tonemap(combined) if tonemap == "aces" else reinhard_tonemap(combined)
+    if grade is not None:
+        mapped = apply_grade_post(mapped, grade, row0=row0, full_h=full_h)
     if fxaa:
         from zenith_tpu.ops.aa import post_aa
 
@@ -107,6 +192,7 @@ def tone_and_bloom_banded(
     tonemap: str = "aces",
     fxaa: bool = False,
     exposure=None,
+    grade=None,
 ) -> jnp.ndarray:
     """SPMD row-banded tone_and_bloom: ring halo exchange (ppermute) extends
     the band by BLOOM_HALO rows each side, the full chain runs on the
@@ -120,7 +206,11 @@ def tone_and_bloom_banded(
     assert bh % 2 == 0 and bh >= BLOOM_HALO, (
         f"banded bloom needs an even band height >= {BLOOM_HALO}, got {bh}"
     )
+    import jax
+
     ext = halo_exchange_rows(hdr_band, axis_name, BLOOM_HALO)
+    n = jax.lax.psum(1, axis_name)
+    row0 = jax.lax.axis_index(axis_name) * bh - BLOOM_HALO
     out = tone_and_bloom(
         ext,
         bloom_threshold=bloom_threshold,
@@ -128,6 +218,9 @@ def tone_and_bloom_banded(
         tonemap=tonemap,
         fxaa=fxaa,
         exposure=exposure,
+        grade=grade,
+        row0=row0,
+        full_h=bh * n,
     )
     return out[BLOOM_HALO:BLOOM_HALO + bh]
 
@@ -152,7 +245,8 @@ class PostProcess:
                  tonemap: str = "aces", bloom_mips: int = 0,
                  fxaa: bool = False, auto_exposure: bool = False,
                  exposure_key: float = 0.18, adapt_speed: float = 1.5,
-                 exposure_min: float = 0.05, exposure_max: float = 16.0):
+                 exposure_min: float = 0.05, exposure_max: float = 16.0,
+                 grade: "ColorGrade | None" = None):
         self.bloom_threshold = bloom_threshold
         self.bloom_strength = bloom_strength
         self.tonemap = tonemap
@@ -176,6 +270,10 @@ class PostProcess:
         self._ae_state = None  # (1,) jax.Array from last frame's feedback
         self._dt = 1.0 / 60.0
         self.exposure_out = None  # graph handle, set per render_to
+        # Color grading (ColorGrade): knobs ride a packed dynamic — mutate
+        # self.grade's fields (or swap the object) and the next frame picks
+        # the values up without recompiling.
+        self.grade = grade
 
     def __zenith_capture_key__(self):
         """Structure-key identity: the trace-shaping config only. The
@@ -185,7 +283,7 @@ class PostProcess:
             "PostProcess", self.bloom_threshold, self.bloom_strength,
             self.tonemap, self.bloom_mips, self.fxaa, self.auto_exposure,
             self.exposure_key, self.adapt_speed, self.exposure_min,
-            self.exposure_max,
+            self.exposure_max, self.grade is not None,
         )
 
     # -- auto-exposure cross-frame state -----------------------------------
@@ -201,7 +299,10 @@ class PostProcess:
     def frame_dynamics(self) -> dict:
         """Retained-mode per-frame values (merge into update_dynamics)."""
         if not self.auto_exposure:
-            return {}
+            d = {}
+            if self.grade is not None:
+                d["post.grade"] = self.grade.pack()
+            return d
         d = {
             "post.ae_dt": np.float32(self._dt),
             "post.ae_valid": np.float32(
@@ -210,6 +311,8 @@ class PostProcess:
         }
         if self._ae_state is not None:
             d["post.ae_prev"] = self._ae_state
+        if self.grade is not None:
+            d["post.grade"] = self.grade.pack()
         return d
 
     def _declare_ae(self, builder: RenderGraphBuilder):
@@ -286,6 +389,9 @@ class PostProcess:
         # Node: bright-pass into mip 0 (+ the adapted-exposure scalar, which
         # scales the scene BEFORE thresholding so bloom tracks adaptation).
         ae = self._declare_ae(builder) if self.auto_exposure else None
+        if self.grade is not None:
+            builder.set_dynamic("post.grade", self.grade.pack())
+        has_grade = self.grade is not None
         node = builder.add_lambda_node("post.bright")
         src = node.read(hdr_input)
         dst0 = node.write(chain, mip=0)
@@ -335,10 +441,19 @@ class PostProcess:
 
         def record_combine(ctx):
             hdr = ctx.get(hdr_in)
+            grade_vec = ctx.dynamic("post.grade") if has_grade else None
             if ae_r is not None:
                 exposure = ctx.get(ae_r)[0]
                 hdr = jnp.concatenate(
                     [hdr[..., :3] * exposure, hdr[..., 3:4]], axis=-1
+                )
+            if grade_vec is not None:
+                # Grade around the tonemap; the bloom chain itself sees
+                # exposure only (single-node path grades before the
+                # bright pass too — a documented small divergence).
+                hdr = jnp.concatenate(
+                    [apply_grade_pre(hdr[..., :3], grade_vec),
+                     hdr[..., 3:4]], axis=-1
                 )
             # Coarse→fine accumulation (each level upsampled into the next).
             acc = ctx.get(mip_reads[-1])[..., :3]
@@ -352,6 +467,8 @@ class PostProcess:
                 aces_tonemap(combined) if tonemap == "aces"
                 else reinhard_tonemap(combined)
             )
+            if grade_vec is not None:
+                mapped = apply_grade_post(mapped, grade_vec)
             if fxaa:
                 from zenith_tpu.ops.aa import post_aa
 
@@ -367,6 +484,9 @@ class PostProcess:
         output: RenderGraphResource,
     ) -> None:
         ae = self._declare_ae(builder) if self.auto_exposure else None
+        if self.grade is not None:
+            builder.set_dynamic("post.grade", self.grade.pack())
+        has_grade = self.grade is not None
         node = builder.add_lambda_node("post")
         src = node.read(hdr_input)
         dst = node.write(output)
@@ -382,6 +502,7 @@ class PostProcess:
             hdr = ctx.get(src)
             banded = ctx.sharded and ctx.num_shards > 1
             exposure = None
+            grade_vec = ctx.dynamic("post.grade") if has_grade else None
             if ae_w is not None:
                 exposure = self._adapted_exposure(ctx, hdr[..., :3])
                 ctx.set(ae_w, exposure[None])
@@ -389,18 +510,20 @@ class PostProcess:
                 # Row-banded under a mesh: halo-exchange instead of the
                 # row-local contract (bloom's blur crosses band boundaries).
                 out = tone_and_bloom_banded(hdr, ctx.shard_axis,
-                                            exposure=exposure, **kwargs)
+                                            exposure=exposure,
+                                            grade=grade_vec, **kwargs)
             elif banded:
                 # Bands thinner than the halo (or odd): gather the whole
                 # surface, compute, slice back (correct for any size).
                 import jax
 
                 full = tone_and_bloom(ctx.get_full(src), exposure=exposure,
-                                      **kwargs)
+                                      grade=grade_vec, **kwargs)
                 y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
                 out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
             else:
-                out = tone_and_bloom(hdr, exposure=exposure, **kwargs)
+                out = tone_and_bloom(hdr, exposure=exposure, grade=grade_vec,
+                                     **kwargs)
             ctx.set(dst, out)
 
         node.execute(record)

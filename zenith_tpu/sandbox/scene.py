@@ -479,6 +479,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--grade", action="store_true",
+                            help="cinematic color grade (warm white "
+                                 "balance, contrast, saturation, vignette "
+                                 "— packed dynamic, live-tweakable)")
         parser.add_argument("--point-shadows", action="store_true",
                             help="one shadow-casting point light (omni cube "
                                  "shadow: 6 render-to-layer depth faces + "
@@ -539,6 +543,7 @@ class SceneApp(RenderableApp):
         self.morph = ns.morph and ns.mode == "deferred"
         self.n_particles = ns.particles if ns.mode == "deferred" else 0
         self.point_shadows = ns.point_shadows and ns.mode == "deferred"
+        self.use_grade = ns.grade
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -629,9 +634,16 @@ class SceneApp(RenderableApp):
             self.renderer = ForwardShadowRenderer(
                 scene, wireframe=self.wireframe, msaa=self.msaa
             )
+        grade = None
+        if self.use_grade:
+            from zenith_tpu.renderer import ColorGrade
+
+            grade = ColorGrade(exposure_ev=0.15, contrast=1.08,
+                               saturation=1.12, temperature=0.35,
+                               tint=-0.05, vignette=0.45)
         self.post = (
             PostProcess(bloom_mips=self.bloom_mips, fxaa=self.fxaa,
-                        auto_exposure=self.auto_exposure)
+                        auto_exposure=self.auto_exposure, grade=grade)
             if self.post_enabled else None
         )
         self.camera = Camera(
