@@ -7,6 +7,7 @@ from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
 from zenith_tpu.renderer.particles import ParticleSystem
+from zenith_tpu.renderer.probe import capture_reflection_probe
 from zenith_tpu.renderer.post import ColorGrade, PostProcess, PresentEncode
 from zenith_tpu.renderer.taa import TemporalAA
 from zenith_tpu.renderer.scene import (
@@ -29,6 +30,7 @@ __all__ = [
     "PointLight",
     "PostProcess",
     "PresentEncode",
+    "capture_reflection_probe",
     "SSAOOptions",
     "Scene",
     "SceneObject",

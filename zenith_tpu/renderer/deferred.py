@@ -344,7 +344,8 @@ class DeferredRenderer:
 
     def __init__(self, scene: Scene, shadows: bool = True,
                  wireframe: bool = False,
-                 ssao: "bool | SSAOOptions" = False):
+                 ssao: "bool | SSAOOptions" = False,
+                 winding_flip: bool = False):
         self.scene = scene
         self.wireframe = wireframe
         if ssao is True:
@@ -538,9 +539,17 @@ class DeferredRenderer:
         # normals/albedo as usual and receive full deferred lighting.
         from zenith_tpu.rhi.state import PolygonMode
 
+        # winding_flip: cube-face probe cameras are REFLECTIONS (the
+        # Vulkan face uv basis is left-handed from the cube center, det
+        # −1), which inverts screen-space winding — the probe capture
+        # flips the front face so back-face culling still works.
         self._gbuffer_state = GraphicPipelineState(
             rasterization=RasterizationState(
-                cull_mode=CullMode.BACK, front_face=FrontFace.COUNTER_CLOCKWISE,
+                cull_mode=CullMode.BACK,
+                front_face=(
+                    FrontFace.CLOCKWISE if winding_flip
+                    else FrontFace.COUNTER_CLOCKWISE
+                ),
                 polygon_mode=(
                     PolygonMode.LINE if wireframe else PolygonMode.FILL
                 ),

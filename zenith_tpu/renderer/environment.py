@@ -32,10 +32,16 @@ class EnvironmentLight:
     raw environment, also usable as the skybox); ``sh9`` is the (9, 3)
     host-side diffuse irradiance projection."""
 
-    def __init__(self, texture: Texture, sh9: np.ndarray):
+    def __init__(self, texture: Texture, sh9):
         self.texture = texture
-        self.sh9 = np.ascontiguousarray(sh9, np.float32)
-        assert self.sh9.shape == (9, 3), self.sh9.shape
+        # Host environments keep host SH (packed dynamic); DEVICE-captured
+        # probes keep a jax.Array — converting it here would force a
+        # device→host copy, which permanently degrades async dispatch
+        # (PERF.md traps). Both kinds ride set_dynamic unchanged.
+        if isinstance(sh9, np.ndarray) or not hasattr(sh9, "devices"):
+            sh9 = np.ascontiguousarray(sh9, np.float32)
+        self.sh9 = sh9
+        assert tuple(self.sh9.shape) == (9, 3), self.sh9.shape
 
     @property
     def num_mips(self) -> int:
@@ -64,6 +70,33 @@ class EnvironmentLight:
         )
         tex = Texture(desc, mips[0], mips=list(mips),
                       host_pixels=np.ascontiguousarray(pixels))
+        return EnvironmentLight(tex, sh9)
+
+    @staticmethod
+    def from_device_cube(
+        name: str,
+        faces,  # (6, S, S, C) linear radiance, DEVICE-resident jax.Array
+        num_mips: int = 5,
+        samples: int = 64,
+    ) -> "EnvironmentLight":
+        """Fully-device preintegration (reflection probes,
+        renderer/probe.py): the SH projection and the GGX prefilter both
+        run on the device arrays — no host round trip anywhere."""
+        import jax.numpy as jnp
+
+        from zenith_tpu.ops.ibl import irradiance_sh9
+
+        faces = jnp.asarray(faces)
+        assert faces.ndim == 4 and faces.shape[0] == 6, faces.shape
+        assert faces.shape[1] == faces.shape[2], "cube faces must be square"
+        sh9 = irradiance_sh9(faces)
+        mips = prefilter_ggx(faces, num_mips=num_mips, samples=samples)
+        size = int(faces.shape[1])
+        desc = TextureDesc(
+            name, size, size, Format.RGBA32F, TextureUsage.SAMPLED,
+            mip_levels=len(mips), array_layers=6,
+        )
+        tex = Texture(desc, mips[0], mips=list(mips))
         return EnvironmentLight(tex, sh9)
 
     @staticmethod

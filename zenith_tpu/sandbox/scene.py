@@ -479,6 +479,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--probe", action="store_true",
+                            help="reflection probe: capture the scene into "
+                                 "a cube map on device, preintegrate it, "
+                                 "and light with it (deferred mode)")
         parser.add_argument("--grade", action="store_true",
                             help="cinematic color grade (warm white "
                                  "balance, contrast, saturation, vignette "
@@ -544,6 +548,7 @@ class SceneApp(RenderableApp):
         self.n_particles = ns.particles if ns.mode == "deferred" else 0
         self.point_shadows = ns.point_shadows and ns.mode == "deferred"
         self.use_grade = ns.grade
+        self.use_probe = ns.probe and ns.mode == "deferred"
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -572,6 +577,15 @@ class SceneApp(RenderableApp):
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred",
                             skinned=self.skinned, morph=self.morph)
+        if self.use_probe:
+            from zenith_tpu.renderer import capture_reflection_probe
+
+            # Capture at a point above the ground near the gun BEFORE the
+            # probe becomes the scene's own environment.
+            scene.environment = capture_reflection_probe(
+                render_device, scene, (0.0, -30.0, 25.0), size=64
+            )
+            scene.skybox = None  # the probe's level 0 becomes the sky
         if self.point_shadows:
             from zenith_tpu.renderer import PointLight
 
