@@ -677,16 +677,10 @@ class DeferredRenderer:
         scene = self.scene
         sun = scene.sun
         env = scene.environment
-        pl_pos, pl_col, pl_rad = scene.point_light_arrays()
         # Shadow-casting point lights leave the tiled-kernel table and
         # shade through the dense path with cube-PCF visibility
-        # (renderer/omni.py).
-        omni_lights = [pl for pl in scene.point_lights if pl.cast_shadows]
-        if omni_lights:
-            keep = np.asarray(
-                [not pl.cast_shadows for pl in scene.point_lights], bool
-            )
-            pl_pos, pl_col, pl_rad = pl_pos[keep], pl_col[keep], pl_rad[keep]
+        # (renderer/omni.py); the split is identity-cached on the scene.
+        pl_pos, pl_col, pl_rad, omni_lights = scene.light_partition()
         sl_pos, sl_col, sl_rad, sl_params = scene.spot_light_arrays()
         has_spots = sl_pos.shape[0] > 0
         if has_spots:
@@ -793,15 +787,28 @@ class DeferredRenderer:
         # node; the instanced vertex stage differs); translucent objects
         # skip the opaque passes (shadow + G-buffer) and draw in the glass
         # node after lighting.
-        plain_ix = [i for i, o in enumerate(scene.objects)
-                    if o.instance_offsets is None and not o.translucent
-                    and o.skin is None and o.morph_deltas is None]
-        inst_ix = [i for i, o in enumerate(scene.objects)
-                   if o.instance_offsets is not None and not o.translucent]
-        trans_ix = [i for i, o in enumerate(scene.objects) if o.translucent]
-        skin_ix = [i for i, o in enumerate(scene.objects) if o.skin is not None]
-        morph_ix = [i for i, o in enumerate(scene.objects)
-                    if o.morph_deltas is not None]
+        # Draw-class partition, identity-cached (five attribute scans over
+        # every object per frame measured on the host path at high object
+        # counts; replacing an element of scene.objects invalidates).
+        part_key = tuple(map(id, scene.objects))
+        part = self.__dict__.get("_obj_partition")
+        if part is None or part[0] != part_key:
+            plain_ix = [i for i, o in enumerate(scene.objects)
+                        if o.instance_offsets is None and not o.translucent
+                        and o.skin is None and o.morph_deltas is None]
+            inst_ix = [i for i, o in enumerate(scene.objects)
+                       if o.instance_offsets is not None and not o.translucent]
+            trans_ix = [i for i, o in enumerate(scene.objects)
+                        if o.translucent]
+            skin_ix = [i for i, o in enumerate(scene.objects)
+                       if o.skin is not None]
+            morph_ix = [i for i, o in enumerate(scene.objects)
+                        if o.morph_deltas is not None]
+            part = (part_key,
+                    (plain_ix, inst_ix, trans_ix, skin_ix, morph_ix),
+                    list(scene.objects))
+            self.__dict__["_obj_partition"] = part
+        plain_ix, inst_ix, trans_ix, skin_ix, morph_ix = part[1]
         for i in skin_ix:
             obj = scene.objects[i]
             builder.set_dynamic(

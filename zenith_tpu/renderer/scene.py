@@ -451,6 +451,29 @@ class Scene:
         )
         return arrays
 
+    def light_partition(self):
+        """(unshadowed pos/col/rad arrays, shadow-casting PointLight list)
+        — the deferred renderer's per-frame split, cached per light-element
+        identity like point_light_arrays (scanning 100 lights' fields per
+        frame measured on the host path)."""
+        cache = getattr(self, "_part_cache", None)
+        key = tuple(map(id, self.point_lights))
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        pos, col, rad = self.point_light_arrays()
+        omni = [pl for pl in self.point_lights if pl.cast_shadows]
+        if omni:
+            keep = np.asarray(
+                [not pl.cast_shadows for pl in self.point_lights], bool
+            )
+            pos, col, rad = pos[keep], col[keep], rad[keep]
+        result = (pos, col, rad, omni)
+        object.__setattr__(
+            self, "_part_cache", (key, result, list(self.point_lights))
+        )
+        return result
+
     def invalidate_light_cache(self) -> None:
         object.__setattr__(self, "_pl_cache", None)
         object.__setattr__(self, "_sl_cache", None)
+        object.__setattr__(self, "_part_cache", None)
