@@ -1393,6 +1393,11 @@ class DeferredRenderer:
         num_lights = pl_pos.shape[0]
         shadows = self.shadows
         has_sun = sun is not None
+        soft_shadows = bool(
+            shadows and n_casc == 1 and getattr(sun, "soft_shadows", False)
+        )
+        vsm_blur = int(sun.vsm_blur) if soft_shadows else 0
+        vsm_bleed = float(sun.vsm_bleed_reduction) if soft_shadows else 0.0
 
         def record_lighting(ctx):
             albedo_metal = ctx.get(a_in)
@@ -1509,9 +1514,26 @@ class DeferredRenderer:
                         [(lclip[..., 0] + 1) * 0.5, (lclip[..., 1] + 1) * 0.5], -1
                     )
                     ref = lclip[..., 2] - ctx.dynamic("def.shadow_bias")
-                    lit = sample_shadow_pcf(
-                        ctx.get_full(sm_in), uv, ref, _SHADOW_SAMPLER
-                    )
+                    if soft_shadows:
+                        # VSM soft shadows (ops/vsm.py): moments derived +
+                        # blurred from the depth map right here — no extra
+                        # pass; rolls only; one bilinear fetch.
+                        from zenith_tpu.ops.vsm import (
+                            depth_to_moments,
+                            sample_vsm,
+                        )
+
+                        moments = depth_to_moments(
+                            ctx.get_full(sm_in), taps=vsm_blur
+                        )
+                        lit = sample_vsm(
+                            moments, uv, ref,
+                            bleed_reduction=vsm_bleed,
+                        )
+                    else:
+                        lit = sample_shadow_pcf(
+                            ctx.get_full(sm_in), uv, ref, _SHADOW_SAMPLER
+                        )
                     inside = (
                         (uv[..., 0] >= 0) & (uv[..., 0] <= 1)
                         & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)

@@ -320,6 +320,12 @@ class DirectionalLight:
     cascades: int = 1
     cascade_lambda: float = 0.7  # uniform↔logarithmic split mix
     cascade_margin: float = 150.0  # out-of-slice caster pull-back (world)
+    # Soft shadows via variance shadow maps (ops/vsm.py; deferred, single
+    # map): the depth map's moments are gaussian-blurred (pure rolls) and
+    # sampled with Chebyshev visibility — penumbra width follows vsm_blur.
+    soft_shadows: bool = False
+    vsm_blur: int = 3  # moment-blur radius in shadow texels per box pass
+    vsm_bleed_reduction: float = 0.4
 
     @property
     def effective_normal_offset(self) -> float:

@@ -479,6 +479,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--soft-shadows", action="store_true",
+                            help="VSM soft sun shadows (blurred depth "
+                                 "moments + Chebyshev visibility; "
+                                 "deferred mode, single map)")
         parser.add_argument("--probe", action="store_true",
                             help="reflection probe: capture the scene into "
                                  "a cube map on device, preintegrate it, "
@@ -549,6 +553,7 @@ class SceneApp(RenderableApp):
         self.point_shadows = ns.point_shadows and ns.mode == "deferred"
         self.use_grade = ns.grade
         self.use_probe = ns.probe and ns.mode == "deferred"
+        self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -637,6 +642,10 @@ class SceneApp(RenderableApp):
             from dataclasses import replace as _dc_replace
 
             scene.sun = _dc_replace(scene.sun, cascades=self.cascades)
+        if self.soft_shadows and scene.sun is not None:
+            from dataclasses import replace as _dc_replace
+
+            scene.sun = _dc_replace(scene.sun, soft_shadows=True)
         if self.mode == "deferred":
             from zenith_tpu.renderer import SSAOOptions
 
