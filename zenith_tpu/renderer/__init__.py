@@ -3,6 +3,7 @@ the BASELINE.md config ladder: triangle → mesh → shadow+forward → deferred
 PBR → post)."""
 
 from zenith_tpu.renderer.deferred import DeferredRenderer, SSAOOptions
+from zenith_tpu.renderer.dof import DepthOfField
 from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
@@ -21,6 +22,7 @@ from zenith_tpu.renderer.triangle import TriangleRenderer
 
 __all__ = [
     "DeferredRenderer",
+    "DepthOfField",
     "ColorGrade",
     "DirectionalLight",
     "EnvironmentLight",

@@ -479,6 +479,10 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--dof", action="store_true",
+                            help="depth of field (gather-free mip-blend "
+                                 "bokeh; focus params ride a dynamic — "
+                                 "racking focus never recompiles)")
         parser.add_argument("--soft-shadows", action="store_true",
                             help="VSM soft sun shadows (blurred depth "
                                  "moments + Chebyshev visibility; "
@@ -554,6 +558,8 @@ class SceneApp(RenderableApp):
         self.use_grade = ns.grade
         self.use_probe = ns.probe and ns.mode == "deferred"
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
+        self.use_dof = ns.dof and ns.mode == "deferred"
+        self.dof = None
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -676,6 +682,11 @@ class SceneApp(RenderableApp):
             from zenith_tpu.renderer import TemporalAA
 
             self.taa = TemporalAA()
+        if self.use_dof:
+            from zenith_tpu.renderer import DepthOfField
+
+            self.dof = DepthOfField(focus_distance=170.0, focal_range=30.0,
+                                    strength=1.4)
         self._extent = (window.width, window.height)
         self._radius = 170.0
         self._height = 25.0
@@ -726,6 +737,8 @@ class SceneApp(RenderableApp):
             d.update(self.taa.frame_dynamics(self.camera))
         if self.post is not None and self.post.auto_exposure:
             d.update(self.post.frame_dynamics())
+        if self.dof is not None:
+            d.update(self.dof.frame_dynamics())
         if self.psys is not None:
             d.update(self.psys.frame_dynamics(self._dt))
             d["def.inst.sparks"] = self.psys.positions
@@ -780,6 +793,17 @@ class SceneApp(RenderableApp):
             )
             context.request_output("taa.history", taa_out)
             target = taa_out
+
+        if self.dof is not None:
+            dof_out = (
+                builder.create(TextureDesc.color(
+                    "scene.dof", width, height, Format.RGBA32F
+                ))
+                if self.post is not None else out
+            )
+            self.dof.render_to(builder, target, dof_out,
+                               self.renderer.gbuffer_handles)
+            target = dof_out
 
         if self.post is not None:
             self.post.render_to(builder, target, out)
