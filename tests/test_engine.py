@@ -132,3 +132,46 @@ class TestPresentFrom:
         assert frame.dtype == np.uint8 and frame.shape == (H, W, 4)
         # Encoded output actually carries the triangle (non-constant image).
         assert frame[..., :3].std() > 1.0
+
+
+class TestResize:
+    def test_engine_resize_mid_run(self):
+        """Resize between frames: the swapchain rebuilds, the retained
+        program drops, and the next frames render at the new extent."""
+        from zenith_tpu.core.cli import EngineArgs
+        from zenith_tpu.core.events import WindowEvent
+        from zenith_tpu.engine import Engine
+        from zenith_tpu.window import Window
+
+        window = Window(width=96, height=32, title="t")
+        app = _TriAppRetained(EngineArgs())
+        engine = Engine(window)
+        app.prepare(engine.render_device, window)
+        for _ in range(2):
+            app.tick(0.016)
+            engine.render(app)
+        engine.resize(128, 64)
+        app.resize(128, 64)
+        assert engine._retained is None  # structure changed → rebuild
+        for _ in range(2):
+            app.tick(0.016)
+            engine.render(app)
+        engine.shutdown()
+        frame = np.asarray(window.last_frame)
+        assert frame.shape == (64, 128, 4)
+
+    def test_sceneapp_resize_updates_jitter_extent_and_resets_taa(self):
+        """SceneApp.resize must follow the window (stale extents mis-scale
+        the TAA jitter) and drop the TAA history (shape change)."""
+        from zenith_tpu.core.cli import EngineArgs
+        from zenith_tpu.renderer import TemporalAA
+        from zenith_tpu.sandbox.scene import SceneApp
+
+        app = SceneApp(EngineArgs(app_args=["--taa"]))
+        app.taa = TemporalAA()
+        app._extent = (100, 50)
+        app.taa._history = object()  # stand-in: anything non-None
+        app.taa._hw = (50, 100)
+        app.resize(200, 100)
+        assert app._extent == (200, 100)
+        assert app.taa._history is None  # history dropped
