@@ -34,6 +34,9 @@ CONFIGS = {
     "skinned": {"skinned": True},
     "morph": {"morph": True},
     "spots": {"spots": 4},
+    "grade": {"grade": True},
+    "dof": {"dof": True},
+    "soft": {"soft_shadows": True},
     "all": {"ibl": True, "ssao": True, "fxaa": True},
     "all_taa": {"ibl": True, "ssao": True, "taa": True,
                 "auto_exposure": True, "cascades": 3},
@@ -75,6 +78,8 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
                         morph=cfg.get("morph", False))
     if cfg.get("cascades", 1) > 1:
         scene.sun = dc_replace(scene.sun, cascades=cfg["cascades"])
+    if cfg.get("soft_shadows"):
+        scene.sun = dc_replace(scene.sun, soft_shadows=True, vsm_blur=4)
     for i in range(cfg.get("spots", 0)):
         a = 2 * math.pi * i / cfg["spots"] + 0.8
         scene.spot_lights.append(SpotLight(
@@ -85,9 +90,18 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
     renderer = DeferredRenderer(
         scene, ssao=SSAOOptions(radius=6.0) if cfg.get("ssao") else False
     )
-    post = PostProcess(fxaa=cfg.get("fxaa", False),
-                       auto_exposure=cfg.get("auto_exposure", False))
+    from zenith_tpu.renderer import ColorGrade, DepthOfField
+
+    post = PostProcess(
+        fxaa=cfg.get("fxaa", False),
+        auto_exposure=cfg.get("auto_exposure", False),
+        grade=(ColorGrade(exposure_ev=0.15, contrast=1.08, saturation=1.12,
+                          temperature=0.35, vignette=0.45)
+               if cfg.get("grade") else None),
+    )
     taa = TemporalAA() if cfg.get("taa") else None
+    dof = (DepthOfField(focus_distance=170.0, focal_range=30.0,
+                        strength=1.4) if cfg.get("dof") else None)
     present = PresentEncode(Format.BGRA8_SRGB)
     pipeline_cache = PipelineCache()
     options = CompileOptions()
@@ -140,6 +154,13 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
             taa.render_to(builder, hdr, taa_out, camera, w, h,
                           renderer.gbuffer_handles)
             post_in = taa_out
+        if dof is not None:
+            dof_out = builder.create(
+                TextureDesc.color("scene.dof", w, h, Format.RGBA32F)
+            )
+            dof.render_to(builder, post_in, dof_out,
+                          renderer.gbuffer_handles)
+            post_in = dof_out
         post.render_to(builder, post_in, out)
         present.render_to(builder, out, enc)
         compiled = builder.build().compile(device, pipeline_cache, options)

@@ -29,8 +29,11 @@ run scene_spots --spots 3
 run scene_pointshadow --point-shadows
 run scene_particles --particles 256
 run scene_grade --grade
+run scene_dof --dof
+run scene_softshadows --soft-shadows
+run scene_probe --probe
 run scene_everything --taa --cascades 3 --auto-exposure --skinned \
-    --morph --spots 3 --particles 128 --grade
+    --morph --spots 3 --particles 128 --grade --dof --soft-shadows
 
 # 3) Feature-cost matrix (subprocess per config already).
 echo "== profile_features"

@@ -30,7 +30,12 @@ def depth_to_moments(depth: jnp.ndarray, taps: int = 3) -> jnp.ndarray:
         depth = depth[..., 0]
     m = jnp.stack([depth, depth * depth], axis=-1)
     # Separable blur: `taps` box passes per axis ≈ gaussian of sigma
-    # ~sqrt(taps/2) texels (Central Limit), all jnp.roll shifts.
+    # ~sqrt(taps/2) texels (Central Limit), all jnp.roll shifts — run on
+    # an EDGE-PADDED copy and crop: raw rolls wrap circularly, smearing
+    # moments from one shadow-map border onto the opposite one (the same
+    # roll-wrap class of bug TAA's neighborhood clamp had).
+    pad = taps + 1  # blur reach is `taps` texels; +1 keeps wrapped values
+    m = jnp.pad(m, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
     for axis in (0, 1):
         for _ in range(taps):
             m = (
@@ -38,7 +43,7 @@ def depth_to_moments(depth: jnp.ndarray, taps: int = 3) -> jnp.ndarray:
                 + jnp.roll(m, 1, axis=axis)
                 + jnp.roll(m, -1, axis=axis)
             ) / 3.0
-    return m
+    return m[pad:-pad, pad:-pad]
 
 
 def sample_vsm(

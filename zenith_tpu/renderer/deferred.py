@@ -615,6 +615,13 @@ class DeferredRenderer:
                 depth_load_op=LoadOp.LOAD,
             )
 
+    def invalidate_partition(self) -> None:
+        """Drop the cached draw-class partition (call after mutating an
+        object's classifying fields in place: translucent, skin,
+        morph_deltas, instance_offsets None-ness — the cache keys on
+        element identity only; see also Scene.invalidate_light_cache)."""
+        self.__dict__.pop("_obj_partition", None)
+
     def frame_dynamics(self, camera: Camera,
                        include_models: bool = False) -> dict:
         """Per-frame dynamic values for RETAINED execution (everything else
@@ -790,6 +797,9 @@ class DeferredRenderer:
         # Draw-class partition, identity-cached (five attribute scans over
         # every object per frame measured on the host path at high object
         # counts; replacing an element of scene.objects invalidates).
+        # Mutating a CLASSIFYING field in place (translucent, skin,
+        # morph_deltas, instance_offsets None-ness) does NOT — call
+        # invalidate_partition() then, like the lights' escape hatch.
         part_key = tuple(map(id, scene.objects))
         part = self.__dict__.get("_obj_partition")
         if part is None or part[0] != part_key:

@@ -399,6 +399,10 @@ class PostProcess:
         threshold = self.bloom_threshold
 
         def record_bright(ctx):
+            assert not (ctx.sharded and ctx.num_shards > 1), (
+                "bloom_mips >= 2 (the render-to-mip chain) is single-chip; "
+                "use the default single-node bloom under an SPMD mesh"
+            )
             rgb = ctx.get(src)[..., :3]
             if ae_w is not None:
                 exposure = self._adapted_exposure(ctx, rgb)

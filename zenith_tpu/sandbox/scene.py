@@ -735,7 +735,9 @@ class SceneApp(RenderableApp):
         d = self.renderer.frame_dynamics(self.camera)
         if self.taa is not None:
             d.update(self.taa.frame_dynamics(self.camera))
-        if self.post is not None and self.post.auto_exposure:
+        if self.post is not None:
+            # frame_dynamics covers BOTH auto-exposure state and the
+            # grade vector (empty dict when neither is configured).
             d.update(self.post.frame_dynamics())
         if self.dof is not None:
             d.update(self.dof.frame_dynamics())
@@ -781,11 +783,15 @@ class SceneApp(RenderableApp):
             context.request_output("psys.pos", pos_h)
 
         if self.taa is not None:
+            # The TAA output must be its OWN resource whenever any later
+            # pass (DoF, post) writes downstream: taa_out aliasing the
+            # final target would feed the blurred/tonemapped image back
+            # as history and compound every frame.
             taa_out = (
                 builder.create(TextureDesc.color(
                     "scene.taa", width, height, Format.RGBA32F
                 ))
-                if self.post is not None else out
+                if (self.post is not None or self.dof is not None) else out
             )
             self.taa.render_to(
                 builder, hdr, taa_out, self.camera, width, height,
