@@ -7,6 +7,7 @@ from zenith_tpu.renderer.dof import DepthOfField
 from zenith_tpu.renderer.environment import EnvironmentLight
 from zenith_tpu.renderer.forward import ForwardShadowRenderer
 from zenith_tpu.renderer.mesh import MeshRenderer
+from zenith_tpu.renderer.motion_blur import MotionBlur
 from zenith_tpu.renderer.particles import ParticleSystem
 from zenith_tpu.renderer.probe import capture_reflection_probe
 from zenith_tpu.renderer.post import ColorGrade, PostProcess, PresentEncode
@@ -28,6 +29,7 @@ __all__ = [
     "EnvironmentLight",
     "ForwardShadowRenderer",
     "MeshRenderer",
+    "MotionBlur",
     "ParticleSystem",
     "PointLight",
     "PostProcess",

@@ -1,0 +1,195 @@
+"""Camera motion blur over the deferred pipeline.
+
+The reference has no motion blur (its only renderer is the triangle
+demo); this is the production post effect, designed TPU-first on the
+same machinery TAA uses (renderer/taa.py):
+
+- NO velocity pass: the deferred G-buffer already holds world positions,
+  so per-pixel velocity is one dense 4x4 transform — this frame's pixel
+  coordinate minus the previous frame's screen position of the same
+  surface point under the previous UNJITTERED view-projection. Exactly
+  TAA's reprojection math, reused for a different purpose.
+- The blur gathers N taps along the velocity streak, centered on the
+  pixel (±v/2 — centered blur avoids the half-frame lag of a trailing
+  streak). Taps are NEAREST fetches (1 gather each): with N≥8 taps the
+  sub-pixel quantization error is dithered along the streak, and slow
+  motion (|v| < 1 px) degenerates to the identity anyway. This keeps the
+  cost at N gathers/pixel vs 4N for bilinear taps — gathers are the
+  expensive TPU primitive (PERF.md).
+- Velocity magnitude is clamped to ``max_radius`` pixels and scaled by
+  ``strength`` (the shutter fraction); both ride a packed (4,) dynamic,
+  so tuning the shutter never recompiles.
+
+Known quality trades (standard for a gather-only resolve, documented
+rather than hidden): a moving object does not smear over the static
+background behind it (that needs velocity dilation / scatter), and sky
+pixels keep zero velocity (a ray reprojection would be needed; the
+streak loss on pure camera rotation against sky is minor at TAA-scale
+motion). Stateless across frames except the previous-VP observation —
+no history surface, no feedback path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from zenith_tpu.rendergraph import RenderGraphBuilder
+from zenith_tpu.rendergraph.resource import RenderGraphResource
+
+
+def motion_blur_resolve(
+    hdr: jnp.ndarray,  # (H, W, 4) scene color (post-TAA, pre-tonemap)
+    world_pos: jnp.ndarray,  # (H, W, 3) G-buffer world positions
+    depth: jnp.ndarray,  # (H, W) reverse-Z depth (0 = background)
+    prev_vp: jnp.ndarray,  # (4, 4) PREVIOUS frame's unjittered view-proj
+    params: jnp.ndarray,  # (4,): strength, max_radius_px, pad, pad
+    samples: int = 8,
+) -> jnp.ndarray:
+    """One motion-blur resolve: reproject → clamp velocity → N-tap
+    streak average. Returns the blurred (H, W, 4) color."""
+    h, w = depth.shape
+    rgb = hdr[..., :3]
+    strength = params[0]
+    max_radius = jnp.maximum(params[1], 0.0)
+
+    # Previous-frame screen position (TAA's reprojection, taa.py:92-107).
+    p = jnp.concatenate([world_pos, jnp.ones_like(world_pos[..., :1])], -1)
+    clip = p @ prev_vp.T
+    cw = jnp.maximum(clip[..., 3], 1e-6)
+    sx = (clip[..., 0] / cw * 0.5 + 0.5) * w - 0.5
+    sy = (clip[..., 1] / cw * 0.5 + 0.5) * h - 0.5
+    xs = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+    ys = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+    covered = (depth > 0.0) & (clip[..., 3] > 0.0)
+
+    # Velocity in pixels: where the point was → where it is.
+    vx = jnp.where(covered, xs - sx, 0.0) * strength
+    vy = jnp.where(covered, ys - sy, 0.0) * strength
+    speed = jnp.sqrt(vx * vx + vy * vy)
+    scale = jnp.where(
+        speed > max_radius, max_radius / jnp.maximum(speed, 1e-6), 1.0
+    )
+    vx = vx * scale
+    vy = vy * scale
+
+    # Centered streak: offsets in (-1/2, +1/2] of the velocity. Taps use
+    # round-half-up (floor(x+0.5)): jnp.round's half-to-even would double
+    # up taps whenever |v|/samples lands offsets exactly on .5 (e.g. the
+    # common |v| == samples case collapses 8 taps onto 5 pixels).
+    flat = rgb.reshape(-1, 3)
+    acc = jnp.zeros_like(rgb)
+    for i in range(samples):
+        t = (i + 0.5) / samples - 0.5
+        tx = jnp.clip(
+            jnp.floor(xs + vx * t + 0.5).astype(jnp.int32), 0, w - 1
+        )
+        ty = jnp.clip(
+            jnp.floor(ys + vy * t + 0.5).astype(jnp.int32), 0, h - 1
+        )
+        acc = acc + jnp.take(
+            flat, (ty * w + tx).reshape(-1), axis=0
+        ).reshape(h, w, 3)
+    out_rgb = acc * (1.0 / samples)
+    return jnp.concatenate([out_rgb, hdr[..., 3:4]], axis=-1)
+
+
+class MotionBlur:
+    """Declares the motion-blur node between the scene/TAA output and
+    post (see sandbox/scene.py ``--motion-blur``).
+
+    Per frame the app calls:
+
+    1. ``render_to(builder, hdr, out, camera, gbuffer)`` in ``render`` —
+       after TAA (blur the anti-aliased frame), before DoF/post.
+    2. Retained mode: merge ``frame_dynamics(camera)`` into
+       ``update_dynamics`` — the previous-VP roll and shutter params are
+       the only per-frame values; there is no cross-frame surface.
+    """
+
+    def __init__(self, strength: float = 1.0, max_radius: float = 32.0,
+                 samples: int = 8):
+        self.strength = float(strength)
+        self.max_radius = float(max_radius)
+        self.samples = int(samples)
+        self._prev_vp = None  # np (4, 4) previous frame's unjittered VP
+        self._last_vp = None  # most recent unjittered VP observed
+
+    def __zenith_capture_key__(self):
+        return ("MotionBlur", self.samples)
+
+    def reset(self) -> None:
+        """Drop the VP history (resize, scene cut)."""
+        self._prev_vp = None
+        self._last_vp = None
+
+    def _params(self) -> np.ndarray:
+        return np.asarray(
+            [self.strength, self.max_radius, 0.0, 0.0], np.float32
+        )
+
+    def _observe_camera(self, camera) -> np.ndarray:
+        """Roll prev ← last ← current, shifting only when the camera's
+        unjittered VP VALUE changed (per-frame idempotent — the same
+        protocol as TemporalAA._observe_camera, taa.py:199-211; kept
+        separate state so TAA+blur together each see one-frame lag)."""
+        cur = np.asarray(
+            camera.render_view_projection_unjittered, np.float32
+        )
+        if self._last_vp is None:
+            self._last_vp = cur.copy()
+            self._prev_vp = self._last_vp
+        elif not np.array_equal(cur, self._last_vp):
+            self._prev_vp = self._last_vp
+            self._last_vp = cur.copy()
+        return self._prev_vp
+
+    def frame_dynamics(self, camera) -> dict:
+        """Retained-mode per-frame values (merge into update_dynamics)."""
+        return {
+            "mblur.prev_vp": self._observe_camera(camera),
+            "mblur.params": self._params(),
+        }
+
+    def render_to(
+        self,
+        builder: RenderGraphBuilder,
+        hdr_input: RenderGraphResource,
+        output: RenderGraphResource,
+        camera,
+        gbuffer: dict,  # DeferredRenderer.gbuffer_handles
+    ) -> RenderGraphResource:
+        builder.set_dynamic("mblur.prev_vp", self._observe_camera(camera))
+        builder.set_dynamic("mblur.params", self._params())
+        node = builder.add_lambda_node("motion_blur")
+        src = node.read(hdr_input)
+        p_in = node.read(gbuffer["pos"])
+        d_in = node.read(gbuffer["depth"])
+        dst = node.write(output)
+        samples = self.samples
+
+        def record(ctx):
+            hdr = ctx.get(src)
+            prev_vp = ctx.dynamic("mblur.prev_vp")
+            params = ctx.dynamic("mblur.params")
+            if ctx.sharded and ctx.num_shards > 1:
+                # Streak taps land anywhere on screen: run on the gathered
+                # full surfaces, slice the band back (the TAA pattern).
+                full = motion_blur_resolve(
+                    ctx.get_full(src),
+                    ctx.get_full(p_in)[..., :3],
+                    ctx.get_full(d_in),
+                    prev_vp, params, samples,
+                )
+                y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
+                out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
+            else:
+                out = motion_blur_resolve(
+                    hdr, ctx.get(p_in)[..., :3], ctx.get(d_in),
+                    prev_vp, params, samples,
+                )
+            ctx.set(dst, out)
+
+        node.execute(record)
+        return output

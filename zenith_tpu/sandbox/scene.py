@@ -483,6 +483,10 @@ class SceneApp(RenderableApp):
                             help="depth of field (gather-free mip-blend "
                                  "bokeh; focus params ride a dynamic — "
                                  "racking focus never recompiles)")
+        parser.add_argument("--motion-blur", action="store_true",
+                            help="camera motion blur (G-buffer reprojection "
+                                 "velocity + N-tap streak; shutter params "
+                                 "ride a dynamic; deferred mode)")
         parser.add_argument("--soft-shadows", action="store_true",
                             help="VSM soft sun shadows (blurred depth "
                                  "moments + Chebyshev visibility; "
@@ -560,6 +564,8 @@ class SceneApp(RenderableApp):
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
         self.use_dof = ns.dof and ns.mode == "deferred"
         self.dof = None
+        self.use_mblur = ns.motion_blur and ns.mode == "deferred"
+        self.mblur = None
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -687,6 +693,10 @@ class SceneApp(RenderableApp):
 
             self.dof = DepthOfField(focus_distance=170.0, focal_range=30.0,
                                     strength=1.4)
+        if self.use_mblur:
+            from zenith_tpu.renderer import MotionBlur
+
+            self.mblur = MotionBlur(strength=1.0, max_radius=32.0)
         self._extent = (window.width, window.height)
         self._radius = 170.0
         self._height = 25.0
@@ -696,6 +706,8 @@ class SceneApp(RenderableApp):
         self._extent = (width, height)
         if self.taa is not None:
             self.taa.reset()  # history shape changes; jitter scale follows
+        if self.mblur is not None:
+            self.mblur.reset()
 
     def tick(self, delta_time: float) -> None:
         self.orbit += delta_time * float(os.environ.get("ZENITH_ORBIT_SPEED", "0.4"))
@@ -741,6 +753,8 @@ class SceneApp(RenderableApp):
             d.update(self.post.frame_dynamics())
         if self.dof is not None:
             d.update(self.dof.frame_dynamics())
+        if self.mblur is not None:
+            d.update(self.mblur.frame_dynamics(self.camera))
         if self.psys is not None:
             d.update(self.psys.frame_dynamics(self._dt))
             d["def.inst.sparks"] = self.psys.positions
@@ -763,7 +777,8 @@ class SceneApp(RenderableApp):
         builder = context.builder()
         out = builder.import_resource(context.swapchain_texture())
 
-        if self.post is not None or self.taa is not None:
+        if (self.post is not None or self.taa is not None
+                or self.mblur is not None):
             hdr = builder.create(
                 TextureDesc.color("scene.hdr", width, height, Format.RGBA32F)
             )
@@ -791,7 +806,8 @@ class SceneApp(RenderableApp):
                 builder.create(TextureDesc.color(
                     "scene.taa", width, height, Format.RGBA32F
                 ))
-                if (self.post is not None or self.dof is not None) else out
+                if (self.post is not None or self.dof is not None
+                    or self.mblur is not None) else out
             )
             self.taa.render_to(
                 builder, hdr, taa_out, self.camera, width, height,
@@ -799,6 +815,18 @@ class SceneApp(RenderableApp):
             )
             context.request_output("taa.history", taa_out)
             target = taa_out
+
+        if self.mblur is not None:
+            # Blur the anti-aliased frame (post-TAA), before DoF/post.
+            mb_out = (
+                builder.create(TextureDesc.color(
+                    "scene.mblur", width, height, Format.RGBA32F
+                ))
+                if (self.post is not None or self.dof is not None) else out
+            )
+            self.mblur.render_to(builder, target, mb_out, self.camera,
+                                 self.renderer.gbuffer_handles)
+            target = mb_out
 
         if self.dof is not None:
             dof_out = (
