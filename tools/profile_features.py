@@ -36,6 +36,7 @@ CONFIGS = {
     "spots": {"spots": 4},
     "grade": {"grade": True},
     "dof": {"dof": True},
+    "mblur": {"motion_blur": True},
     "soft": {"soft_shadows": True},
     "all": {"ibl": True, "ssao": True, "fxaa": True},
     "all_taa": {"ibl": True, "ssao": True, "taa": True,
@@ -102,6 +103,9 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
     taa = TemporalAA() if cfg.get("taa") else None
     dof = (DepthOfField(focus_distance=170.0, focal_range=30.0,
                         strength=1.4) if cfg.get("dof") else None)
+    from zenith_tpu.renderer import MotionBlur
+
+    mblur = MotionBlur() if cfg.get("motion_blur") else None
     present = PresentEncode(Format.BGRA8_SRGB)
     pipeline_cache = PipelineCache()
     options = CompileOptions()
@@ -154,6 +158,13 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
             taa.render_to(builder, hdr, taa_out, camera, w, h,
                           renderer.gbuffer_handles)
             post_in = taa_out
+        if mblur is not None:
+            mb_out = builder.create(
+                TextureDesc.color("scene.mblur", w, h, Format.RGBA32F)
+            )
+            mblur.render_to(builder, post_in, mb_out, camera,
+                            renderer.gbuffer_handles)
+            post_in = mb_out
         if dof is not None:
             dof_out = builder.create(
                 TextureDesc.color("scene.dof", w, h, Format.RGBA32F)
