@@ -36,10 +36,10 @@ def _params(strength=1.0, max_radius=32.0):
     return jnp.asarray([strength, max_radius, 0.0, 0.0], jnp.float32)
 
 
-def _resolve(cur, world, depth, vp, params, samples=8):
+def _resolve(cur, world, depth, vp, params, samples=8, jitter=False):
     return np.asarray(motion_blur_resolve(
         jnp.asarray(cur), jnp.asarray(world), jnp.asarray(depth),
-        jnp.asarray(vp), params, samples,
+        jnp.asarray(vp), params, samples, jitter,
     ))
 
 
@@ -106,6 +106,29 @@ class TestResolve:
         out = _resolve(cur, world, depth, _ortho_pixel_vp(W, H, dx=9.0),
                        _params())
         np.testing.assert_allclose(out, cur, atol=1e-6)
+
+    def test_jitter_dithers_without_leaking_energy(self):
+        """Per-pixel tap-phase jitter: identity still exact at zero
+        velocity; under motion the output stays within the input's value
+        range and the column-mean profile stays close to the unjittered
+        resolve (noise, not bias)."""
+        world = _grid_world(W, H)
+        rng = np.random.default_rng(6)
+        cur = rng.uniform(0, 1, (H, W, 4)).astype(np.float32)
+        depth = np.full((H, W), 0.5, np.float32)
+        ident = _resolve(cur, world, depth, _ortho_pixel_vp(W, H),
+                         _params(), jitter=True)
+        np.testing.assert_allclose(ident, cur, atol=1e-6)
+        vp = _ortho_pixel_vp(W, H, dx=8.0)
+        uni = _resolve(cur, world, depth, vp, _params(), jitter=False)
+        dith = _resolve(cur, world, depth, vp, _params(), jitter=True)
+        assert not np.array_equal(uni, dith)  # the dither actually engages
+        assert dith[..., :3].min() >= cur[..., :3].min() - 1e-6
+        assert dith[..., :3].max() <= cur[..., :3].max() + 1e-6
+        np.testing.assert_allclose(
+            dith[:, 8:-8, :3].mean(axis=0), uni[:, 8:-8, :3].mean(axis=0),
+            atol=0.05,
+        )
 
     def test_alpha_passthrough(self):
         """The alpha plane rides through unblurred."""

@@ -46,9 +46,16 @@ def motion_blur_resolve(
     prev_vp: jnp.ndarray,  # (4, 4) PREVIOUS frame's unjittered view-proj
     params: jnp.ndarray,  # (4,): strength, max_radius_px, pad, pad
     samples: int = 8,
+    jitter: bool = True,
 ) -> jnp.ndarray:
     """One motion-blur resolve: reproject → clamp velocity → N-tap
-    streak average. Returns the blurred (H, W, 4) color."""
+    streak average. Returns the blurred (H, W, 4) color.
+
+    ``jitter`` adds a per-pixel hash phase to the tap positions (SSAO's
+    coordinate hash, ops/ssao.py — elementwise, zero extra gathers):
+    at streak lengths beyond ``samples`` pixels the discrete taps band
+    into N ghost images; the phase dither trades that for noise, the
+    standard resolve trick. Off = exactly reproducible tap math."""
     h, w = depth.shape
     rgb = hdr[..., :3]
     strength = params[0]
@@ -78,10 +85,16 @@ def motion_blur_resolve(
     # round-half-up (floor(x+0.5)): jnp.round's half-to-even would double
     # up taps whenever |v|/samples lands offsets exactly on .5 (e.g. the
     # common |v| == samples case collapses 8 taps onto 5 pixels).
+    if jitter:
+        from zenith_tpu.ops.ssao import _pixel_hash_angle
+
+        phase = _pixel_hash_angle(h, w) * (0.5 / np.pi)  # [0, 1)
+    else:
+        phase = 0.5
     flat = rgb.reshape(-1, 3)
     acc = jnp.zeros_like(rgb)
     for i in range(samples):
-        t = (i + 0.5) / samples - 0.5
+        t = (i + phase) / samples - 0.5
         tx = jnp.clip(
             jnp.floor(xs + vx * t + 0.5).astype(jnp.int32), 0, w - 1
         )
@@ -109,15 +122,16 @@ class MotionBlur:
     """
 
     def __init__(self, strength: float = 1.0, max_radius: float = 32.0,
-                 samples: int = 8):
+                 samples: int = 8, jitter: bool = True):
         self.strength = float(strength)
         self.max_radius = float(max_radius)
         self.samples = int(samples)
+        self.jitter = bool(jitter)
         self._prev_vp = None  # np (4, 4) previous frame's unjittered VP
         self._last_vp = None  # most recent unjittered VP observed
 
     def __zenith_capture_key__(self):
-        return ("MotionBlur", self.samples)
+        return ("MotionBlur", self.samples, self.jitter)
 
     def reset(self) -> None:
         """Drop the VP history (resize, scene cut)."""
@@ -168,6 +182,7 @@ class MotionBlur:
         d_in = node.read(gbuffer["depth"])
         dst = node.write(output)
         samples = self.samples
+        jitter = self.jitter
 
         def record(ctx):
             hdr = ctx.get(src)
@@ -180,14 +195,14 @@ class MotionBlur:
                     ctx.get_full(src),
                     ctx.get_full(p_in)[..., :3],
                     ctx.get_full(d_in),
-                    prev_vp, params, samples,
+                    prev_vp, params, samples, jitter,
                 )
                 y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
                 out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
             else:
                 out = motion_blur_resolve(
                     hdr, ctx.get(p_in)[..., :3], ctx.get(d_in),
-                    prev_vp, params, samples,
+                    prev_vp, params, samples, jitter,
                 )
             ctx.set(dst, out)
 
