@@ -35,6 +35,8 @@ CONFIGS = {
     "morph": {"morph": True},
     "spots": {"spots": 4},
     "grade": {"grade": True},
+    "ssr": {"ssr": True},
+    "fog": {"fog": True},
     "dof": {"dof": True},
     "mblur": {"motion_blur": True},
     "soft": {"soft_shadows": True},
@@ -101,6 +103,12 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
                if cfg.get("grade") else None),
     )
     taa = TemporalAA() if cfg.get("taa") else None
+    from zenith_tpu.renderer import ScreenSpaceReflections
+
+    ssr = ScreenSpaceReflections() if cfg.get("ssr") else None
+    from zenith_tpu.renderer import VolumetricFog
+
+    fog = VolumetricFog() if cfg.get("fog") else None
     dof = (DepthOfField(focus_distance=170.0, focal_range=30.0,
                         strength=1.4) if cfg.get("dof") else None)
     from zenith_tpu.renderer import MotionBlur
@@ -151,11 +159,25 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
         builder.export(enc)
         renderer.render_to(builder, hdr, camera, w, h)
         post_in = hdr
+        if ssr is not None:
+            ssr_out = builder.create(
+                TextureDesc.color("scene.ssr", w, h, Format.RGBA32F)
+            )
+            ssr.render_to(builder, post_in, ssr_out, camera,
+                          renderer.gbuffer_handles)
+            post_in = ssr_out
+        if fog is not None:
+            fog_out = builder.create(
+                TextureDesc.color("scene.fog", w, h, Format.RGBA32F)
+            )
+            fog.render_to(builder, post_in, fog_out, camera,
+                          renderer.gbuffer_handles, sun=scene.sun)
+            post_in = fog_out
         if taa is not None:
             taa_out = builder.create(
                 TextureDesc.color("scene.taa", w, h, Format.RGBA32F)
             )
-            taa.render_to(builder, hdr, taa_out, camera, w, h,
+            taa.render_to(builder, post_in, taa_out, camera, w, h,
                           renderer.gbuffer_handles)
             post_in = taa_out
         if mblur is not None:

@@ -11,6 +11,8 @@ from zenith_tpu.renderer.motion_blur import MotionBlur
 from zenith_tpu.renderer.particles import ParticleSystem
 from zenith_tpu.renderer.probe import capture_reflection_probe
 from zenith_tpu.renderer.post import ColorGrade, PostProcess, PresentEncode
+from zenith_tpu.renderer.ssr import ScreenSpaceReflections
+from zenith_tpu.renderer.volumetric import VolumetricFog
 from zenith_tpu.renderer.taa import TemporalAA
 from zenith_tpu.renderer.scene import (
     DirectionalLight,
@@ -37,8 +39,10 @@ __all__ = [
     "capture_reflection_probe",
     "SSAOOptions",
     "Scene",
+    "ScreenSpaceReflections",
     "SceneObject",
     "SpotLight",
     "TemporalAA",
     "TriangleRenderer",
+    "VolumetricFog",
 ]

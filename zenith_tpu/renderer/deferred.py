@@ -1685,3 +1685,10 @@ class DeferredRenderer:
             "pos": g_pos,
             "depth": g_depth,
         }
+        if self.shadows and n_casc == 1:
+            # Volumetric shafts (renderer/volumetric.py) march this map;
+            # its VP/bias ride the graph-global "def.light_vp" /
+            # "def.shadow_bias" dynamics set above — consistent with the
+            # map's contents by construction. Cascaded maps are not
+            # published (per-cascade marching isn't worth the gathers).
+            self.gbuffer_handles["sun_shadow"] = sm_handle

@@ -479,6 +479,14 @@ class SceneApp(RenderableApp):
                             help="temporal AA: Halton-jittered projection + "
                                  "G-buffer reprojection + clamped history "
                                  "blend (deferred mode)")
+        parser.add_argument("--ssr", action="store_true",
+                            help="screen-space reflections: G-buffer ray "
+                                 "march + Fresnel-weighted add on smooth "
+                                 "surfaces (deferred mode, pre-TAA)")
+        parser.add_argument("--fog", action="store_true",
+                            help="volumetric height fog + sun shafts "
+                                 "(shadow-marched single scattering; "
+                                 "deferred mode, pre-TAA)")
         parser.add_argument("--dof", action="store_true",
                             help="depth of field (gather-free mip-blend "
                                  "bokeh; focus params ride a dynamic — "
@@ -562,6 +570,10 @@ class SceneApp(RenderableApp):
         self.use_grade = ns.grade
         self.use_probe = ns.probe and ns.mode == "deferred"
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
+        self.use_ssr = ns.ssr and ns.mode == "deferred"
+        self.ssr = None
+        self.use_fog = ns.fog and ns.mode == "deferred"
+        self.fog = None
         self.use_dof = ns.dof and ns.mode == "deferred"
         self.dof = None
         self.use_mblur = ns.motion_blur and ns.mode == "deferred"
@@ -688,6 +700,14 @@ class SceneApp(RenderableApp):
             from zenith_tpu.renderer import TemporalAA
 
             self.taa = TemporalAA()
+        if self.use_ssr:
+            from zenith_tpu.renderer import ScreenSpaceReflections
+
+            self.ssr = ScreenSpaceReflections()
+        if self.use_fog:
+            from zenith_tpu.renderer import VolumetricFog
+
+            self.fog = VolumetricFog()
         if self.use_dof:
             from zenith_tpu.renderer import DepthOfField
 
@@ -751,6 +771,10 @@ class SceneApp(RenderableApp):
             # frame_dynamics covers BOTH auto-exposure state and the
             # grade vector (empty dict when neither is configured).
             d.update(self.post.frame_dynamics())
+        if self.ssr is not None:
+            d.update(self.ssr.frame_dynamics(self.camera))
+        if self.fog is not None:
+            d.update(self.fog.frame_dynamics(self.camera))
         if self.dof is not None:
             d.update(self.dof.frame_dynamics())
         if self.mblur is not None:
@@ -778,7 +802,8 @@ class SceneApp(RenderableApp):
         out = builder.import_resource(context.swapchain_texture())
 
         if (self.post is not None or self.taa is not None
-                or self.mblur is not None):
+                or self.mblur is not None or self.ssr is not None
+                or self.fog is not None):
             hdr = builder.create(
                 TextureDesc.color("scene.hdr", width, height, Format.RGBA32F)
             )
@@ -797,6 +822,37 @@ class SceneApp(RenderableApp):
             context.request_output("psys.state", state_h)
             context.request_output("psys.pos", pos_h)
 
+        if self.ssr is not None:
+            # Reflections resolve on the LIT frame before TAA so they get
+            # anti-aliased (and jitter-dithered) like everything else.
+            ssr_out = (
+                builder.create(TextureDesc.color(
+                    "scene.ssr", width, height, Format.RGBA32F
+                ))
+                if (self.post is not None or self.taa is not None
+                    or self.dof is not None or self.mblur is not None)
+                else out
+            )
+            self.ssr.render_to(builder, target, ssr_out, self.camera,
+                               self.renderer.gbuffer_handles)
+            target = ssr_out
+
+        if self.fog is not None:
+            # Volumetric scattering over the lit (and reflected) frame;
+            # pre-TAA so the march dither resolves temporally.
+            fog_out = (
+                builder.create(TextureDesc.color(
+                    "scene.fog", width, height, Format.RGBA32F
+                ))
+                if (self.post is not None or self.taa is not None
+                    or self.dof is not None or self.mblur is not None)
+                else out
+            )
+            self.fog.render_to(builder, target, fog_out, self.camera,
+                               self.renderer.gbuffer_handles,
+                               sun=self.renderer.scene.sun)
+            target = fog_out
+
         if self.taa is not None:
             # The TAA output must be its OWN resource whenever any later
             # pass (DoF, post) writes downstream: taa_out aliasing the
@@ -810,7 +866,7 @@ class SceneApp(RenderableApp):
                     or self.mblur is not None) else out
             )
             self.taa.render_to(
-                builder, hdr, taa_out, self.camera, width, height,
+                builder, target, taa_out, self.camera, width, height,
                 self.renderer.gbuffer_handles,
             )
             context.request_output("taa.history", taa_out)
