@@ -188,14 +188,21 @@ _UVX_NAME = {
 
 
 def _make_gbuffer_fs(textured: bool, use_normal: bool = False,
-                     use_mra: bool = False, use_emissive: bool = False):
+                     use_mra: bool = False, use_emissive: bool = False,
+                     id_out: bool = False):
     """G-buffer fragment stage. Textured mode samples per-map ATLASES with
     a per-draw UV transform (rhi.atlas): one sample per map regardless of
     how many draws share the batch — the scalable replacement for the
     round-2 sample-each-and-select-by-draw-id chain. The full baked
     material set (render.rs:135-176) is consumed: base color, tangent-space
     normal (derivative-reconstructed frame, no vertex tangents), glTF
-    metallic-roughness (B=metallic, G=roughness) and emissive."""
+    metallic-roughness (B=metallic, G=roughness) and emissive.
+
+    ``id_out`` adds a 4th MRT plane carrying the per-draw ``ObjectId``
+    uniform (1-based scene-object index; background stays at the 0 clear)
+    — the picking/selection buffer. It rides the existing per-draw-uniform
+    machinery, so its cost is one R32F attachment, not a second
+    geometry pass."""
 
     def _gbuffer_fs(varyings, res, builtins):
         n = varyings["normal"]
@@ -256,11 +263,18 @@ def _make_gbuffer_fs(textured: bool, use_normal: bool = False,
             [varyings["world_pos"], emissive], axis=-1
         )
         # MRT outputs in attachment order (draw maps dict keys sorted).
-        return {
+        out = {
             "0_albedo": albedo_metal,
             "1_normal": normal_rough,
             "2_pos": pos_emissive,
         }
+        if id_out:
+            # Shape-generic like the other per-draw uniforms: (1,) vector
+            # when drawn individually, (H, W, 1) plane under
+            # draw_indexed_batch.
+            oid = res["ObjectId"]
+            out["3_id"] = jnp.broadcast_to(oid[..., 0:1], n[..., :1].shape)
+        return out
 
     return _gbuffer_fs
 
@@ -345,9 +359,19 @@ class DeferredRenderer:
     def __init__(self, scene: Scene, shadows: bool = True,
                  wireframe: bool = False,
                  ssao: "bool | SSAOOptions" = False,
-                 winding_flip: bool = False):
+                 winding_flip: bool = False,
+                 id_buffer: bool = False):
         self.scene = scene
         self.wireframe = wireframe
+        # Object-ID plane for picking/selection: every G-buffer variant
+        # writes a 4th R32F MRT attachment holding the 1-based scene-object
+        # index (background = 0, translucent "glass" objects never appear —
+        # they draw after the lighting resolve). render_to exports it and
+        # publishes the handle as ``self.id_resource`` so apps can
+        # ``context.request_output("object_id", renderer.id_resource)`` and
+        # map pixels back with ``renderer.pick``.
+        self.id_buffer = bool(id_buffer)
+        self.id_resource: "RenderGraphResource | None" = None
         if ssao is True:
             ssao = SSAOOptions()
         self.ssao: "SSAOOptions | None" = ssao or None
@@ -397,6 +421,8 @@ class DeferredRenderer:
         from zenith_tpu.rhi import texture2d
 
         fs_bindings = [uniform("BaseColor"), uniform("MatParams")]
+        if self.id_buffer:
+            fs_bindings.append(uniform("ObjectId"))
         if self.textured:
             fs_bindings.extend(texture2d(name) for name in self._atlases)
             fs_bindings.extend(
@@ -410,9 +436,16 @@ class DeferredRenderer:
         self.gbuffer_fs = Shader.fragment(
             "gbuffer.fs",
             _make_gbuffer_fs(self.textured, self.use_normal, self.use_mra,
-                             self.use_emissive),
+                             self.use_emissive, id_out=self.id_buffer),
             bindings=fs_bindings,
         )
+        # Per-object id constants (1-based), built once: they are trace
+        # constants inside the record closures, so per-frame cost is a
+        # list index.
+        self._oid_consts = [
+            np.asarray([i + 1.0], np.float32)
+            for i in range(len(objs))
+        ]
         from zenith_tpu.renderer.forward import ForwardShadowRenderer
 
         self.shadow_vs = Shader.vertex(
@@ -462,8 +495,10 @@ class DeferredRenderer:
                         attr("joints", 4), attr("weights", 4)],
             )
             self.gbuffer_skin_fs = Shader.fragment(
-                "gbuffer.skin.fs", _make_gbuffer_fs(False),
-                bindings=[uniform("BaseColor"), uniform("MatParams")],
+                "gbuffer.skin.fs",
+                _make_gbuffer_fs(False, id_out=self.id_buffer),
+                bindings=[uniform("BaseColor"), uniform("MatParams")]
+                + ([uniform("ObjectId")] if self.id_buffer else []),
             )
         # Morph-target variants (SceneObject.morph_deltas): plain layout,
         # a (T,N,3) delta storage buffer + (T,) weight dynamic.
@@ -492,8 +527,10 @@ class DeferredRenderer:
                 inputs=[attr("position", 3)],
             )
             self.gbuffer_morph_fs = Shader.fragment(
-                "gbuffer.morph.fs", _make_gbuffer_fs(False),
-                bindings=[uniform("BaseColor"), uniform("MatParams")],
+                "gbuffer.morph.fs",
+                _make_gbuffer_fs(False, id_out=self.id_buffer),
+                bindings=[uniform("BaseColor"), uniform("MatParams")]
+                + ([uniform("ObjectId")] if self.id_buffer else []),
             )
         # Frame-invariant pipeline inputs, built ONCE: render_to runs every
         # frame (the graph is rebuilt per frame), and reusing the same desc
@@ -671,6 +708,24 @@ class DeferredRenderer:
 
             d["def.models"] = stacked_models(self.scene.objects)
         return d
+
+    def pick(self, id_plane, x: int, y: int) -> "object | None":
+        """Map one pixel of the object-id plane back to its SceneObject.
+
+        ``id_plane`` is a readback of ``self.id_resource`` (shape (H, W, 1)
+        or (H, W)); (x, y) are framebuffer coordinates (y=0 top, matching
+        Vulkan). Returns None for background pixels and ids that fell
+        outside the scene (translucent objects never write the plane).
+        Requires the renderer to have been built with ``id_buffer=True``.
+        """
+        assert self.id_buffer, "pick() needs DeferredRenderer(id_buffer=True)"
+        arr = np.asarray(id_plane)
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        v = int(round(float(arr[int(y), int(x)])))
+        if 1 <= v <= len(self.scene.objects):
+            return self.scene.objects[v - 1]
+        return None
 
     def render_to(
         self,
@@ -863,6 +918,16 @@ class DeferredRenderer:
         } if self.textured else {}
         objects = scene.objects
 
+        g_id = None
+        if self.id_buffer:
+            g_id = builder.create(
+                TextureDesc.color("g.id", width, height, Format.R32F)
+            )
+            # Exported so apps can pull it back each frame
+            # (context.request_output) or read it from the compiled graph
+            # (compiled.value) — the readback IS the pick buffer.
+            builder.export(g_id)
+            self.id_resource = g_id
         g_albedo = builder.create(TextureDesc.color("g.albedo", width, height))
         g_normal = builder.create(TextureDesc.color("g.normal", width, height))
         g_pos = builder.create(TextureDesc.color("g.pos", width, height))
@@ -1117,14 +1182,19 @@ class DeferredRenderer:
         a_rt = node.write(g_albedo)
         n_rt = node.write(g_normal)
         p_rt = node.write(g_pos)
+        i_rt = node.write(g_id) if g_id is not None else None
         ds = node.write(g_depth)
         with node.pipeline(self._gbuffer_si, self._gbuffer_state) as binder:
             binder.push_color(a_rt, self._ca_clear0)
             binder.push_color(n_rt, self._ca_clear01)
             binder.push_color(p_rt, self._ca_clear0)
+            if i_rt is not None:
+                binder.push_color(i_rt, self._ca_clear0)
             binder.set_depth(ds, self._gbuffer_depth)
 
         textured = self.textured
+        id_buffer = self.id_buffer
+        oid_consts = self._oid_consts
 
         def record_gbuffer(ctx):
             ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
@@ -1154,10 +1224,14 @@ class DeferredRenderer:
                 if textured:
                     for aname in atlas_accesses:
                         res[_UVX_NAME[aname]] = uvx[aname][i]
+                if id_buffer:
+                    res["ObjectId"] = oid_consts[i]
                 draws.append((vba, iba, res))
             per_draw = ("BaseColor", "MatParams") + tuple(
                 _UVX_NAME[aname] for aname in atlas_accesses
             )
+            if id_buffer:
+                per_draw = per_draw + ("ObjectId",)
             if draws:  # all-instanced scenes: clear-only G-buffer node
                 ctx.draw_indexed_batch(draws, per_draw_uniforms=per_draw)
 
@@ -1177,6 +1251,9 @@ class DeferredRenderer:
             a2 = node.write(g_albedo)
             n2 = node.write(g_normal)
             p2 = node.write(g_pos)
+            if g_id is not None:
+                node.read(g_id)
+                i2 = node.write(g_id)
             d2 = node.write(g_depth)
             with node.pipeline(
                 self._gbuffer_inst_si, self._gbuffer_state
@@ -1184,6 +1261,8 @@ class DeferredRenderer:
                 binder.push_color(a2, self._ca_load)
                 binder.push_color(n2, self._ca_load)
                 binder.push_color(p2, self._ca_load)
+                if g_id is not None:
+                    binder.push_color(i2, self._ca_load)
                 binder.set_depth(d2, self._gbuffer_depth_load)
 
             def record_gbuffer_inst(ctx):
@@ -1208,6 +1287,8 @@ class DeferredRenderer:
                     if textured:
                         for aname in inst_atlas:
                             res[_UVX_NAME[aname]] = uvx[aname][i]
+                    if id_buffer:
+                        res["ObjectId"] = oid_consts[i]
                     ctx.draw_indexed(
                         vba, iba, res,
                         instance_count=obj.instance_count,
@@ -1229,6 +1310,9 @@ class DeferredRenderer:
             a3 = node.write(g_albedo)
             n3 = node.write(g_normal)
             p3 = node.write(g_pos)
+            if g_id is not None:
+                node.read(g_id)
+                i3 = node.write(g_id)
             d3 = node.write(g_depth)
             with node.pipeline(
                 self._gbuffer_skin_si, self._gbuffer_state
@@ -1236,6 +1320,8 @@ class DeferredRenderer:
                 binder.push_color(a3, self._ca_load)
                 binder.push_color(n3, self._ca_load)
                 binder.push_color(p3, self._ca_load)
+                if g_id is not None:
+                    binder.push_color(i3, self._ca_load)
                 binder.set_depth(d3, self._gbuffer_depth_load)
 
             def record_gbuffer_skin(ctx):
@@ -1247,15 +1333,19 @@ class DeferredRenderer:
                 for i in skin_ix:
                     obj = objects[i]
                     vba, iba = skin_acc[i]
-                    draws.append((vba, iba, {
+                    res = {
                         "Model": models[i],
                         "BaseColor": bcs[i],
                         "MatParams": mats[i],
                         "Joints": ctx.dynamic(f"def.joints.{obj.name}"),
-                    }))
-                ctx.draw_indexed_batch(
-                    draws, per_draw_uniforms=("BaseColor", "MatParams")
+                    }
+                    if id_buffer:
+                        res["ObjectId"] = oid_consts[i]
+                    draws.append((vba, iba, res))
+                per_draw = ("BaseColor", "MatParams") + (
+                    ("ObjectId",) if id_buffer else ()
                 )
+                ctx.draw_indexed_batch(draws, per_draw_uniforms=per_draw)
 
             node.execute(record_gbuffer_skin)
 
@@ -1271,6 +1361,9 @@ class DeferredRenderer:
             a4 = node.write(g_albedo)
             n4 = node.write(g_normal)
             p4 = node.write(g_pos)
+            if g_id is not None:
+                node.read(g_id)
+                i4 = node.write(g_id)
             d4 = node.write(g_depth)
             with node.pipeline(
                 self._gbuffer_morph_si, self._gbuffer_state
@@ -1278,6 +1371,8 @@ class DeferredRenderer:
                 binder.push_color(a4, self._ca_load)
                 binder.push_color(n4, self._ca_load)
                 binder.push_color(p4, self._ca_load)
+                if g_id is not None:
+                    binder.push_color(i4, self._ca_load)
                 binder.set_depth(d4, self._gbuffer_depth_load)
 
             def record_gbuffer_morph(ctx):
@@ -1289,7 +1384,7 @@ class DeferredRenderer:
                 for i in morph_ix:
                     obj = objects[i]
                     vba, iba, mda = morph_acc[i]
-                    draws.append((vba, iba, {
+                    res = {
                         "Model": models[i],
                         "BaseColor": bcs[i],
                         "MatParams": mats[i],
@@ -1297,10 +1392,14 @@ class DeferredRenderer:
                             f"def.mweights.{obj.name}"
                         ),
                         "MorphDeltas": ctx.get(mda),
-                    }))
-                ctx.draw_indexed_batch(
-                    draws, per_draw_uniforms=("BaseColor", "MatParams")
+                    }
+                    if id_buffer:
+                        res["ObjectId"] = oid_consts[i]
+                    draws.append((vba, iba, res))
+                per_draw = ("BaseColor", "MatParams") + (
+                    ("ObjectId",) if id_buffer else ()
                 )
+                ctx.draw_indexed_batch(draws, per_draw_uniforms=per_draw)
 
             node.execute(record_gbuffer_morph)
 

@@ -546,6 +546,13 @@ class SceneApp(RenderableApp):
                             help="multisampling on the forward lit pass "
                                  "(forward mode only)")
         parser.add_argument(
+            "--pick", action="store_true",
+            help="object picking (deferred): export the G-buffer object-id "
+                 "plane each frame and log the object under the screen "
+                 "center when it changes (costs one id-plane readback per "
+                 "frame — a demo of DeferredRenderer(id_buffer=True))",
+        )
+        parser.add_argument(
             "--retained", action="store_true",
             help="retained mode: build the graph once, re-execute with "
                  "fresh camera dynamics (trace once, re-execute)",
@@ -570,6 +577,8 @@ class SceneApp(RenderableApp):
         self.use_grade = ns.grade
         self.use_probe = ns.probe and ns.mode == "deferred"
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
+        self.use_pick = ns.pick and ns.mode == "deferred"
+        self._picked_name: "str | None" = None
         self.use_ssr = ns.ssr and ns.mode == "deferred"
         self.ssr = None
         self.use_fog = ns.fog and ns.mode == "deferred"
@@ -676,6 +685,7 @@ class SceneApp(RenderableApp):
             self.renderer = DeferredRenderer(
                 scene, wireframe=self.wireframe,
                 ssao=SSAOOptions(radius=6.0) if self.ssao else False,
+                id_buffer=self.use_pick,
             )
         else:
             self.renderer = ForwardShadowRenderer(
@@ -789,6 +799,19 @@ class SceneApp(RenderableApp):
         particle state for next frame."""
         if self.psys is not None and "psys.state" in outputs:
             self.psys.feedback(outputs["psys.state"], outputs["psys.pos"])
+        if self.use_pick and "object_id" in outputs:
+            import numpy as _np
+
+            ids = _np.asarray(outputs["object_id"])
+            obj = self.renderer.pick(ids, ids.shape[1] // 2, ids.shape[0] // 2)
+            name = obj.name if obj is not None else None
+            if name != self._picked_name:
+                self._picked_name = name
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "pick: screen center is over %s", name or "<background>"
+                )
         if self.taa is not None and "taa.history" in outputs:
             self.taa.feedback(outputs["taa.history"])
         if self.post is not None and "post.ae" in outputs:
@@ -813,6 +836,8 @@ class SceneApp(RenderableApp):
 
         if self.mode == "deferred":
             self.renderer.render_to(builder, target, self.camera, width, height)
+            if self.use_pick:
+                context.request_output("object_id", self.renderer.id_resource)
         else:
             depth = builder.create(TextureDesc.depth("scene.depth", width, height))
             self.renderer.render_to(builder, target, depth, self.camera)
