@@ -2,6 +2,7 @@
 the BASELINE.md config ladder: triangle → mesh → shadow+forward → deferred
 PBR → post)."""
 
+from zenith_tpu.renderer.decal import Decal
 from zenith_tpu.renderer.deferred import DeferredRenderer, SSAOOptions
 from zenith_tpu.renderer.dof import DepthOfField
 from zenith_tpu.renderer.environment import EnvironmentLight

@@ -1403,6 +1403,53 @@ class DeferredRenderer:
 
             node.execute(record_gbuffer_morph)
 
+        # -- node: decals (lambda; renderer.decal) ---------------------------------
+        # Projected decals rewrite the G-buffer albedo BEFORE SSAO/lighting,
+        # so they receive full PBR shading and shadows. Pure elementwise per
+        # pixel (one 3x4 transform + optional texture sample per decal) —
+        # XLA fuses the whole chain into the frame program; under a row-band
+        # mesh it shards trivially (no cross-row taps).
+        if scene.decals:
+            from zenith_tpu.renderer.decal import (
+                apply_decal,
+                stacked_decal_colors,
+                stacked_decal_mats,
+            )
+
+            builder.set_dynamic(
+                "def.decal_mats", stacked_decal_mats(scene.decals)
+            )
+            builder.set_dynamic(
+                "def.decal_cols", stacked_decal_colors(scene.decals)
+            )
+            dnode = builder.add_lambda_node("decals")
+            d_tex_acc = [
+                dnode.read(builder.import_resource(d.texture))
+                if d.texture is not None else None
+                for d in scene.decals
+            ]
+            da_in = dnode.read(g_albedo)
+            dp_in = dnode.read(g_pos)
+            dn_in = dnode.read(g_normal)
+            da_out = dnode.write(g_albedo)
+            d_fades = [float(d.normal_fade) for d in scene.decals]
+
+            def record_decals(ctx):
+                am = ctx.get(da_in)
+                pos = ctx.get(dp_in)[..., :3]
+                nrm = ctx.get(dn_in)[..., :3]
+                mats = ctx.dynamic("def.decal_mats")
+                cols = ctx.dynamic("def.decal_cols")
+                rgb = am[..., :3]
+                for k, acc in enumerate(d_tex_acc):
+                    tex = ctx.get(acc) if acc is not None else None
+                    rgb = apply_decal(
+                        rgb, pos, nrm, mats[k], cols[k], tex, d_fades[k]
+                    )
+                ctx.set(da_out, jnp.concatenate([rgb, am[..., 3:]], axis=-1))
+
+            dnode.execute(record_decals)
+
         # -- node: SSAO (lambda, full-screen; ops.ssao) -----------------------------
         ao_handle = None
         if self.ssao is not None:

@@ -379,6 +379,11 @@ class Scene:
     # diffuse + prefiltered GGX specular, and (unless ``skybox`` is also
     # set) uses the environment cube as the background.
     environment: "Optional[object]" = None
+    # Projected decals (renderer.decal.Decal; deferred renderer only):
+    # blended into the G-buffer albedo before the lighting resolve, so they
+    # are lit and shadowed like any surface detail. Moving one is a dynamic
+    # (no recompile); adding/removing one recompiles like a draw-list change.
+    decals: "list" = field(default_factory=list)
 
     def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
         """(L, 3) positions, (L, 3) colors·intensity, (L,) radii.

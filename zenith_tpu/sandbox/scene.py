@@ -546,6 +546,12 @@ class SceneApp(RenderableApp):
                             help="multisampling on the forward lit pass "
                                  "(forward mode only)")
         parser.add_argument(
+            "--decals", type=int, default=0,
+            help="N projected decals stamped in a ring on the ground "
+                 "(deferred): G-buffer albedo rewrite before lighting — "
+                 "lit and shadowed like painted surface detail",
+        )
+        parser.add_argument(
             "--pick", action="store_true",
             help="object picking (deferred): export the G-buffer object-id "
                  "plane each frame and log the object under the screen "
@@ -577,6 +583,7 @@ class SceneApp(RenderableApp):
         self.use_grade = ns.grade
         self.use_probe = ns.probe and ns.mode == "deferred"
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
+        self.n_decals = ns.decals if ns.mode == "deferred" else 0
         self.use_pick = ns.pick and ns.mode == "deferred"
         self._picked_name: "str | None" = None
         self.use_ssr = ns.ssr and ns.mode == "deferred"
@@ -615,6 +622,21 @@ class SceneApp(RenderableApp):
                             glass=self.glass and self.mode == "deferred",
                             ibl=self.ibl and self.mode == "deferred",
                             skinned=self.skinned, morph=self.morph)
+        if self.n_decals:
+            from zenith_tpu.renderer import Decal
+
+            palette = [(1.0, 0.2, 0.15, 0.85), (0.2, 0.9, 1.0, 0.85),
+                       (1.0, 0.8, 0.2, 0.85), (0.6, 0.3, 1.0, 0.85)]
+            for k in range(self.n_decals):
+                a = 2.0 * math.pi * k / self.n_decals
+                # A deep box so the down-projection reaches the ground
+                # plane wherever build_scene put it.
+                scene.decals.append(Decal(
+                    f"mark{k}",
+                    position=(85.0 * math.cos(a), 85.0 * math.sin(a), 0.0),
+                    size=(26.0, 26.0, 120.0),
+                    color=palette[k % len(palette)],
+                ))
         if self.use_probe:
             from zenith_tpu.renderer import capture_reflection_probe
 
