@@ -90,6 +90,126 @@ class ColorGrade:
         return ("ColorGrade",)
 
 
+class FilmEffects:
+    """Lens/film finishing: chromatic aberration + CAS-style sharpen +
+    animated film grain, applied after the tonemap (and FXAA) in that
+    order — the classic end-of-chain "filmic look" bundle GPU engines put
+    in the tonemapper pass.
+
+    All VALUES ride one packed (5,) dynamic ("post.film"), so tuning any
+    knob — or the grain's per-frame seed — never recompiles. Only CA's
+    ENABLEMENT is trace-shaping: on, it costs two bilinear fetches per
+    pixel (8 gathers — R and B resampled at radially scaled coordinates)
+    and routes the SPMD post node through the gather-full path (its
+    displacement can exceed the bloom halo); off, the trace skips the
+    gathers entirely. Sharpen is a gather-free 4-neighbor unsharp mask;
+    grain is the SSAO-style integer-coordinate hash (global rows, so SPMD
+    bands dither identically) remixed by a per-frame seed.
+
+    - ``chromatic_aberration``: max per-channel displacement at the image
+      corner, in pixels.
+    - ``sharpen``: unsharp-mask amount (0.3-0.8 is CAS-like).
+    - ``grain``: noise amplitude in LDR units (0.02-0.06 is filmic).
+    - ``grain_response``: how much grain fades in highlights (0 = flat).
+    """
+
+    def __init__(self, chromatic_aberration: float = 0.0,
+                 sharpen: float = 0.0, grain: float = 0.0,
+                 grain_response: float = 0.8):
+        self.chromatic_aberration = float(chromatic_aberration)
+        self.sharpen = float(sharpen)
+        self.grain = float(grain)
+        self.grain_response = float(grain_response)
+        self._seed = 0
+
+    def pack(self) -> np.ndarray:
+        """The per-frame dynamic; advances the grain seed (each frame's
+        noise is a fresh decorrelated field, like a real film stock)."""
+        self._seed = (self._seed + 1) % 4096
+        return np.asarray(
+            [self.chromatic_aberration, self.sharpen, self.grain,
+             float(self._seed), self.grain_response],
+            np.float32,
+        )
+
+    def __zenith_capture_key__(self):
+        # Values ride the dynamic; CA enablement shapes the trace.
+        return ("FilmEffects", self.chromatic_aberration > 0.0)
+
+
+def _bilinear_plane(plane: jnp.ndarray, sy: jnp.ndarray,
+                    sx: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear fetch of a (H, W) plane at float coords (4 gathers)."""
+    h, w = plane.shape
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h - 2)
+    fx = jnp.clip(sx - x0.astype(jnp.float32), 0.0, 1.0)
+    fy = jnp.clip(sy - y0.astype(jnp.float32), 0.0, 1.0)
+    flat = plane.reshape(-1)
+
+    def gather(yy, xx):
+        return jnp.take(flat, (yy * w + xx).reshape(-1), axis=0).reshape(
+            plane.shape
+        )
+
+    p00 = gather(y0, x0)
+    p01 = gather(y0, x0 + 1)
+    p10 = gather(y0 + 1, x0)
+    p11 = gather(y0 + 1, x0 + 1)
+    return (p00 * (1 - fx) + p01 * fx) * (1 - fy) \
+        + (p10 * (1 - fx) + p11 * fx) * fy
+
+
+def apply_film(mapped: jnp.ndarray, f: jnp.ndarray, ca_enabled: bool,
+               row0=0, full_h: "int | None" = None) -> jnp.ndarray:
+    """The FilmEffects chain on tonemapped LDR rgb. ``f`` is the packed
+    (5,) vector. With ``ca_enabled`` the input must be the FULL surface
+    (the radial resample reaches across row bands)."""
+    h, w = mapped.shape[0], mapped.shape[1]
+    if full_h is None:
+        full_h = h
+    if ca_enabled:
+        # Lateral CA: R sampled outward, B inward, scaled about the image
+        # center with a quadratic radial profile.
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+        py = jnp.broadcast_to(ys[:, None], (h, w))
+        px = jnp.broadcast_to(xs[None, :], (h, w))
+        r2 = px * px + py * py
+        # f[0] px at the corner (r2 = 2): scale s.t. the corner pixel's
+        # displacement magnitude is f[0].
+        k = f[0] / float(np.hypot(w, h))
+        scale = k * r2
+        cx, cy = (w - 1) * 0.5, (h - 1) * 0.5
+        ix = jnp.broadcast_to(jnp.arange(w, dtype=jnp.float32)[None, :], (h, w))
+        iy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.float32)[:, None], (h, w))
+        rx, ry = ix - cx, iy - cy
+        r = _bilinear_plane(mapped[..., 0], iy + ry * scale, ix + rx * scale)
+        b = _bilinear_plane(mapped[..., 2], iy - ry * scale, ix - rx * scale)
+        mapped = jnp.stack([r, mapped[..., 1], b], axis=-1)
+    # CAS-style sharpen: gather-free 4-neighbor unsharp mask.
+    blur = 0.25 * (
+        jnp.roll(mapped, 1, axis=0) + jnp.roll(mapped, -1, axis=0)
+        + jnp.roll(mapped, 1, axis=1) + jnp.roll(mapped, -1, axis=1)
+    )
+    mapped = jnp.clip(mapped + f[1] * (mapped - blur), 0.0, 1.0)
+    # Film grain: integer-coordinate hash over GLOBAL rows, remixed by the
+    # per-frame seed, attenuated in highlights by grain_response.
+    gy = (jnp.asarray(row0, jnp.int32).astype(jnp.uint32)
+          + jnp.arange(h, dtype=jnp.uint32))[:, None]
+    gx = jnp.arange(w, dtype=jnp.uint32)[None, :]
+    seed = f[3].astype(jnp.uint32)
+    n = (gy * jnp.uint32(374761393) + gx * jnp.uint32(668265263)
+         + seed * jnp.uint32(2654435761))
+    n = (n ^ (n >> jnp.uint32(13))) * jnp.uint32(1274126177)
+    n = n ^ (n >> jnp.uint32(16))
+    noise = (n & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0 - 0.5
+    lw = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    luma = jnp.sum(mapped * lw, axis=-1)
+    amp = f[2] * (1.0 - f[4] * jnp.clip(luma, 0.0, 1.0))
+    return jnp.clip(mapped + (noise * amp)[..., None], 0.0, 1.0)
+
+
 def apply_grade_pre(rgb: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     """Pre-tonemap half of the grade: exposure, white balance, contrast
     (linear HDR in/out). ``g`` is the packed (7,) vector."""
@@ -148,6 +268,8 @@ def tone_and_bloom(
     fxaa: bool = False,
     exposure=None,  # traced scalar (auto-exposure) | None
     grade=None,  # packed (7,) ColorGrade vector (traced) | None
+    film=None,  # packed (5,) FilmEffects vector (traced) | None
+    film_ca: bool = False,  # CA enabled (requires the FULL surface)
     row0=0,  # global first row (SPMD bands; vignette coordinates)
     full_h: "int | None" = None,
 ) -> jnp.ndarray:
@@ -176,6 +298,8 @@ def tone_and_bloom(
         from zenith_tpu.ops.aa import post_aa
 
         mapped = post_aa(mapped)
+    if film is not None:
+        mapped = apply_film(mapped, film, film_ca, row0=row0, full_h=full_h)
     return jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1)
 
 
@@ -193,6 +317,7 @@ def tone_and_bloom_banded(
     fxaa: bool = False,
     exposure=None,
     grade=None,
+    film=None,
 ) -> jnp.ndarray:
     """SPMD row-banded tone_and_bloom: ring halo exchange (ppermute) extends
     the band by BLOOM_HALO rows each side, the full chain runs on the
@@ -219,6 +344,8 @@ def tone_and_bloom_banded(
         fxaa=fxaa,
         exposure=exposure,
         grade=grade,
+        film=film,  # CA routes through the gather-full path, never here
+        film_ca=False,
         row0=row0,
         full_h=bh * n,
     )
@@ -246,7 +373,8 @@ class PostProcess:
                  fxaa: bool = False, auto_exposure: bool = False,
                  exposure_key: float = 0.18, adapt_speed: float = 1.5,
                  exposure_min: float = 0.05, exposure_max: float = 16.0,
-                 grade: "ColorGrade | None" = None):
+                 grade: "ColorGrade | None" = None,
+                 film: "FilmEffects | None" = None):
         self.bloom_threshold = bloom_threshold
         self.bloom_strength = bloom_strength
         self.tonemap = tonemap
@@ -274,6 +402,9 @@ class PostProcess:
         # self.grade's fields (or swap the object) and the next frame picks
         # the values up without recompiling.
         self.grade = grade
+        # Film effects (FilmEffects): CA + sharpen + grain after the
+        # tonemap; values ride a packed dynamic like the grade.
+        self.film = film
 
     def __zenith_capture_key__(self):
         """Structure-key identity: the trace-shaping config only. The
@@ -284,6 +415,7 @@ class PostProcess:
             self.tonemap, self.bloom_mips, self.fxaa, self.auto_exposure,
             self.exposure_key, self.adapt_speed, self.exposure_min,
             self.exposure_max, self.grade is not None,
+            None if self.film is None else self.film.__zenith_capture_key__(),
         )
 
     # -- auto-exposure cross-frame state -----------------------------------
@@ -302,6 +434,8 @@ class PostProcess:
             d = {}
             if self.grade is not None:
                 d["post.grade"] = self.grade.pack()
+            if self.film is not None:
+                d["post.film"] = self.film.pack()
             return d
         d = {
             "post.ae_dt": np.float32(self._dt),
@@ -313,6 +447,8 @@ class PostProcess:
             d["post.ae_prev"] = self._ae_state
         if self.grade is not None:
             d["post.grade"] = self.grade.pack()
+        if self.film is not None:
+            d["post.film"] = self.film.pack()
         return d
 
     def _declare_ae(self, builder: RenderGraphBuilder):
@@ -391,7 +527,11 @@ class PostProcess:
         ae = self._declare_ae(builder) if self.auto_exposure else None
         if self.grade is not None:
             builder.set_dynamic("post.grade", self.grade.pack())
+        if self.film is not None:
+            builder.set_dynamic("post.film", self.film.pack())
         has_grade = self.grade is not None
+        has_film = self.film is not None
+        film_ca = has_film and self.film.chromatic_aberration > 0.0
         node = builder.add_lambda_node("post.bright")
         src = node.read(hdr_input)
         dst0 = node.write(chain, mip=0)
@@ -477,6 +617,8 @@ class PostProcess:
                 from zenith_tpu.ops.aa import post_aa
 
                 mapped = post_aa(mapped)
+            if has_film:
+                mapped = apply_film(mapped, ctx.dynamic("post.film"), film_ca)
             ctx.set(dst, jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1))
 
         node.execute(record_combine)
@@ -490,7 +632,11 @@ class PostProcess:
         ae = self._declare_ae(builder) if self.auto_exposure else None
         if self.grade is not None:
             builder.set_dynamic("post.grade", self.grade.pack())
+        if self.film is not None:
+            builder.set_dynamic("post.film", self.film.pack())
         has_grade = self.grade is not None
+        has_film = self.film is not None
+        film_ca = has_film and self.film.chromatic_aberration > 0.0
         node = builder.add_lambda_node("post")
         src = node.read(hdr_input)
         dst = node.write(output)
@@ -507,27 +653,32 @@ class PostProcess:
             banded = ctx.sharded and ctx.num_shards > 1
             exposure = None
             grade_vec = ctx.dynamic("post.grade") if has_grade else None
+            film_vec = ctx.dynamic("post.film") if has_film else None
             if ae_w is not None:
                 exposure = self._adapted_exposure(ctx, hdr[..., :3])
                 ctx.set(ae_w, exposure[None])
-            if banded and hdr.shape[0] >= BLOOM_HALO and hdr.shape[0] % 2 == 0:
+            if banded and not film_ca and hdr.shape[0] >= BLOOM_HALO \
+                    and hdr.shape[0] % 2 == 0:
                 # Row-banded under a mesh: halo-exchange instead of the
                 # row-local contract (bloom's blur crosses band boundaries).
                 out = tone_and_bloom_banded(hdr, ctx.shard_axis,
                                             exposure=exposure,
-                                            grade=grade_vec, **kwargs)
+                                            grade=grade_vec, film=film_vec,
+                                            **kwargs)
             elif banded:
-                # Bands thinner than the halo (or odd): gather the whole
-                # surface, compute, slice back (correct for any size).
+                # Bands thinner than the halo (or odd), or chromatic
+                # aberration (whose radial reach exceeds the halo): gather
+                # the whole surface, compute, slice back.
                 import jax
 
                 full = tone_and_bloom(ctx.get_full(src), exposure=exposure,
-                                      grade=grade_vec, **kwargs)
+                                      grade=grade_vec, film=film_vec,
+                                      film_ca=film_ca, **kwargs)
                 y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
                 out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
             else:
                 out = tone_and_bloom(hdr, exposure=exposure, grade=grade_vec,
-                                     **kwargs)
+                                     film=film_vec, film_ca=film_ca, **kwargs)
             ctx.set(dst, out)
 
         node.execute(record)
