@@ -40,6 +40,10 @@ CONFIGS = {
     "dof": {"dof": True},
     "mblur": {"motion_blur": True},
     "soft": {"soft_shadows": True},
+    "contact": {"contact_shadows": True},
+    "flare": {"flare": True},
+    "sky": {"sky": True},
+    "film": {"film": True},
     "all": {"ibl": True, "ssao": True, "fxaa": True},
     "all_taa": {"ibl": True, "ssao": True, "taa": True,
                 "auto_exposure": True, "cascades": 3},
@@ -83,6 +87,8 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
         scene.sun = dc_replace(scene.sun, cascades=cfg["cascades"])
     if cfg.get("soft_shadows"):
         scene.sun = dc_replace(scene.sun, soft_shadows=True, vsm_blur=4)
+    if cfg.get("contact_shadows"):
+        scene.sun = dc_replace(scene.sun, contact_shadows=True)
     for i in range(cfg.get("spots", 0)):
         a = 2 * math.pi * i / cfg["spots"] + 0.8
         scene.spot_lights.append(SpotLight(
@@ -95,12 +101,16 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
     )
     from zenith_tpu.renderer import ColorGrade, DepthOfField
 
+    from zenith_tpu.renderer import FilmEffects
+
     post = PostProcess(
         fxaa=cfg.get("fxaa", False),
         auto_exposure=cfg.get("auto_exposure", False),
         grade=(ColorGrade(exposure_ev=0.15, contrast=1.08, saturation=1.12,
                           temperature=0.35, vignette=0.45)
                if cfg.get("grade") else None),
+        film=(FilmEffects(chromatic_aberration=2.5, sharpen=0.4, grain=0.035)
+              if cfg.get("film") else None),
     )
     taa = TemporalAA() if cfg.get("taa") else None
     from zenith_tpu.renderer import ScreenSpaceReflections
@@ -114,6 +124,19 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
     from zenith_tpu.renderer import MotionBlur
 
     mblur = MotionBlur() if cfg.get("motion_blur") else None
+    flare = None
+    if cfg.get("flare"):
+        from zenith_tpu.renderer import LensFlare
+
+        # Sun low on the horizon so the flare is actually in frame.
+        scene.sun = dc_replace(scene.sun, direction=(0.8, -0.55, 0.1))
+        flare = LensFlare()
+    if cfg.get("sky"):
+        from zenith_tpu.renderer import Atmosphere
+
+        scene.sun = dc_replace(scene.sun, direction=(0.8, -0.55, 0.1))
+        scene.skybox = None
+        scene.atmosphere = Atmosphere()
     present = PresentEncode(Format.BGRA8_SRGB)
     pipeline_cache = PipelineCache()
     options = CompileOptions()
@@ -173,6 +196,10 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
             fog.render_to(builder, post_in, fog_out, camera,
                           renderer.gbuffer_handles, sun=scene.sun)
             post_in = fog_out
+        if flare is not None:
+            for k, v in flare.sun_dynamics(camera, scene.sun.direction).items():
+                builder.set_dynamic(k, v)
+            flare.render_to(builder, post_in, sun_color=(1.0, 0.92, 0.8))
         if taa is not None:
             taa_out = builder.create(
                 TextureDesc.color("scene.taa", w, h, Format.RGBA32F)

@@ -35,6 +35,18 @@ run scene_probe --probe
 run scene_everything --taa --cascades 3 --auto-exposure --skinned \
     --morph --spots 3 --particles 128 --grade --dof --soft-shadows
 
+# 2b) Round-3 continuation #3 features (flare/sky/film/contact + terrain).
+ZENITH_ORBIT_START=2.2 run scene_flare --flare
+ZENITH_ORBIT_START=2.2 run scene_sky --sky
+ZENITH_ORBIT_START=2.2 run scene_sunset --sky --flare --grade
+run scene_film --film
+run scene_contact --contact-shadows
+echo "== terrain"
+timeout 900 python -m zenith_tpu.sandbox.terrain \
+  --frames 120 --out "$OUT/terrain.png" -- --grid 768 2>&1 | tail -2
+timeout 900 python -m zenith_tpu.sandbox.terrain \
+  --frames 120 --out "$OUT/terrain_2p9m.png" -- --grid 1200 2>&1 | tail -2
+
 # 3) Feature-cost matrix (subprocess per config already).
 echo "== profile_features"
 timeout 7200 python tools/profile_features.py

@@ -668,11 +668,17 @@ class DeferredRenderer:
         stacked model-matrix dynamic."""
         from zenith_tpu.renderer.forward import _camera_dynamics
 
+        atmo = self.scene.atmosphere if (
+            self.scene.skybox is None and self.scene.environment is None
+        ) else None
         d = _camera_dynamics(
             "def", camera,
             want_inv_vp=(self.scene.skybox is not None
-                         or self.scene.environment is not None),
+                         or self.scene.environment is not None
+                         or atmo is not None),
         )
+        if atmo is not None:
+            d["def.atmo"] = atmo.packed(float(camera.location[2]))
         sun = self.scene.sun
         if self.shadows and sun is not None and sun.cascades > 1:
             # Cascade fits follow the camera — per-frame values.
@@ -756,12 +762,23 @@ class DeferredRenderer:
             pl_rad = np.concatenate([pl_rad, sl_rad])
             builder.set_dynamic("def.sl_params", spot_params)
 
+        atmo = scene.atmosphere if (scene.skybox is None and env is None) \
+            else None
         builder.set_dynamic("def.view_proj", camera.render_view_projection)
         builder.set_dynamic("def.camera_pos", camera.location)
-        if scene.skybox is not None or env is not None:
+        if scene.skybox is not None or env is not None or atmo is not None:
             builder.set_dynamic(
                 "def.inv_vp", camera.render_inv_view_projection
             )
+        if atmo is not None:
+            builder.set_dynamic(
+                "def.atmo", atmo.packed(float(camera.location[2]))
+            )
+            if sun is None:
+                # The sky still needs a sun direction to scatter from.
+                builder.set_dynamic(
+                    "def.sun_dir", np.asarray([0.0, 0.0, 1.0], np.float32)
+                )
         if env is not None:
             # SH coefficients are host-resident by construction
             # (ops.ibl.irradiance_sh9_host) — no device readback.
@@ -1554,6 +1571,11 @@ class DeferredRenderer:
         )
         vsm_blur = int(sun.vsm_blur) if soft_shadows else 0
         vsm_bleed = float(sun.vsm_bleed_reduction) if soft_shadows else 0.0
+        contact_cfg = (
+            (float(sun.contact_strength), float(sun.contact_distance),
+             float(sun.contact_thickness), int(sun.contact_steps))
+            if has_sun and getattr(sun, "contact_shadows", False) else None
+        )
 
         def record_lighting(ctx):
             albedo_metal = ctx.get(a_in)
@@ -1695,6 +1717,27 @@ class DeferredRenderer:
                         & (uv[..., 1] >= 0) & (uv[..., 1] <= 1)
                     )
                     contrib = contrib * jnp.where(inside, lit, 1.0)[..., None]
+                if contact_cfg is not None:
+                    # Contact shadows: short G-buffer march toward the sun
+                    # (ops/contact.py) closes the shadow-map bias leak at
+                    # geometry-ground contacts.
+                    from zenith_tpu.ops.contact import contact_shadow_factor
+
+                    c_str, c_dist, c_thick, c_steps = contact_cfg
+                    row0 = 0
+                    tap_p, tap_d = world, depth
+                    if ctx.sharded and ctx.num_shards > 1:
+                        row0 = jax.lax.axis_index(ctx.shard_axis) \
+                            * depth.shape[0]
+                        tap_p = ctx.get_full(p_in)[..., :3]
+                        tap_d = ctx.get_full(d_in)
+                    cvis = contact_shadow_factor(
+                        world, depth, tap_p, tap_d, l, cam_pos,
+                        ctx.dynamic("def.view_proj"),
+                        strength=c_str, max_dist=c_dist,
+                        thickness=c_thick, steps=c_steps, row0=row0,
+                    )
+                    contrib = contrib * cvis[..., None]
                 color = color + contrib
 
             if num_lights:
@@ -1751,9 +1794,10 @@ class DeferredRenderer:
                     vis = jnp.where(dist < o_far, vis, 1.0)
                     color = color + contrib * vis[..., None]
 
-            if sky_in is not None:
-                # Skybox: cube-sample the per-pixel view ray for background
-                # pixels (proves the cube path end-to-end; texture.rs:94-105).
+            if sky_in is not None or atmo is not None:
+                # Per-pixel view rays for the background: cube-sample them
+                # (skybox/environment; texture.rs:94-105) or feed the
+                # procedural atmosphere march (ops.atmosphere).
                 from zenith_tpu.ops.sampling import sample_cube
 
                 hh, ww = depth.shape
@@ -1774,10 +1818,21 @@ class DeferredRenderer:
                 )
                 p = ndc @ ctx.dynamic("def.inv_vp").T
                 dirs = p[..., :3] / p[..., 3:4] - cam_pos
-                sky = ctx.get(sky_in)
-                if isinstance(sky, (tuple, list)):
-                    sky = sky[0]  # mipped env cube → raw environment level
-                bg = sample_cube(sky, dirs)[..., :3]
+                if sky_in is not None:
+                    sky = ctx.get(sky_in)
+                    if isinstance(sky, (tuple, list)):
+                        sky = sky[0]  # mipped env cube → raw env level
+                    bg = sample_cube(sky, dirs)[..., :3]
+                else:
+                    from zenith_tpu.ops.atmosphere import sky_radiance
+
+                    rays = dirs / jnp.linalg.norm(
+                        dirs, axis=-1, keepdims=True
+                    )
+                    bg = sky_radiance(
+                        rays, ctx.dynamic("def.sun_dir"),
+                        ctx.dynamic("def.atmo"), atmo,
+                    )
             else:
                 bg = jnp.broadcast_to(ctx.dynamic("def.background"), color.shape)
             rgb = jnp.where(covered, color, bg)

@@ -326,6 +326,15 @@ class DirectionalLight:
     soft_shadows: bool = False
     vsm_blur: int = 3  # moment-blur radius in shadow texels per box pass
     vsm_bleed_reduction: float = 0.4
+    # Screen-space contact shadows (ops/contact.py; deferred only): a
+    # short G-buffer ray march toward the sun closes the shadow-map bias
+    # leak where geometry meets the ground. Knobs are baked trace
+    # constants like every other sun field (changing them recompiles).
+    contact_shadows: bool = False
+    contact_strength: float = 0.85
+    contact_distance: float = 3.0  # march range, world units
+    contact_thickness: float = 1.0  # occluder thickness window
+    contact_steps: int = 8
 
     @property
     def effective_normal_offset(self) -> float:
@@ -384,6 +393,11 @@ class Scene:
     # are lit and shadowed like any surface detail. Moving one is a dynamic
     # (no recompile); adding/removing one recompiles like a draw-list change.
     decals: "list" = field(default_factory=list)
+    # Procedural sky (ops.atmosphere.Atmosphere; deferred renderer only):
+    # single-scatter Rayleigh+Mie background computed from the per-pixel
+    # view ray and the sun direction. Lowest background priority: an
+    # explicit ``skybox`` or ``environment`` cube wins.
+    atmosphere: "Optional[object]" = None
 
     def point_light_arrays(self) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
         """(L, 3) positions, (L, 3) colors·intensity, (L,) radii.

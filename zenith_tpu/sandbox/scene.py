@@ -507,6 +507,16 @@ class SceneApp(RenderableApp):
                             help="cinematic color grade (warm white "
                                  "balance, contrast, saturation, vignette "
                                  "— packed dynamic, live-tweakable)")
+        parser.add_argument("--film", action="store_true",
+                            help="film effects bundle: chromatic "
+                                 "aberration + CAS sharpen + animated "
+                                 "grain after the tonemap (packed "
+                                 "dynamic, live-tweakable)")
+        parser.add_argument("--contact-shadows", action="store_true",
+                            help="screen-space contact shadows: short "
+                                 "G-buffer march toward the sun closes "
+                                 "the shadow-map bias leak at contacts "
+                                 "(deferred only)")
         parser.add_argument("--point-shadows", action="store_true",
                             help="one shadow-casting point light (omni cube "
                                  "shadow: 6 render-to-layer depth faces + "
@@ -546,6 +556,19 @@ class SceneApp(RenderableApp):
                             help="multisampling on the forward lit pass "
                                  "(forward mode only)")
         parser.add_argument(
+            "--sky", action="store_true",
+            help="procedural atmosphere sky (deferred): single-scatter "
+                 "Rayleigh+Mie background from the sun direction; drops "
+                 "the sun toward the horizon for a sunset (combine with "
+                 "--flare)",
+        )
+        parser.add_argument(
+            "--flare", action="store_true",
+            help="lens flare: procedural ghosts/halo/streak on the HDR "
+                 "frame with an occlusion brightness probe at the sun "
+                 "(needs post processing, i.e. not --no-post)",
+        )
+        parser.add_argument(
             "--decals", type=int, default=0,
             help="N projected decals stamped in a ring on the ground "
                  "(deferred): G-buffer albedo rewrite before lighting — "
@@ -581,9 +604,15 @@ class SceneApp(RenderableApp):
         self.n_particles = ns.particles if ns.mode == "deferred" else 0
         self.point_shadows = ns.point_shadows and ns.mode == "deferred"
         self.use_grade = ns.grade
+        self.use_film = ns.film
+        self.contact_shadows = ns.contact_shadows and ns.mode == "deferred"
         self.use_probe = ns.probe and ns.mode == "deferred"
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
         self.n_decals = ns.decals if ns.mode == "deferred" else 0
+        self.use_sky = ns.sky and ns.mode == "deferred"
+        self.use_flare = ns.flare
+        self.flare = None
+        self._sun_dir = (0.35, -0.3, 0.88)
         self.use_pick = ns.pick and ns.mode == "deferred"
         self._picked_name: "str | None" = None
         self.use_ssr = ns.ssr and ns.mode == "deferred"
@@ -609,7 +638,9 @@ class SceneApp(RenderableApp):
         self.renderer = None
         self.post: Optional[PostProcess] = None
         self.camera: Optional[Camera] = None
-        self.orbit = 0.0
+        # ZENITH_ORBIT_START pins the camera's initial orbit angle (rad) —
+        # deterministic viewpoints for gallery captures and demos.
+        self.orbit = float(os.environ.get("ZENITH_ORBIT_START", "0.0"))
         self._radius = 120.0
         self._height = 20.0
 
@@ -701,6 +732,10 @@ class SceneApp(RenderableApp):
             from dataclasses import replace as _dc_replace
 
             scene.sun = _dc_replace(scene.sun, soft_shadows=True)
+        if self.contact_shadows and scene.sun is not None:
+            from dataclasses import replace as _dc_replace
+
+            scene.sun = _dc_replace(scene.sun, contact_shadows=True)
         if self.mode == "deferred":
             from zenith_tpu.renderer import SSAOOptions
 
@@ -720,11 +755,36 @@ class SceneApp(RenderableApp):
             grade = ColorGrade(exposure_ev=0.15, contrast=1.08,
                                saturation=1.12, temperature=0.35,
                                tint=-0.05, vignette=0.45)
+        film = None
+        if self.use_film:
+            from zenith_tpu.renderer import FilmEffects
+
+            film = FilmEffects(chromatic_aberration=2.5, sharpen=0.4,
+                               grain=0.035)
         self.post = (
             PostProcess(bloom_mips=self.bloom_mips, fxaa=self.fxaa,
-                        auto_exposure=self.auto_exposure, grade=grade)
+                        auto_exposure=self.auto_exposure, grade=grade,
+                        film=film)
             if self.post_enabled else None
         )
+        if (self.use_sky or self.use_flare) and scene.sun is not None:
+            from dataclasses import replace as _dc_replace
+
+            # Sunset demo: drop the sun toward the horizon so it actually
+            # enters the orbit camera's 35-degree frame (the default sun
+            # sits at ~62 degrees elevation, permanently out of view).
+            scene.sun = _dc_replace(scene.sun, direction=(0.8, -0.55, 0.1))
+            self._sun_dir = scene.sun.direction
+        if self.use_sky and scene.environment is None:
+            from zenith_tpu.renderer import Atmosphere
+
+            # The procedural sky replaces the demo cube skybox.
+            scene.skybox = None
+            scene.atmosphere = Atmosphere()
+        if self.use_flare and self.post is not None and scene.sun is not None:
+            from zenith_tpu.renderer import LensFlare
+
+            self.flare = LensFlare()
         self.camera = Camera(
             fov_y=Degree(35.0), aspect_ratio=window.width / max(window.height, 1)
         )
@@ -811,6 +871,8 @@ class SceneApp(RenderableApp):
             d.update(self.dof.frame_dynamics())
         if self.mblur is not None:
             d.update(self.mblur.frame_dynamics(self.camera))
+        if self.flare is not None:
+            d.update(self.flare.sun_dynamics(self.camera, self._sun_dir))
         if self.psys is not None:
             d.update(self.psys.frame_dynamics(self._dt))
             d["def.inst.sparks"] = self.psys.positions
@@ -899,6 +961,15 @@ class SceneApp(RenderableApp):
                                self.renderer.gbuffer_handles,
                                sun=self.renderer.scene.sun)
             target = fog_out
+
+        if self.flare is not None:
+            # Lens flare on the HDR frame after scene effects, before TAA
+            # (the ghosts anti-alias and stabilize like scene content).
+            for k, v in self.flare.sun_dynamics(
+                self.camera, self._sun_dir
+            ).items():
+                builder.set_dynamic(k, v)
+            self.flare.render_to(builder, target, sun_color=(1.0, 0.92, 0.8))
 
         if self.taa is not None:
             # The TAA output must be its OWN resource whenever any later
