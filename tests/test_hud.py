@@ -104,6 +104,30 @@ class TestGraph:
         assert frame_program_cache_size() == 1
         assert np.abs(a - b).max() > 0.0  # the text actually changed
 
+    def test_scene_hud_one_program(self):
+        """--hud on the sandbox: the FPS text updates every frame yet ONE
+        frame program serves the run (the bitmap is a dynamic)."""
+        from zenith_tpu.launch import launch
+        from zenith_tpu.rendergraph.graph import (
+            clear_frame_program_cache,
+            frame_program_cache_size,
+        )
+        from zenith_tpu.sandbox.scene import SceneApp
+        from zenith_tpu.window import Window
+
+        clear_frame_program_cache()
+        window = Window(width=128, height=64, title="t")
+        launch(
+            SceneApp,
+            argv=["--", "--mode", "deferred", "--lights", "4", "--hud"],
+            window=window,
+            max_frames=4,
+        )
+        assert frame_program_cache_size() == 1
+        frame = np.asarray(window.last_frame)
+        # The HUD box region differs from its neighborhood below.
+        assert frame[8:20, 8:60, :3].std() > 1.0
+
     def test_spmd_matches_single_device(self, cpu_devices):
         """The overlay spans several 8-row bands (margin 8, height 16):
         the padded dynamic-slice composite must tile exactly."""

@@ -507,6 +507,11 @@ class SceneApp(RenderableApp):
                             help="cinematic color grade (warm white "
                                  "balance, contrast, saturation, vignette "
                                  "— packed dynamic, live-tweakable)")
+        parser.add_argument("--hud", action="store_true",
+                            help="on-screen debug HUD: FPS + object "
+                                 "count, host-rasterized bitfont riding "
+                                 "a dynamic (text changes never "
+                                 "recompile)")
         parser.add_argument("--film", action="store_true",
                             help="film effects bundle: chromatic "
                                  "aberration + CAS sharpen + animated "
@@ -605,6 +610,9 @@ class SceneApp(RenderableApp):
         self.point_shadows = ns.point_shadows and ns.mode == "deferred"
         self.use_grade = ns.grade
         self.use_film = ns.film
+        self.hud = None
+        self.use_hud = ns.hud
+        self._hud_fps = 0.0
         self.contact_shadows = ns.contact_shadows and ns.mode == "deferred"
         self.use_probe = ns.probe and ns.mode == "deferred"
         self.soft_shadows = ns.soft_shadows and ns.mode == "deferred"
@@ -785,6 +793,11 @@ class SceneApp(RenderableApp):
             from zenith_tpu.renderer import LensFlare
 
             self.flare = LensFlare()
+        if self.use_hud:
+            from zenith_tpu.renderer.hud import HudOverlay
+
+            self.hud = HudOverlay(max_chars=24, scale=2)
+            self.hud.set_text("FPS ----")
         self.camera = Camera(
             fov_y=Degree(35.0), aspect_ratio=window.width / max(window.height, 1)
         )
@@ -830,6 +843,17 @@ class SceneApp(RenderableApp):
             self.post.set_delta_time(delta_time)
         self._anim_t += delta_time
         self._dt = delta_time
+        if self.hud is not None and delta_time > 0.0:
+            # Exp-smoothed FPS; set_text caches, so equal strings are free
+            # and the bitmap only re-rasterizes when the number moves.
+            inst = 1.0 / delta_time
+            self._hud_fps = (
+                inst if self._hud_fps == 0.0
+                else self._hud_fps + 0.05 * (inst - self._hud_fps)
+            )
+            n_obj = (len(self.renderer.scene.objects)
+                     if self.renderer is not None else 0)
+            self.hud.set_text(f"FPS {self._hud_fps:5.0f}  OBJ {n_obj}")
         if self.psys is not None:
             for obj in (self.renderer.scene.objects
                         if self.renderer is not None else []):
@@ -873,6 +897,8 @@ class SceneApp(RenderableApp):
             d.update(self.mblur.frame_dynamics(self.camera))
         if self.flare is not None:
             d.update(self.flare.sun_dynamics(self.camera, self._sun_dir))
+        if self.hud is not None:
+            d.update(self.hud.frame_dynamics())
         if self.psys is not None:
             d.update(self.psys.frame_dynamics(self._dt))
             d["def.inst.sparks"] = self.psys.positions
@@ -1017,6 +1043,10 @@ class SceneApp(RenderableApp):
             self.post.render_to(builder, target, out)
             if self.post.exposure_out is not None:
                 context.request_output("post.ae", self.post.exposure_out)
+
+        if self.hud is not None:
+            # On-screen stats, last: composited over the final LDR image.
+            self.hud.render_to(builder, out)
 
 
 def main() -> None:
