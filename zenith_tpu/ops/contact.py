@@ -56,33 +56,23 @@ def contact_shadow_factor(
 
     phase = _pixel_hash_angle(h, w, row0) * (0.5 / np.pi)  # [0, 1)
 
-    flat_pd = jnp.concatenate(
-        [tap_pos, tap_depth[..., None]], axis=-1
-    ).reshape(-1, 4)
+    from zenith_tpu.ops.screentrace import (
+        pack_tap_plane,
+        project_to_screen,
+        tap_radial_gap,
+    )
+
+    flat_pd = pack_tap_plane(tap_pos, tap_depth)
 
     occluded = jnp.zeros((h, w), bool)
     for i in range(steps):
-        t = max_dist * (i + 0.5 + phase) / steps
+        # (i + phase)/steps spans [0, max_dist) exactly — the phase IS the
+        # in-step offset (adding another 0.5 would both start late and
+        # overshoot max_dist by up to half a step).
+        t = max_dist * (i + phase) / steps
         q = world_pos + sun_dir * t[..., None]
-        clip = (
-            jnp.concatenate([q, jnp.ones_like(q[..., :1])], axis=-1)
-            @ view_proj.T
-        )
-        cw = clip[..., 3]
-        ok = cw > 1e-4
-        cwc = jnp.maximum(cw, 1e-4)
-        sx = (clip[..., 0] / cwc * 0.5 + 0.5) * wf - 0.5
-        sy = (clip[..., 1] / cwc * 0.5 + 0.5) * hf - 0.5
-        inside = ok & (sx >= 0) & (sx <= wf - 1) & (sy >= 0) & (sy <= hf - 1)
-        ix = jnp.clip(jnp.floor(sx + 0.5).astype(jnp.int32), 0, wf - 1)
-        iy = jnp.clip(jnp.floor(sy + 0.5).astype(jnp.int32), 0, hf - 1)
-        tap = jnp.take(flat_pd, (iy * wf + ix).reshape(-1), axis=0).reshape(
-            h, w, 4
-        )
-        s_pos, s_dep = tap[..., :3], tap[..., 3]
-        dq = jnp.linalg.norm(q - cam_pos, axis=-1)
-        ds = jnp.linalg.norm(s_pos - cam_pos, axis=-1)
-        gap = dq - ds
+        _, _, inside, idx = project_to_screen(q, view_proj, hf, wf)
+        s_dep, gap = tap_radial_gap(flat_pd, idx, q, cam_pos, (h, w))
         occluded = occluded | (
             inside & (s_dep > 0.0)
             & (gap > _HIT_BIAS) & (gap < thickness)

@@ -44,16 +44,25 @@ def hemisphere_kernel(samples: int, seed: int = 11) -> np.ndarray:
     return (v * scale[:, None]).astype(np.float32)
 
 
-def _pixel_hash_angle(h: int, w: int, row0=0) -> jnp.ndarray:
-    """(H, W) per-pixel rotation angle from an integer coordinate hash
-    (elementwise — replaces the classic 4x4 noise texture). ``row0``
-    offsets to GLOBAL rows so SPMD bands hash identically to single-chip."""
+def _pixel_hash_bits(h: int, w: int, row0=0, seed=None) -> jnp.ndarray:
+    """(H, W) uint32 integer-coordinate hash, low 16 bits uniform — THE
+    shared screen-space dither source (SSAO/SSR/contact/volumetric marches,
+    film grain). ``row0`` offsets to GLOBAL rows so SPMD bands hash
+    identically to single-chip; ``seed`` (traced ok) remixes per frame."""
     ys = (jnp.asarray(row0, jnp.uint32) + jnp.arange(h, dtype=jnp.uint32))[:, None]
     xs = jnp.arange(w, dtype=jnp.uint32)[None, :]
     n = ys * jnp.uint32(374761393) + xs * jnp.uint32(668265263)
+    if seed is not None:
+        n = n + jnp.asarray(seed, jnp.uint32) * jnp.uint32(2654435761)
     n = (n ^ (n >> jnp.uint32(13))) * jnp.uint32(1274126177)
     n = n ^ (n >> jnp.uint32(16))
-    return (n & jnp.uint32(0xFFFF)).astype(jnp.float32) * (
+    return n & jnp.uint32(0xFFFF)
+
+
+def _pixel_hash_angle(h: int, w: int, row0=0) -> jnp.ndarray:
+    """(H, W) per-pixel rotation angle from the coordinate hash
+    (elementwise — replaces the classic 4x4 noise texture)."""
+    return _pixel_hash_bits(h, w, row0).astype(jnp.float32) * (
         2.0 * np.pi / 65536.0
     )
 

@@ -100,38 +100,27 @@ def ssr_reflect(
         phase = jnp.full((h, w), 0.5, jnp.float32)
 
     # One packed tap plane: (H·W, 4) = world position ++ depth.
-    flat_pd = jnp.concatenate(
-        [world_pos, depth[..., None]], axis=-1
-    ).reshape(-1, 4)
+    from zenith_tpu.ops.screentrace import (
+        pack_tap_plane,
+        project_to_screen,
+        tap_radial_gap,
+    )
+
+    flat_pd = pack_tap_plane(world_pos, depth)
     flat_rgb = rgb.reshape(-1, 3)
     flat_n = n.reshape(-1, 3)
 
     def project(q):
         """World point → (sx, sy pixel-center coords, inside, tap index)."""
-        clip = (
-            jnp.concatenate([q, jnp.ones_like(q[..., :1])], axis=-1)
-            @ view_proj.T
-        )
-        cw = clip[..., 3]
-        ok = cw > 1e-4
-        cwc = jnp.maximum(cw, 1e-4)
-        sx = (clip[..., 0] / cwc * 0.5 + 0.5) * w - 0.5
-        sy = (clip[..., 1] / cwc * 0.5 + 0.5) * h - 0.5
-        inside = ok & (sx >= 0) & (sx <= w - 1) & (sy >= 0) & (sy <= h - 1)
-        ix = jnp.clip(jnp.floor(sx + 0.5).astype(jnp.int32), 0, w - 1)
-        iy = jnp.clip(jnp.floor(sy + 0.5).astype(jnp.int32), 0, h - 1)
-        return sx, sy, inside, (iy * w + ix).reshape(-1)
+        return project_to_screen(q, view_proj, h, w)
 
     def march_state(q):
         """Gathered surface comparison at the ray point ``q``: whether
         the ray is behind visible geometry there, and by how much."""
         sx, sy, inside, idx = project(q)
-        tap = jnp.take(flat_pd, idx, axis=0).reshape(h, w, 4)
-        s_pos, s_dep = tap[..., :3], tap[..., 3]
-        dq = jnp.linalg.norm(q - cam_pos, axis=-1)
-        ds = jnp.linalg.norm(s_pos - cam_pos, axis=-1)
-        behind = inside & (s_dep > 0.0) & (dq > ds + _HIT_BIAS)
-        return behind, dq - ds, (sx, sy, inside)
+        s_dep, gap = tap_radial_gap(flat_pd, idx, q, cam_pos, (h, w))
+        behind = inside & (s_dep > 0.0) & (gap > _HIT_BIAS)
+        return behind, gap, (sx, sy, inside)
 
     # -- coarse march: first step whose ray point falls behind geometry
     # within ``thickness`` becomes the hit bracket [t_lo, t_hi].

@@ -46,6 +46,7 @@ __all__ = [
     "ParticleSystem",
     "PointLight",
     "PostProcess",
+    "Decal",
     "PresentEncode",
     "capture_reflection_probe",
     "SSAOOptions",

@@ -120,16 +120,14 @@ class LensFlare:
             vis = ctx.dynamic("flare.vis")
             row0 = 0
             full_h = img.shape[0]
-            probe_src = img
+            psum_axis = None
             if ctx.sharded and ctx.num_shards > 1:
                 full_h = img.shape[0] * ctx.num_shards
                 row0 = jax.lax.axis_index(ctx.shard_axis) * img.shape[0]
-                if cfg.occlusion:
-                    # The probe window may live in another band.
-                    probe_src = ctx.get_full(src)
+                psum_axis = ctx.shard_axis
             if cfg.occlusion:
                 vis = vis * _probe_visibility(
-                    probe_src[..., :3], sun_uv, cfg
+                    img[..., :3], sun_uv, cfg, row0, full_h, psum_axis
                 )
             out_rgb = _apply_flare(
                 img[..., :3], sun_uv, vis, col, cfg, row0, full_h
@@ -139,18 +137,34 @@ class LensFlare:
         node.execute(record)
 
 
-def _probe_visibility(rgb_full, sun_uv, cfg: LensFlare):
+def _probe_visibility(rgb, sun_uv, cfg: LensFlare, row0=0,
+                      full_h: "int | None" = None, psum_axis=None):
     """Mean luminance of a probe_px² window at the sun pixel, smoothstepped
     to [0,1]. Traced dynamic_slice — the start index is a dynamic value, so
-    one cached program serves every sun position."""
-    h, w = rgb_full.shape[0], rgb_full.shape[1]
+    one cached program serves every sun position.
+
+    SPMD: each band sums the window rows IT owns (slicing a k-padded local
+    luminance plane, so bands the window misses contribute exactly the zero
+    padding) and one scalar ``psum`` combines them — no full-surface
+    all-gather for an 8×8 probe."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    if full_h is None:
+        full_h = h
     k = cfg.probe_px
     cx = jnp.clip((sun_uv[0] * w).astype(jnp.int32) - k // 2, 0, w - k)
-    cy = jnp.clip((sun_uv[1] * h).astype(jnp.int32) - k // 2, 0, h - k)
-    win = jax.lax.dynamic_slice(rgb_full, (cy, cx, 0), (k, k, 3))
-    luma = jnp.mean(
-        jnp.sum(win * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
+    gy = jnp.clip(
+        (sun_uv[1] * full_h).astype(jnp.int32) - k // 2, 0, full_h - k
     )
+    luma_plane = jnp.sum(
+        rgb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1
+    )
+    padded = jnp.pad(luma_plane, ((k, k), (0, 0)))
+    start = gy - jnp.asarray(row0, jnp.int32) + k
+    win = jax.lax.dynamic_slice(padded, (start, cx), (k, k))
+    total = jnp.sum(win)
+    if psum_axis is not None:
+        total = jax.lax.psum(total, psum_axis)
+    luma = total / float(k * k)
     t = jnp.clip(
         (luma - cfg.probe_lo) / max(cfg.probe_hi - cfg.probe_lo, 1e-6),
         0.0, 1.0,

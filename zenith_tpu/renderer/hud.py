@@ -127,12 +127,17 @@ class HudOverlay:
     # -- graph node ----------------------------------------------------------
 
     def render_to(self, builder: RenderGraphBuilder,
-                  target: RenderGraphResource) -> None:
+                  target: RenderGraphResource,
+                  source: "RenderGraphResource | None" = None) -> None:
         """Composite the overlay into ``target`` (LDR, post-tonemap) in
-        place. Call AFTER PostProcess, BEFORE PresentEncode."""
+        place, or — when ``source`` is given — read ``source`` and write
+        the composite into ``target`` (copy+overlay: lets a history-
+        exporting stage like TAA keep its own clean output while the HUD
+        bridges it to the swapchain). Call AFTER PostProcess, BEFORE
+        PresentEncode."""
         builder.set_dynamic("hud.bitmap", self._bitmap)
         node = builder.add_lambda_node("hud")
-        src = node.read(target)
+        src = node.read(source if source is not None else target)
         dst = node.write(target)
         bh, bw = self.bitmap_shape
         margin = self.margin

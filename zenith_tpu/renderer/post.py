@@ -161,13 +161,11 @@ def _bilinear_plane(plane: jnp.ndarray, sy: jnp.ndarray,
 
 
 def apply_film(mapped: jnp.ndarray, f: jnp.ndarray, ca_enabled: bool,
-               row0=0, full_h: "int | None" = None) -> jnp.ndarray:
+               row0=0) -> jnp.ndarray:
     """The FilmEffects chain on tonemapped LDR rgb. ``f`` is the packed
     (5,) vector. With ``ca_enabled`` the input must be the FULL surface
     (the radial resample reaches across row bands)."""
     h, w = mapped.shape[0], mapped.shape[1]
-    if full_h is None:
-        full_h = h
     if ca_enabled:
         # Lateral CA: R sampled outward, B inward, scaled about the image
         # center with a quadratic radial profile.
@@ -193,17 +191,15 @@ def apply_film(mapped: jnp.ndarray, f: jnp.ndarray, ca_enabled: bool,
         + jnp.roll(mapped, 1, axis=1) + jnp.roll(mapped, -1, axis=1)
     )
     mapped = jnp.clip(mapped + f[1] * (mapped - blur), 0.0, 1.0)
-    # Film grain: integer-coordinate hash over GLOBAL rows, remixed by the
-    # per-frame seed, attenuated in highlights by grain_response.
-    gy = (jnp.asarray(row0, jnp.int32).astype(jnp.uint32)
-          + jnp.arange(h, dtype=jnp.uint32))[:, None]
-    gx = jnp.arange(w, dtype=jnp.uint32)[None, :]
-    seed = f[3].astype(jnp.uint32)
-    n = (gy * jnp.uint32(374761393) + gx * jnp.uint32(668265263)
-         + seed * jnp.uint32(2654435761))
-    n = (n ^ (n >> jnp.uint32(13))) * jnp.uint32(1274126177)
-    n = n ^ (n >> jnp.uint32(16))
-    noise = (n & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0 - 0.5
+    # Film grain: the shared screen-dither hash over GLOBAL rows, remixed
+    # by the per-frame seed, attenuated in highlights by grain_response.
+    from zenith_tpu.ops.ssao import _pixel_hash_bits
+
+    bits = _pixel_hash_bits(
+        h, w, jnp.asarray(row0, jnp.int32).astype(jnp.uint32),
+        seed=f[3].astype(jnp.uint32),
+    )
+    noise = bits.astype(jnp.float32) / 65535.0 - 0.5
     lw = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
     luma = jnp.sum(mapped * lw, axis=-1)
     amp = f[2] * (1.0 - f[4] * jnp.clip(luma, 0.0, 1.0))
@@ -299,7 +295,7 @@ def tone_and_bloom(
 
         mapped = post_aa(mapped)
     if film is not None:
-        mapped = apply_film(mapped, film, film_ca, row0=row0, full_h=full_h)
+        mapped = apply_film(mapped, film, film_ca, row0=row0)
     return jnp.concatenate([mapped, hdr[..., 3:4]], axis=-1)
 
 

@@ -934,13 +934,48 @@ class SceneApp(RenderableApp):
         builder = context.builder()
         out = builder.import_resource(context.swapchain_texture())
 
-        if (self.post is not None or self.taa is not None
-                or self.mblur is not None or self.ssr is not None
-                or self.fog is not None):
-            hdr = builder.create(
+        # Ordered post chain: (name, render(src, dst), exports_history).
+        # Built ONCE per frame so the intermediate-vs-swapchain decision is
+        # positional — every stage except the final swapchain writer gets a
+        # fresh intermediate, and a history-exporting stage (TAA) never
+        # shares its output with a later in-place writer (HUD):
+        # request_output captures a resource's FINAL contents, so aliasing
+        # would feed the overlay back as next frame's history.
+        chain = []
+        if self.ssr is not None:
+            # Reflections resolve on the LIT frame before TAA so they get
+            # anti-aliased (and jitter-dithered) like everything else.
+            chain.append(("ssr", lambda src, dst: self.ssr.render_to(
+                builder, src, dst, self.camera,
+                self.renderer.gbuffer_handles), False))
+        if self.fog is not None:
+            # Volumetric scattering over the lit (and reflected) frame;
+            # pre-TAA so the march dither resolves temporally.
+            chain.append(("fog", lambda src, dst: self.fog.render_to(
+                builder, src, dst, self.camera,
+                self.renderer.gbuffer_handles,
+                sun=self.renderer.scene.sun), False))
+        if self.taa is not None:
+            def _taa_stage(src, dst):
+                self.taa.render_to(
+                    builder, src, dst, self.camera, width, height,
+                    self.renderer.gbuffer_handles,
+                )
+                context.request_output("taa.history", dst)
+            chain.append(("taa", _taa_stage, True))
+        if self.mblur is not None:
+            # Blur the anti-aliased frame (post-TAA), before DoF/post.
+            chain.append(("mblur", lambda src, dst: self.mblur.render_to(
+                builder, src, dst, self.camera,
+                self.renderer.gbuffer_handles), False))
+        if self.dof is not None:
+            chain.append(("dof", lambda src, dst: self.dof.render_to(
+                builder, src, dst, self.renderer.gbuffer_handles), False))
+
+        if chain or self.post is not None:
+            target = builder.create(
                 TextureDesc.color("scene.hdr", width, height, Format.RGBA32F)
             )
-            target = hdr
         else:
             target = out
 
@@ -957,96 +992,55 @@ class SceneApp(RenderableApp):
             context.request_output("psys.state", state_h)
             context.request_output("psys.pos", pos_h)
 
-        if self.ssr is not None:
-            # Reflections resolve on the LIT frame before TAA so they get
-            # anti-aliased (and jitter-dithered) like everything else.
-            ssr_out = (
-                builder.create(TextureDesc.color(
-                    "scene.ssr", width, height, Format.RGBA32F
-                ))
-                if (self.post is not None or self.taa is not None
-                    or self.dof is not None or self.mblur is not None)
-                else out
-            )
-            self.ssr.render_to(builder, target, ssr_out, self.camera,
-                               self.renderer.gbuffer_handles)
-            target = ssr_out
-
-        if self.fog is not None:
-            # Volumetric scattering over the lit (and reflected) frame;
-            # pre-TAA so the march dither resolves temporally.
-            fog_out = (
-                builder.create(TextureDesc.color(
-                    "scene.fog", width, height, Format.RGBA32F
-                ))
-                if (self.post is not None or self.taa is not None
-                    or self.dof is not None or self.mblur is not None)
-                else out
-            )
-            self.fog.render_to(builder, target, fog_out, self.camera,
-                               self.renderer.gbuffer_handles,
-                               sun=self.renderer.scene.sun)
-            target = fog_out
-
         if self.flare is not None:
             # Lens flare on the HDR frame after scene effects, before TAA
             # (the ghosts anti-alias and stabilize like scene content).
-            for k, v in self.flare.sun_dynamics(
-                self.camera, self._sun_dir
-            ).items():
-                builder.set_dynamic(k, v)
-            self.flare.render_to(builder, target, sun_color=(1.0, 0.92, 0.8))
+            # In-place on the current target: it never moves the chain.
+            def _flare_inplace(tgt):
+                for k, v in self.flare.sun_dynamics(
+                    self.camera, self._sun_dir
+                ).items():
+                    builder.set_dynamic(k, v)
+                self.flare.render_to(builder, tgt,
+                                     sun_color=(1.0, 0.92, 0.8))
+        else:
+            _flare_inplace = None
 
-        if self.taa is not None:
-            # The TAA output must be its OWN resource whenever any later
-            # pass (DoF, post) writes downstream: taa_out aliasing the
-            # final target would feed the blurred/tonemapped image back
-            # as history and compound every frame.
-            taa_out = (
-                builder.create(TextureDesc.color(
-                    "scene.taa", width, height, Format.RGBA32F
-                ))
-                if (self.post is not None or self.dof is not None
-                    or self.mblur is not None) else out
-            )
-            self.taa.render_to(
-                builder, target, taa_out, self.camera, width, height,
-                self.renderer.gbuffer_handles,
-            )
-            context.request_output("taa.history", taa_out)
-            target = taa_out
+        # flare slots in after fog (or after the scene render if no
+        # ssr/fog), before TAA — find its position in the chain.
+        flare_after = sum(1 for name, _, _ in chain if name in ("ssr", "fog"))
 
-        if self.mblur is not None:
-            # Blur the anti-aliased frame (post-TAA), before DoF/post.
-            mb_out = (
-                builder.create(TextureDesc.color(
-                    "scene.mblur", width, height, Format.RGBA32F
+        for i, (name, render_stage, exports) in enumerate(chain):
+            if _flare_inplace is not None and i == flare_after:
+                _flare_inplace(target)
+                _flare_inplace = None
+            last_writer = (i == len(chain) - 1) and self.post is None
+            # An exporting stage may only write the swapchain directly if
+            # nothing composites onto it afterwards.
+            if last_writer and not (exports and self.hud is not None):
+                dst = out
+            else:
+                dst = builder.create(TextureDesc.color(
+                    f"scene.{name}", width, height, Format.RGBA32F
                 ))
-                if (self.post is not None or self.dof is not None) else out
-            )
-            self.mblur.render_to(builder, target, mb_out, self.camera,
-                                 self.renderer.gbuffer_handles)
-            target = mb_out
-
-        if self.dof is not None:
-            dof_out = (
-                builder.create(TextureDesc.color(
-                    "scene.dof", width, height, Format.RGBA32F
-                ))
-                if self.post is not None else out
-            )
-            self.dof.render_to(builder, target, dof_out,
-                               self.renderer.gbuffer_handles)
-            target = dof_out
+            render_stage(target, dst)
+            target = dst
+        if _flare_inplace is not None:
+            _flare_inplace(target)
 
         if self.post is not None:
             self.post.render_to(builder, target, out)
+            target = out
             if self.post.exposure_out is not None:
                 context.request_output("post.ae", self.post.exposure_out)
 
         if self.hud is not None:
             # On-screen stats, last: composited over the final LDR image.
-            self.hud.render_to(builder, out)
+            # When the chain's last stage kept a private history resource,
+            # the HUD bridges it to the swapchain (read target, write out).
+            self.hud.render_to(
+                builder, out, source=target if target is not out else None
+            )
 
 
 def main() -> None:
