@@ -175,3 +175,89 @@ class TestResize:
         app.resize(200, 100)
         assert app._extent == (200, 100)
         assert app.taa._history is None  # history dropped
+
+
+class TestAutoRetained:
+    """Auto-retained execution: apps that provide update_dynamics get the
+    retained path BY DEFAULT — app.render runs once, every later frame is
+    one pack + one dispatch of the cached program."""
+
+    def test_triangle_app_auto_retains(self):
+        from zenith_tpu.sandbox.triangle import TriangleApp
+
+        calls = []
+
+        class App(TriangleApp):
+            def render(self, context):
+                calls.append(1)
+                super().render(context)
+
+        from zenith_tpu.rendergraph.graph import clear_frame_program_cache
+
+        clear_frame_program_cache()
+        window = Window(width=W, height=H, title="t")
+        loop = launch(App, argv=[], window=window, max_frames=5)
+        assert loop.frames_rendered == 5
+        assert len(calls) == 1  # frames 2-5 re-executed the cached program
+        frame = np.asarray(window.last_frame)
+        assert frame[..., :3].std() > 1.0
+
+    def test_scene_app_auto_retains_and_structure_fallback(self):
+        """SceneApp defaults to auto-retained; mark_structure_dirty routes
+        ONE frame through the rebuild path (the structure-change fallback),
+        then retained execution resumes."""
+        from zenith_tpu.core.cli import EngineArgs
+        from zenith_tpu.engine import Engine
+        from zenith_tpu.sandbox.scene import SceneApp
+
+        calls = []
+
+        class App(SceneApp):
+            def render(self, context):
+                calls.append(1)
+                super().render(context)
+
+        window = Window(width=128, height=64, title="t")
+        engine = Engine(window)
+        app = App(EngineArgs(app_args=[
+            "--mode", "deferred", "--lights", "2",
+        ]))
+        app.prepare(engine.render_device, window)
+        for _ in range(3):
+            app.tick(0.016)
+            engine.render(app)
+        assert len(calls) == 1  # frames 2-3 retained
+        app.mark_structure_dirty()
+        app.tick(0.016)
+        engine.render(app)
+        assert len(calls) == 2  # fallback: rebuild path ran once
+        app.tick(0.016)
+        engine.render(app)
+        assert len(calls) == 2  # retained again
+        engine.shutdown()
+        frame = np.asarray(window.last_frame)
+        assert frame[..., :3].std() > 1.0
+
+    def test_no_retained_flag_rebuilds_every_frame(self):
+        from zenith_tpu.core.cli import EngineArgs
+        from zenith_tpu.engine import Engine
+        from zenith_tpu.sandbox.scene import SceneApp
+
+        calls = []
+
+        class App(SceneApp):
+            def render(self, context):
+                calls.append(1)
+                super().render(context)
+
+        window = Window(width=128, height=64, title="t")
+        engine = Engine(window)
+        app = App(EngineArgs(app_args=[
+            "--mode", "deferred", "--lights", "2", "--no-retained",
+        ]))
+        app.prepare(engine.render_device, window)
+        for _ in range(3):
+            app.tick(0.016)
+            engine.render(app)
+        assert len(calls) == 3
+        engine.shutdown()

@@ -145,3 +145,127 @@ class TestGraph:
             hud(), CompileOptions(tile_h=8, tile_w=128, mesh=mesh)
         )
         np.testing.assert_allclose(img8, img1, atol=1e-6)
+
+
+class TestOverflowIndicator:
+    """In-band bin-overflow telemetry (ctx.frame_overflow → red HUD bar):
+    zero host reads — the overflow scalar never leaves the device."""
+
+    def _run(self, *, overflow: bool, indicator: bool = True,
+             options=None):
+        from zenith_tpu.rendergraph import RenderGraphBuilder
+        from zenith_tpu.rendergraph.graph import CompileOptions
+        from zenith_tpu.rhi import (
+            Buffer,
+            ColorAttachmentDesc,
+            CullMode,
+            GraphicShaderInput,
+            PipelineCache,
+            RasterizationState,
+            RhiCore,
+            TextureDesc,
+            VertexLayout,
+            attr,
+        )
+        from zenith_tpu.rhi.state import GraphicPipelineState
+
+        device = RhiCore().create_render_device()
+        builder = RenderGraphBuilder()
+        ldr = builder.create(TextureDesc.color("ldr", W, H))
+
+        # 300 coincident full-screen triangles; a tiny entry budget
+        # (blocks of 128 (tile, record) pairs, ops/binning.py:93) cannot
+        # hold 300 entries x 8 tiles → bin overflow.
+        tri = np.array(
+            [[-3, -3, 0.5], [3, -3, 0.5], [0, 3, 0.5]], np.float32
+        )
+        vb = Buffer.from_numpy("ovf.vb", np.tile(tri, (300, 1)))
+        ib = Buffer.from_numpy(
+            "ovf.ib", np.arange(300 * 3, dtype=np.int32)
+        )
+        vbr = builder.import_resource(vb)
+        ibr = builder.import_resource(ib)
+
+        def vs(attrs, res):
+            pos = attrs["position"]
+            n = pos.shape[0]
+            return {"position": jnp.concatenate(
+                [pos, jnp.ones((n, 1), jnp.float32)], 1
+            )}
+
+        def fs(varyings, res, builtins):
+            import jax.numpy as _j
+            h, w = builtins.depth.shape
+            return _j.full((h, w, 4), 0.25, _j.float32)
+
+        from zenith_tpu.rhi import Shader
+
+        vsd = Shader.vertex("ovf.vs", vs, inputs=[attr("position", 3)])
+        fsd = Shader.fragment("ovf.fs", fs)
+        node = builder.add_graphic_node("spam")
+        vba, iba = node.read(vbr), node.read(ibr)
+        rt = node.write(ldr)
+        si = GraphicShaderInput(
+            vsd, fsd, VertexLayout.from_fields(("position", 3))
+        )
+        state = GraphicPipelineState(
+            rasterization=RasterizationState(cull_mode=CullMode.NONE)
+        )
+        with node.pipeline(si, state) as binder:
+            binder.push_color(
+                rt, ColorAttachmentDesc(clear_value=(0.25, 0.25, 0.25, 1))
+            )
+
+        budget = 8 if overflow else 65536
+
+        def record(ctx):
+            ctx.draw_indexed(vba, iba, entry_budget=budget)
+
+        node.execute(record)
+
+        hud = HudOverlay(max_chars=8, scale=1, margin=8,
+                         overflow_indicator=indicator)
+        hud.set_text("FPS 1")
+        hud.render_to(builder, ldr)
+        builder.export(ldr)
+        from zenith_tpu.rhi import PipelineCache as _PC
+
+        compiled = builder.build().compile(
+            device, _PC(),
+            options or CompileOptions(tile_h=8, tile_w=128),
+        )
+        compiled.execute(device)
+        img = np.asarray(compiled.value(ldr))
+        bh, _bw = hud.bitmap_shape
+        bar = img[8 + bh + 2:8 + bh + 2 + max(2, bh // 4), 8:, :3]
+        return img, bar
+
+    def test_overflow_draws_red_bar(self):
+        img, bar = self._run(overflow=True)
+        # Red warning pixels: strong R, suppressed G/B.
+        red = (bar[..., 0] > 0.9) & (bar[..., 1] < 0.3)
+        assert red.any()
+
+    def test_no_overflow_no_bar(self):
+        img, bar = self._run(overflow=False)
+        np.testing.assert_allclose(bar, 0.25, atol=1e-6)
+
+    def test_indicator_off_untouched_even_on_overflow(self):
+        img, bar = self._run(overflow=True, indicator=False)
+        np.testing.assert_allclose(bar, 0.25, atol=1e-6)
+
+    def test_spmd_bar_shows_on_mesh(self, cpu_devices):
+        """Under a row-band mesh the indicator reads the psum'd overflow
+        total, so EVERY band composites a bar. (No bit-equality check: an
+        overflowing draw DROPS records, and which records drop depends on
+        the per-shard binning — the image itself legitimately differs.)"""
+        from zenith_tpu.parallel.sharding import default_mesh
+        from zenith_tpu.rendergraph.graph import CompileOptions
+
+        mesh = default_mesh(8, backend="cpu")
+        _img, bar = self._run(
+            overflow=True,
+            options=CompileOptions(tile_h=8, tile_w=128, mesh=mesh),
+        )
+        red = (bar[..., 0] > 0.9) & (bar[..., 1] < 0.3)
+        assert red.any()

@@ -767,6 +767,14 @@ def draw_indexed_batch(
                 "per draw)."
             )
 
+    if any(len(d) > 3 and d[3] for d in draws):
+        raise ValueError(
+            "instanced draws in draw_indexed_batch are supported only on "
+            "the blend-kernel path (a blend-enabled pipeline with a "
+            "kernel-safe fragment shader); submit instanced opaque draws "
+            "via draw_indexed(instance_count=...) instead"
+        )
+    draws = [d[:3] for d in draws]
     layout = pipeline.vertex_layout
     depth_bias = None
     if rast_state.depth_bias_enable:
@@ -1001,7 +1009,16 @@ def _draw_batch_blend(
     Uniform bindings ride as CONSTANT varying columns (same value at all
     three corners interpolates to itself), so per-draw uniforms need no
     draw-id select and the kernel needs no side-band uniform plumbing. The
-    fragment shader must be kernel-safe (elementwise jnp only)."""
+    fragment shader must be kernel-safe (elementwise jnp only) — texture
+    content can still reach it by sampling in the VERTEX stage (dense XLA,
+    vertices not pixels) and interpolating the sampled color, the
+    vertex-rate texturing path the textured-glass pipeline uses.
+
+    A draw may be ``(vb, ib, res)`` or ``(vb, ib, res, inst)`` with
+    ``inst = {"instance_count": I, "instance_data": {name: (I, C)}}`` —
+    the vkCmdDrawIndexed instanceCount analog for blended draws (records
+    concatenate in instance order inside the draw, matching Vulkan's
+    primitive ordering)."""
     from zenith_tpu.ops.raster import raster_segmented_blend
     from zenith_tpu.rhi.shader import FragmentBuiltins
 
@@ -1021,14 +1038,51 @@ def _draw_batch_blend(
     corner_parts = []
     attr_layout = None
     budget_total = 0
-    for di, (vb, ib, res) in enumerate(draws):
+    for di, draw in enumerate(draws):
+        vb, ib, res = draw[0], draw[1], draw[2]
+        inst = draw[3] if len(draw) > 3 else None
         attrs = _CheckedAttrs(
             layout.unpack(vb) if layout is not None else {"position": vb},
             pipeline.vertex_shader.name,
         )
         vs_res = BoundResources(pipeline.vertex_shader.reflection, res)
-        vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
-        clip = vs_out.pop("position")
+        prim_kind, prims = _assemble_primitives(
+            ib, state.input_assembly, rast_state.polygon_mode
+        )
+        if inst:
+            icount = int(inst.get("instance_count", 1))
+            idata = inst.get("instance_data") or {}
+            _check_instance_inputs(pipeline, idata, icount)
+            nv0 = vb.shape[0]
+            inst_arrs = {
+                k: jnp.asarray(v, jnp.float32).reshape(icount, -1)
+                for k, v in idata.items()
+            }
+            idx_f = jnp.arange(icount, dtype=jnp.float32)[:, None]
+
+            def one_instance(inst_vals, iidx, attrs=attrs, vs_res=vs_res,
+                             nv0=nv0):
+                a = _CheckedAttrs(attrs, pipeline.vertex_shader.name)
+                for k, v in inst_vals.items():
+                    a[k] = jnp.broadcast_to(v[None, :], (nv0, v.shape[-1]))
+                a["instance_index"] = jnp.broadcast_to(
+                    iidx[None, :], (nv0, 1)
+                )
+                out = dict(pipeline.vertex_shader.fn(a, vs_res))
+                return out.pop("position"), out
+
+            clips, vs_outs = jax.vmap(one_instance)(inst_arrs, idx_f)
+            clip = clips.reshape(icount * nv0, 4)
+            vs_out = {
+                k: v.reshape(icount * nv0, -1) for k, v in vs_outs.items()
+            }
+            offs = (
+                jnp.arange(icount, dtype=jnp.int32) * nv0
+            )[:, None, None]
+            prims = (prims[None, :, :] + offs).reshape(-1, prims.shape[1])
+        else:
+            vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+            clip = vs_out.pop("position")
         point_sizes = _pop_point_sizes(vs_out)
         nv = clip.shape[0]
 
@@ -1059,9 +1113,6 @@ def _draw_batch_blend(
                 f"from draw 0's — batched draws share one pipeline"
             )
         flat_vary = jnp.concatenate(vary_cols, axis=1)
-        prim_kind, prims = _assemble_primitives(
-            ib, state.input_assembly, rast_state.polygon_mode
-        )
         records, corner = _setup_records(
             prim_kind, clip, prims, flat_vary, grid, rast_state, viewport,
             depth_bias, point_sizes=point_sizes,

@@ -58,34 +58,63 @@ from zenith_tpu.rhi.state import (
 )
 
 
-def _gbuffer_vs(attrs, res):
-    pos = attrs["position"]
-    n = pos.shape[0]
-    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-    world = hom @ res["Model"].T
-    return {
-        "position": world @ res["ViewProj"].T,
-        "world_pos": world[:, :3],
-        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
-        "uv": attrs["tex_coord"],
-    }
+def _make_gbuffer_vs(velocity: bool):
+    """Plain G-buffer vertex stage. ``velocity`` adds a ``prev_pos``
+    varying: the SAME vertex transformed by the previous frame's model
+    matrix (the per-draw dynamic ``PrevModel``) — the per-draw velocity
+    source for TAA history reprojection and motion-blur streaks under
+    animated content (static objects: PrevModel == Model, zero velocity)."""
+
+    def _gbuffer_vs(attrs, res):
+        pos = attrs["position"]
+        n = pos.shape[0]
+        hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+        world = hom @ res["Model"].T
+        out = {
+            "position": world @ res["ViewProj"].T,
+            "world_pos": world[:, :3],
+            "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+            "uv": attrs["tex_coord"],
+        }
+        if velocity:
+            out["prev_pos"] = (hom @ res["PrevModel"].T)[:, :3]
+        return out
+
+    return _gbuffer_vs
 
 
-def _gbuffer_inst_vs(attrs, res):
+def _make_gbuffer_inst_vs(velocity: bool):
     """Instanced G-buffer vertex stage: per-instance world-space offset
-    (the instance-rate vertex attribute, ops.draw instance_data)."""
-    pos = attrs["position"]
-    n = pos.shape[0]
-    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-    world = hom @ res["Model"].T
-    world_pos = world[:, :3] + attrs["inst_offset"]
-    clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
-    return {
-        "position": clip_hom @ res["ViewProj"].T,
-        "world_pos": world_pos,
-        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
-        "uv": attrs["tex_coord"],
-    }
+    (the instance-rate vertex attribute, ops.draw instance_data). With
+    ``velocity`` a second instance-rate attribute ``prev_inst_offset``
+    carries each instance's PREVIOUS offset (moving particles get real
+    per-instance velocity)."""
+
+    def _gbuffer_inst_vs(attrs, res):
+        pos = attrs["position"]
+        n = pos.shape[0]
+        hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+        world = hom @ res["Model"].T
+        world_pos = world[:, :3] + attrs["inst_offset"]
+        clip_hom = jnp.concatenate([world_pos, world[:, 3:4]], axis=1)
+        out = {
+            "position": clip_hom @ res["ViewProj"].T,
+            "world_pos": world_pos,
+            "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+            "uv": attrs["tex_coord"],
+        }
+        if velocity:
+            pw = hom @ res["PrevModel"].T
+            out["prev_pos"] = pw[:, :3] + attrs["prev_inst_offset"]
+        return out
+
+    return _gbuffer_inst_vs
+
+
+# Frame-invariant instances (built once; the ctor picks by mode so the
+# structure key sees the same function objects every frame).
+_gbuffer_vs = _make_gbuffer_vs(False)
+_gbuffer_inst_vs = _make_gbuffer_inst_vs(False)
 
 
 def _skin_blend(attrs, res):
@@ -130,15 +159,33 @@ def _joint_palette(obj) -> np.ndarray:
     ).copy()
 
 
-def _gbuffer_skin_vs(attrs, res):
-    skinned, snrm = _skin_blend(attrs, res)
-    world = skinned @ res["Model"].T
-    return {
-        "position": world @ res["ViewProj"].T,
-        "world_pos": world[:, :3],
-        "normal": snrm @ res["Model"][:3, :3].T,
-        "uv": attrs["tex_coord"],
-    }
+def _make_gbuffer_skin_vs(velocity: bool):
+    """Skinned G-buffer vertex stage. With ``velocity`` the vertex is
+    ALSO skinned by the previous frame's joint palette (``PrevJoints``)
+    and previous model matrix — correct per-vertex velocity for animated
+    skeletons (a deforming limb streaks; the torso standing still
+    doesn't)."""
+
+    def _gbuffer_skin_vs(attrs, res):
+        skinned, snrm = _skin_blend(attrs, res)
+        world = skinned @ res["Model"].T
+        out = {
+            "position": world @ res["ViewProj"].T,
+            "world_pos": world[:, :3],
+            "normal": snrm @ res["Model"][:3, :3].T,
+            "uv": attrs["tex_coord"],
+        }
+        if velocity:
+            prev_skinned, _ = _skin_blend(attrs, {
+                "Joints": res["PrevJoints"]
+            })
+            out["prev_pos"] = (prev_skinned @ res["PrevModel"].T)[:, :3]
+        return out
+
+    return _gbuffer_skin_vs
+
+
+_gbuffer_skin_vs = _make_gbuffer_skin_vs(False)
 
 
 def _shadow_skin_vs(attrs, res):
@@ -156,17 +203,38 @@ def _morphed_position(attrs, res):
     return attrs["position"] + jnp.einsum("t,tnc->nc", w, deltas)
 
 
-def _gbuffer_morph_vs(attrs, res):
-    pos = _morphed_position(attrs, res)
-    n = pos.shape[0]
-    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-    world = hom @ res["Model"].T
-    return {
-        "position": world @ res["ViewProj"].T,
-        "world_pos": world[:, :3],
-        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
-        "uv": attrs["tex_coord"],
-    }
+def _make_gbuffer_morph_vs(velocity: bool):
+    """Morph-target G-buffer vertex stage. With ``velocity`` the base
+    position is ALSO blended by the previous frame's weights
+    (``PrevMorphWeights``) and previous model matrix — per-vertex
+    velocity for morph animation."""
+
+    def _gbuffer_morph_vs(attrs, res):
+        pos = _morphed_position(attrs, res)
+        n = pos.shape[0]
+        hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+        world = hom @ res["Model"].T
+        out = {
+            "position": world @ res["ViewProj"].T,
+            "world_pos": world[:, :3],
+            "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+            "uv": attrs["tex_coord"],
+        }
+        if velocity:
+            ppos = _morphed_position(attrs, {
+                "MorphWeights": res["PrevMorphWeights"],
+                "MorphDeltas": res["MorphDeltas"],
+            })
+            phom = jnp.concatenate(
+                [ppos, jnp.ones((n, 1), jnp.float32)], axis=1
+            )
+            out["prev_pos"] = (phom @ res["PrevModel"].T)[:, :3]
+        return out
+
+    return _gbuffer_morph_vs
+
+
+_gbuffer_morph_vs = _make_gbuffer_morph_vs(False)
 
 
 def _shadow_morph_vs(attrs, res):
@@ -189,7 +257,7 @@ _UVX_NAME = {
 
 def _make_gbuffer_fs(textured: bool, use_normal: bool = False,
                      use_mra: bool = False, use_emissive: bool = False,
-                     id_out: bool = False):
+                     id_out: bool = False, prev_out: bool = False):
     """G-buffer fragment stage. Textured mode samples per-map ATLASES with
     a per-draw UV transform (rhi.atlas): one sample per map regardless of
     how many draws share the batch — the scalable replacement for the
@@ -268,45 +336,114 @@ def _make_gbuffer_fs(textured: bool, use_normal: bool = False,
             "1_normal": normal_rough,
             "2_pos": pos_emissive,
         }
+        if prev_out:
+            # Previous-frame world position of this surface point (the
+            # per-draw velocity plane): interpolated from the prev_pos
+            # varying the velocity vertex stages emit.
+            out["3_prev"] = jnp.concatenate(
+                [varyings["prev_pos"],
+                 jnp.ones_like(varyings["prev_pos"][..., :1])],
+                axis=-1,
+            )
         if id_out:
             # Shape-generic like the other per-draw uniforms: (1,) vector
             # when drawn individually, (H, W, 1) plane under
             # draw_indexed_batch.
             oid = res["ObjectId"]
-            out["3_id"] = jnp.broadcast_to(oid[..., 0:1], n[..., :1].shape)
+            out["4_id"] = jnp.broadcast_to(oid[..., 0:1], n[..., :1].shape)
         return out
 
     return _gbuffer_fs
 
 
-def _glass_vs(attrs, res):
-    pos = attrs["position"]
-    n = pos.shape[0]
-    hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
-    world = hom @ res["Model"].T
-    return {
-        "position": world @ res["ViewProj"].T,
-        "normal": attrs["normal"] @ res["Model"][:3, :3].T,
-    }
+def _make_glass_vs(textured: bool, instanced: bool):
+    """Translucent (glass) vertex stage.
+
+    ``textured``: samples the per-draw ``GlassTex`` AT THE VERTICES (a
+    dense (Nv,) gather in ordinary XLA — vertices, not pixels) and emits
+    the sampled RGBA as a ``tint`` varying. This is how texture content
+    reaches the KERNEL-SAFE blend fragment shader: the per-tile in-order
+    blend kernel cannot gather (ARCHITECTURE.md blend contract), but it
+    interpolates varyings for free — the classic vertex-rate (Gouraud)
+    texturing trade. Sampling is level-0 bilinear (no screen-space
+    derivatives exist at vertex rate); tessellate glass meshes for
+    high-frequency textures, or submit such draws individually for the
+    dense per-pixel fallback.
+
+    ``instanced``: adds the per-instance ``inst_offset`` attribute
+    (instanced translucents ride the blend batch's instancing)."""
+
+    def _glass_vs(attrs, res):
+        pos = attrs["position"]
+        n = pos.shape[0]
+        hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+        world = hom @ res["Model"].T
+        if instanced:
+            wp = world[:, :3] + attrs["inst_offset"]
+            clip_hom = jnp.concatenate([wp, world[:, 3:4]], axis=1)
+        else:
+            clip_hom = world
+        out = {
+            "position": clip_hom @ res["ViewProj"].T,
+            "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+        }
+        if textured:
+            from zenith_tpu.ops.sampling import sample_2d
+            from zenith_tpu.rhi.sampler import SamplerConfig
+
+            tex = res["GlassTex"]
+            lvl0 = tex[0] if isinstance(tex, (tuple, list)) else tex
+            out["tint"] = sample_2d(
+                lvl0, attrs["tex_coord"], SamplerConfig.linear()
+            )
+        return out
+
+    return _glass_vs
 
 
-def _glass_fs(varyings, res, builtins):
-    """KERNEL-SAFE translucent shading (runs inside the in-order blend
-    kernel): component-wise lambert tint — no texture sampling, no
-    reductions, only elementwise ops and minor-dim slices of f32 planes."""
-    n = varyings["normal"]
-    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
-    inv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-8)
-    l = res["SunDir"]
-    # Two-sided panes: |N·L| (abs BEFORE any clamp).
-    ndl = jnp.abs((nx * l[..., 0] + ny * l[..., 1] + nz * l[..., 2]) * inv)
-    c = res["BaseColor"]
-    shade = 0.35 + 0.65 * ndl
-    return jnp.stack(
-        [c[..., 0] * shade, c[..., 1] * shade, c[..., 2] * shade,
-         jnp.broadcast_to(c[..., 3], shade.shape)],
-        axis=-1,
-    )
+def _make_glass_fs(textured: bool):
+    def _glass_fs(varyings, res, builtins):
+        """KERNEL-SAFE translucent shading (runs inside the in-order blend
+        kernel): component-wise lambert tint — no texture sampling, no
+        reductions, only elementwise ops and minor-dim slices of f32
+        planes. Texture content arrives pre-sampled in the interpolated
+        ``tint`` varying (see _make_glass_vs)."""
+        n = varyings["normal"]
+        nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+        inv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-8)
+        l = res["SunDir"]
+        # Two-sided panes: |N·L| (abs BEFORE any clamp).
+        ndl = jnp.abs((nx * l[..., 0] + ny * l[..., 1] + nz * l[..., 2]) * inv)
+        c = res["BaseColor"]
+        shade = 0.35 + 0.65 * ndl
+        r, g, b = c[..., 0], c[..., 1], c[..., 2]
+        a = jnp.broadcast_to(c[..., 3], shade.shape)
+        if textured:
+            t = varyings["tint"]
+            r, g, b = r * t[..., 0], g * t[..., 1], b * t[..., 2]
+            a = a * t[..., 3]
+        return jnp.stack([r * shade, g * shade, b * shade, a], axis=-1)
+
+    return _glass_fs
+
+
+_glass_vs = _make_glass_vs(False, False)
+_glass_fs = _make_glass_fs(False)
+
+_WHITE_GLASS_TEX = None
+
+
+def _white_glass_texture():
+    """Shared 1x1 white fallback for untextured translucents drawn through
+    the textured glass pipeline (the bindless trick the atlases use)."""
+    global _WHITE_GLASS_TEX
+    if _WHITE_GLASS_TEX is None:
+        from zenith_tpu.rhi.resource import Texture as _T
+
+        _WHITE_GLASS_TEX = _T.from_numpy(
+            "glass.white", np.ones((1, 1, 4), np.float32), Format.RGBA32F
+        )
+    return _WHITE_GLASS_TEX
 
 
 def _ggx_brdf(n, v, l, albedo, metallic, roughness):
@@ -360,9 +497,23 @@ class DeferredRenderer:
                  wireframe: bool = False,
                  ssao: "bool | SSAOOptions" = False,
                  winding_flip: bool = False,
-                 id_buffer: bool = False):
+                 id_buffer: bool = False,
+                 velocity: bool = False):
         self.scene = scene
         self.wireframe = wireframe
+        # Per-draw velocity: every G-buffer variant transforms the vertex
+        # by the PREVIOUS frame's transform too (prev model matrix, prev
+        # joint palette, prev morph weights, prev instance offsets) and
+        # writes the interpolated previous world position into a 4th MRT
+        # plane (g.prev). TAA reprojects and motion blur streaks with it —
+        # correct under animated content, where the camera-only
+        # reprojection (taa.py r3) ghosted/froze moving objects. The
+        # renderer rolls the previous transforms itself (value-keyed, the
+        # _observe_camera protocol); apps just construct with
+        # velocity=True.
+        self.velocity = bool(velocity)
+        self._prev_motion: "dict | None" = None  # rolled prev transforms
+        self._last_motion: "dict | None" = None  # latest observed values
         # Object-ID plane for picking/selection: every G-buffer variant
         # writes a 4th R32F MRT attachment holding the 1-based scene-object
         # index (background = 0, translucent "glass" objects never appear —
@@ -428,15 +579,19 @@ class DeferredRenderer:
             fs_bindings.extend(
                 uniform(_UVX_NAME[name]) for name in self._atlases
             )
+        vel = self.velocity
+        _prev_u = [uniform("PrevModel")] if vel else []
         self.gbuffer_vs = Shader.vertex(
-            "gbuffer.vs", _gbuffer_vs,
-            bindings=[uniform("Model"), uniform("ViewProj")],
+            "gbuffer.vel.vs" if vel else "gbuffer.vs",
+            _make_gbuffer_vs(vel) if vel else _gbuffer_vs,
+            bindings=[uniform("Model"), uniform("ViewProj")] + _prev_u,
             inputs=[attr("position", 3), attr("normal", 3), attr("tex_coord", 2)],
         )
         self.gbuffer_fs = Shader.fragment(
-            "gbuffer.fs",
+            "gbuffer.vel.fs" if vel else "gbuffer.fs",
             _make_gbuffer_fs(self.textured, self.use_normal, self.use_mra,
-                             self.use_emissive, id_out=self.id_buffer),
+                             self.use_emissive, id_out=self.id_buffer,
+                             prev_out=vel),
             bindings=fs_bindings,
         )
         # Per-object id constants (1-based), built once: they are trace
@@ -456,10 +611,13 @@ class DeferredRenderer:
         # Instanced variants (only used when a SceneObject carries
         # instance_offsets): same stages plus the inst_offset attribute.
         self.gbuffer_inst_vs = Shader.vertex(
-            "gbuffer.inst.vs", _gbuffer_inst_vs,
-            bindings=[uniform("Model"), uniform("ViewProj")],
+            "gbuffer.inst.vel.vs" if vel else "gbuffer.inst.vs",
+            _make_gbuffer_inst_vs(vel) if vel else _gbuffer_inst_vs,
+            bindings=[uniform("Model"), uniform("ViewProj")] + _prev_u,
             inputs=[attr("position", 3), attr("normal", 3), attr("tex_coord", 2),
-                    attr("inst_offset", 3, per_instance=True)],
+                    attr("inst_offset", 3, per_instance=True)]
+            + ([attr("prev_inst_offset", 3, per_instance=True)] if vel
+               else []),
         )
         self.shadow_inst_vs = Shader.vertex(
             "shadow.inst.vs", _shadow_inst_vs,
@@ -480,9 +638,11 @@ class DeferredRenderer:
                 for o in objs
             ), "skinned objects: plain opaque untextured only"
             self.gbuffer_skin_vs = Shader.vertex(
-                "gbuffer.skin.vs", _gbuffer_skin_vs,
+                "gbuffer.skin.vel.vs" if vel else "gbuffer.skin.vs",
+                _make_gbuffer_skin_vs(vel) if vel else _gbuffer_skin_vs,
                 bindings=[uniform("Model"), uniform("ViewProj"),
-                          uniform("Joints")],
+                          uniform("Joints")]
+                + (_prev_u + [uniform("PrevJoints")] if vel else []),
                 inputs=[attr("position", 3), attr("normal", 3),
                         attr("tex_coord", 2), attr("joints", 4),
                         attr("weights", 4)],
@@ -495,8 +655,8 @@ class DeferredRenderer:
                         attr("joints", 4), attr("weights", 4)],
             )
             self.gbuffer_skin_fs = Shader.fragment(
-                "gbuffer.skin.fs",
-                _make_gbuffer_fs(False, id_out=self.id_buffer),
+                "gbuffer.skin.vel.fs" if vel else "gbuffer.skin.fs",
+                _make_gbuffer_fs(False, id_out=self.id_buffer, prev_out=vel),
                 bindings=[uniform("BaseColor"), uniform("MatParams")]
                 + ([uniform("ObjectId")] if self.id_buffer else []),
             )
@@ -514,9 +674,11 @@ class DeferredRenderer:
                 for o in objs
             ), "morphed objects: plain opaque untextured only"
             self.gbuffer_morph_vs = Shader.vertex(
-                "gbuffer.morph.vs", _gbuffer_morph_vs,
+                "gbuffer.morph.vel.vs" if vel else "gbuffer.morph.vs",
+                _make_gbuffer_morph_vs(vel) if vel else _gbuffer_morph_vs,
                 bindings=[uniform("Model"), uniform("ViewProj"),
-                          uniform("MorphWeights"), storage("MorphDeltas")],
+                          uniform("MorphWeights"), storage("MorphDeltas")]
+                + (_prev_u + [uniform("PrevMorphWeights")] if vel else []),
                 inputs=[attr("position", 3), attr("normal", 3),
                         attr("tex_coord", 2)],
             )
@@ -527,8 +689,8 @@ class DeferredRenderer:
                 inputs=[attr("position", 3)],
             )
             self.gbuffer_morph_fs = Shader.fragment(
-                "gbuffer.morph.fs",
-                _make_gbuffer_fs(False, id_out=self.id_buffer),
+                "gbuffer.morph.vel.fs" if vel else "gbuffer.morph.fs",
+                _make_gbuffer_fs(False, id_out=self.id_buffer, prev_out=vel),
                 bindings=[uniform("BaseColor"), uniform("MatParams")]
                 + ([uniform("ObjectId")] if self.id_buffer else []),
             )
@@ -616,16 +778,36 @@ class DeferredRenderer:
 
         self.has_translucents = any(o.translucent for o in objs)
         if self.has_translucents:
-            assert not any(
-                o.translucent and o.instance_offsets is not None for o in objs
-            ), "instanced translucent objects are unsupported"
+            # Textured glass: texture content reaches the kernel-safe blend
+            # FS via vertex-rate sampling (see _make_glass_vs) — the r3
+            # "glass can't have a texture" contract hole, closed. Instanced
+            # translucents ride the blend batch's per-draw instancing.
+            from zenith_tpu.rhi import texture2d
+
+            self.glass_textured = any(
+                o.translucent and o.base_color_texture is not None
+                for o in objs
+            )
+            self.glass_instanced = any(
+                o.translucent and o.instance_offsets is not None
+                for o in objs
+            )
+            gt, gi = self.glass_textured, self.glass_instanced
+            g_inputs = [attr("position", 3), attr("normal", 3)]
+            if gt:
+                g_inputs.append(attr("tex_coord", 2))
+            if gi:
+                g_inputs.append(attr("inst_offset", 3, per_instance=True))
             self.glass_vs = Shader.vertex(
-                "glass.vs", _glass_vs,
-                bindings=[uniform("Model"), uniform("ViewProj")],
-                inputs=[attr("position", 3), attr("normal", 3)],
+                f"glass{'.tex' if gt else ''}{'.inst' if gi else ''}.vs",
+                _make_glass_vs(gt, gi) if (gt or gi) else _glass_vs,
+                bindings=[uniform("Model"), uniform("ViewProj")]
+                + ([texture2d("GlassTex")] if gt else []),
+                inputs=g_inputs,
             )
             self.glass_fs = Shader.fragment(
-                "glass.fs", _glass_fs,
+                "glass.tex.fs" if gt else "glass.fs",
+                _make_glass_fs(gt) if gt else _glass_fs,
                 bindings=[uniform("BaseColor"), uniform("SunDir")],
                 kernel_safe=True,
             )
@@ -658,6 +840,81 @@ class DeferredRenderer:
         morph_deltas, instance_offsets None-ness — the cache keys on
         element identity only; see also Scene.invalidate_light_cache)."""
         self.__dict__.pop("_obj_partition", None)
+
+    @staticmethod
+    def _motion_same(a, b) -> bool:
+        """Value equality for one motion entry. Device arrays (GPU-sim
+        particle offsets) compare by IDENTITY — np.array_equal on a
+        jax.Array would force a device sync per frame (PERF.md dispatch
+        poison); the particle path replaces the array object each step,
+        so identity is exactly the change signal."""
+        if a is b:
+            return True
+        if isinstance(a, jax.Array) or isinstance(b, jax.Array):
+            return False
+        return a.shape == b.shape and np.array_equal(a, b)
+
+    def _observe_motion(self) -> dict:
+        """Roll prev ← last ← current per-draw transforms (velocity mode):
+        the stacked model matrices plus each skinned object's joint
+        palette, each morphed object's weights and each instanced object's
+        offsets. Value-keyed and IDEMPOTENT within a frame (the
+        _observe_camera protocol, taa.py:199-211) — update_dynamics
+        followed by a rebuild cannot double-roll. Returns {key: prev
+        value} over the same keys as the current observation; a key whose
+        shape changed (object list edits) falls back to its current value
+        (zero velocity for one frame)."""
+        from zenith_tpu.renderer.scene import stacked_models
+
+        objs = self.scene.objects
+        cur = {"models": stacked_models(objs)}
+        for o in objs:
+            if o.skin is not None:
+                cur[f"joints.{o.name}"] = _joint_palette(o)
+            if o.morph_deltas is not None:
+                cur[f"mweights.{o.name}"] = _morph_weights(o)
+            if o.instance_offsets is not None:
+                cur[f"inst.{o.name}"] = o.instance_offsets
+        last = self._last_motion
+        if last is None:
+            self._last_motion = cur
+            self._prev_motion = cur
+        elif set(cur) != set(last) or any(
+            not self._motion_same(cur[k], last[k]) for k in cur
+        ):
+            self._prev_motion = last
+            self._last_motion = cur
+        prev = self._prev_motion
+        out = {}
+        for k, v in cur.items():
+            pv = prev.get(k, v)
+            if tuple(getattr(pv, "shape", ())) != tuple(
+                getattr(v, "shape", ())
+            ):
+                pv = v
+            out[k] = pv
+        return out
+
+    def _motion_dynamics(self) -> dict:
+        """Velocity-mode dynamics ({dyn name: prev value}) — shared by
+        render_to (rebuild path) and frame_dynamics (retained path)."""
+        mo = self._observe_motion()
+        d = {"def.prev_models": mo["models"]}
+        for k, v in mo.items():
+            if k == "models":
+                continue
+            kind, name = k.split(".", 1)
+            d[f"def.prev_{kind}.{name}"] = (
+                v if isinstance(v, jax.Array)
+                else np.asarray(v, np.float32)
+            )
+        return d
+
+    def reset_motion(self) -> None:
+        """Drop the previous-transform history (scene cut / teleport):
+        the next frame renders with zero per-draw velocity."""
+        self._prev_motion = None
+        self._last_motion = None
 
     def frame_dynamics(self, camera: Camera,
                        include_models: bool = False) -> dict:
@@ -713,6 +970,21 @@ class DeferredRenderer:
             from zenith_tpu.renderer.scene import stacked_models
 
             d["def.models"] = stacked_models(self.scene.objects)
+        if self.velocity:
+            d.update(self._motion_dynamics())
+            if include_models or any(
+                o.instance_offsets is not None for o in self.scene.objects
+            ):
+                # Moving objects/instances in retained mode: the CURRENT
+                # offsets ride dynamics too (models already do via
+                # include_models).
+                for o in self.scene.objects:
+                    if o.instance_offsets is not None:
+                        d[f"def.inst.{o.name}"] = (
+                            o.instance_offsets
+                            if isinstance(o.instance_offsets, jax.Array)
+                            else np.asarray(o.instance_offsets, np.float32)
+                        )
         return d
 
     def pick(self, id_plane, x: int, y: int) -> "object | None":
@@ -842,6 +1114,9 @@ class DeferredRenderer:
         from zenith_tpu.renderer.scene import stacked_models
 
         builder.set_dynamic("def.models", stacked_models(scene.objects))
+        if self.velocity:
+            for k, v in self._motion_dynamics().items():
+                builder.set_dynamic(k, v)
         builder.set_dynamic("def.base_colors", np.stack(
             [o.base_color_array() for o in scene.objects]
         ))
@@ -948,6 +1223,10 @@ class DeferredRenderer:
         g_albedo = builder.create(TextureDesc.color("g.albedo", width, height))
         g_normal = builder.create(TextureDesc.color("g.normal", width, height))
         g_pos = builder.create(TextureDesc.color("g.pos", width, height))
+        g_prev = (
+            builder.create(TextureDesc.color("g.prev", width, height))
+            if self.velocity else None
+        )
         g_depth = builder.create(TextureDesc.depth("g.depth", width, height))
 
         # -- optional shadow node(s) ----------------------------------------------
@@ -1199,18 +1478,22 @@ class DeferredRenderer:
         a_rt = node.write(g_albedo)
         n_rt = node.write(g_normal)
         p_rt = node.write(g_pos)
+        v_rt = node.write(g_prev) if g_prev is not None else None
         i_rt = node.write(g_id) if g_id is not None else None
         ds = node.write(g_depth)
         with node.pipeline(self._gbuffer_si, self._gbuffer_state) as binder:
             binder.push_color(a_rt, self._ca_clear0)
             binder.push_color(n_rt, self._ca_clear01)
             binder.push_color(p_rt, self._ca_clear0)
+            if v_rt is not None:
+                binder.push_color(v_rt, self._ca_clear0)
             if i_rt is not None:
                 binder.push_color(i_rt, self._ca_clear0)
             binder.set_depth(ds, self._gbuffer_depth)
 
         textured = self.textured
         id_buffer = self.id_buffer
+        velocity = self.velocity
         oid_consts = self._oid_consts
 
         def record_gbuffer(ctx):
@@ -1218,6 +1501,7 @@ class DeferredRenderer:
             for name, acc in atlas_accesses.items():
                 ctx.bind(name, ctx.get(acc))
             models = ctx.dynamic("def.models")
+            prevs = ctx.dynamic("def.prev_models") if velocity else None
             bcs = ctx.dynamic("def.base_colors")
             mats = ctx.dynamic("def.mats")
             uvx = {
@@ -1238,6 +1522,8 @@ class DeferredRenderer:
                     "BaseColor": bcs[i],
                     "MatParams": mats[i],
                 }
+                if velocity:
+                    res["PrevModel"] = prevs[i]
                 if textured:
                     for aname in atlas_accesses:
                         res[_UVX_NAME[aname]] = uvx[aname][i]
@@ -1268,6 +1554,9 @@ class DeferredRenderer:
             a2 = node.write(g_albedo)
             n2 = node.write(g_normal)
             p2 = node.write(g_pos)
+            if g_prev is not None:
+                node.read(g_prev)
+                v2 = node.write(g_prev)
             if g_id is not None:
                 node.read(g_id)
                 i2 = node.write(g_id)
@@ -1278,6 +1567,8 @@ class DeferredRenderer:
                 binder.push_color(a2, self._ca_load)
                 binder.push_color(n2, self._ca_load)
                 binder.push_color(p2, self._ca_load)
+                if g_prev is not None:
+                    binder.push_color(v2, self._ca_load)
                 if g_id is not None:
                     binder.push_color(i2, self._ca_load)
                 binder.set_depth(d2, self._gbuffer_depth_load)
@@ -1287,6 +1578,7 @@ class DeferredRenderer:
                 for name, acc in inst_atlas.items():
                     ctx.bind(name, ctx.get(acc))
                 models = ctx.dynamic("def.models")
+                prevs = ctx.dynamic("def.prev_models") if velocity else None
                 bcs = ctx.dynamic("def.base_colors")
                 mats = ctx.dynamic("def.mats")
                 uvx = {
@@ -1301,17 +1593,24 @@ class DeferredRenderer:
                         "BaseColor": bcs[i],
                         "MatParams": mats[i],
                     }
+                    if velocity:
+                        res["PrevModel"] = prevs[i]
                     if textured:
                         for aname in inst_atlas:
                             res[_UVX_NAME[aname]] = uvx[aname][i]
                     if id_buffer:
                         res["ObjectId"] = oid_consts[i]
+                    idata = {
+                        "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
+                    }
+                    if velocity:
+                        idata["prev_inst_offset"] = ctx.dynamic(
+                            f"def.prev_inst.{obj.name}"
+                        )
                     ctx.draw_indexed(
                         vba, iba, res,
                         instance_count=obj.instance_count,
-                        instance_data={
-                            "inst_offset": ctx.dynamic(f"def.inst.{obj.name}")
-                        },
+                        instance_data=idata,
                     )
 
             node.execute(record_gbuffer_inst)
@@ -1327,6 +1626,9 @@ class DeferredRenderer:
             a3 = node.write(g_albedo)
             n3 = node.write(g_normal)
             p3 = node.write(g_pos)
+            if g_prev is not None:
+                node.read(g_prev)
+                v3 = node.write(g_prev)
             if g_id is not None:
                 node.read(g_id)
                 i3 = node.write(g_id)
@@ -1337,6 +1639,8 @@ class DeferredRenderer:
                 binder.push_color(a3, self._ca_load)
                 binder.push_color(n3, self._ca_load)
                 binder.push_color(p3, self._ca_load)
+                if g_prev is not None:
+                    binder.push_color(v3, self._ca_load)
                 if g_id is not None:
                     binder.push_color(i3, self._ca_load)
                 binder.set_depth(d3, self._gbuffer_depth_load)
@@ -1344,6 +1648,7 @@ class DeferredRenderer:
             def record_gbuffer_skin(ctx):
                 ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
                 models = ctx.dynamic("def.models")
+                prevs = ctx.dynamic("def.prev_models") if velocity else None
                 bcs = ctx.dynamic("def.base_colors")
                 mats = ctx.dynamic("def.mats")
                 draws = []
@@ -1356,6 +1661,11 @@ class DeferredRenderer:
                         "MatParams": mats[i],
                         "Joints": ctx.dynamic(f"def.joints.{obj.name}"),
                     }
+                    if velocity:
+                        res["PrevModel"] = prevs[i]
+                        res["PrevJoints"] = ctx.dynamic(
+                            f"def.prev_joints.{obj.name}"
+                        )
                     if id_buffer:
                         res["ObjectId"] = oid_consts[i]
                     draws.append((vba, iba, res))
@@ -1378,6 +1688,9 @@ class DeferredRenderer:
             a4 = node.write(g_albedo)
             n4 = node.write(g_normal)
             p4 = node.write(g_pos)
+            if g_prev is not None:
+                node.read(g_prev)
+                v4 = node.write(g_prev)
             if g_id is not None:
                 node.read(g_id)
                 i4 = node.write(g_id)
@@ -1388,6 +1701,8 @@ class DeferredRenderer:
                 binder.push_color(a4, self._ca_load)
                 binder.push_color(n4, self._ca_load)
                 binder.push_color(p4, self._ca_load)
+                if g_prev is not None:
+                    binder.push_color(v4, self._ca_load)
                 if g_id is not None:
                     binder.push_color(i4, self._ca_load)
                 binder.set_depth(d4, self._gbuffer_depth_load)
@@ -1395,6 +1710,7 @@ class DeferredRenderer:
             def record_gbuffer_morph(ctx):
                 ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
                 models = ctx.dynamic("def.models")
+                prevs = ctx.dynamic("def.prev_models") if velocity else None
                 bcs = ctx.dynamic("def.base_colors")
                 mats = ctx.dynamic("def.mats")
                 draws = []
@@ -1410,6 +1726,11 @@ class DeferredRenderer:
                         ),
                         "MorphDeltas": ctx.get(mda),
                     }
+                    if velocity:
+                        res["PrevModel"] = prevs[i]
+                        res["PrevMorphWeights"] = ctx.dynamic(
+                            f"def.prev_mweights.{obj.name}"
+                        )
                     if id_buffer:
                         res["ObjectId"] = oid_consts[i]
                     draws.append((vba, iba, res))
@@ -1848,6 +2169,12 @@ class DeferredRenderer:
                 i: (gnode.read(handles[i][0]), gnode.read(handles[i][1]))
                 for i in trans_ix
             }
+            glass_tex_acc = {}
+            if self.glass_textured:
+                white = _white_glass_texture()
+                for i in trans_ix:
+                    t = objects[i].base_color_texture or white
+                    glass_tex_acc[i] = gnode.read(builder.import_resource(t))
             gnode.read(output)
             gnode.read(g_depth)
             out_rt = gnode.write(output)
@@ -1855,6 +2182,8 @@ class DeferredRenderer:
             with gnode.pipeline(self._glass_si, self._glass_state) as binder:
                 binder.push_color(out_rt, self._glass_over)
                 binder.set_depth(out_ds, self._glass_depth)
+            glass_textured = self.glass_textured
+            glass_instanced = self.glass_instanced
 
             def record_glass(ctx):
                 ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
@@ -1866,13 +2195,41 @@ class DeferredRenderer:
                 bcs = ctx.dynamic("def.base_colors")
                 draws = []
                 for i in trans_ix:
+                    obj = objects[i]
                     vba, iba = g_acc[i]
-                    draws.append((vba, iba, {
+                    res = {
                         "Model": models[i],
                         "ViewProj": ctx.dynamic("def.view_proj"),
                         "BaseColor": bcs[i],
                         "SunDir": sun_dir,
-                    }))
+                    }
+                    if glass_textured:
+                        res["GlassTex"] = ctx.get(glass_tex_acc[i])
+                    if glass_instanced:
+                        # One pipeline for the whole batch: non-instanced
+                        # translucents draw as a single zero-offset
+                        # instance.
+                        if obj.instance_offsets is not None:
+                            inst = {
+                                "instance_count": obj.instance_count,
+                                "instance_data": {
+                                    "inst_offset": ctx.dynamic(
+                                        f"def.inst.{obj.name}"
+                                    )
+                                },
+                            }
+                        else:
+                            inst = {
+                                "instance_count": 1,
+                                "instance_data": {
+                                    "inst_offset": np.zeros(
+                                        (1, 3), np.float32
+                                    )
+                                },
+                            }
+                        draws.append((vba, iba, res, inst))
+                    else:
+                        draws.append((vba, iba, res))
                 ctx.draw_indexed_batch(draws)
 
             gnode.execute(record_glass)
@@ -1886,6 +2243,11 @@ class DeferredRenderer:
             "pos": g_pos,
             "depth": g_depth,
         }
+        if g_prev is not None:
+            # Per-draw velocity plane (previous-frame world positions):
+            # TAA and motion blur reproject with THIS instead of "pos" —
+            # correct under animated content.
+            self.gbuffer_handles["prev_pos"] = g_prev
         if self.shadows and n_casc == 1:
             # Volumetric shafts (renderer/volumetric.py) march this map;
             # its VP/bias ride the graph-global "def.light_vp" /

@@ -90,12 +90,20 @@ class HudOverlay:
 
     def __init__(self, max_chars: int = 48, scale: int = 2,
                  color=(1.0, 1.0, 1.0), background: float = 0.45,
-                 margin: int = 8):
+                 margin: int = 8, overflow_indicator: bool = False):
         self.max_chars = int(max_chars)
         self.scale = int(scale)
         self.color = tuple(float(c) for c in color)
         self.background = float(background)
         self.margin = int(margin)
+        # In-band bin-overflow telemetry: composites a red bar under the
+        # text whose width grows with log2 of the frame's running overflow
+        # count (ctx.frame_overflow — the traced scalar already in the
+        # frame program). ZERO host reads, so it works where the 1 Hz
+        # overflow fetch is forbidden (dispatch poison, PERF.md trap #5) —
+        # the on-screen analog of the reference's perf-hazard warning
+        # (graph.rs:383-385). Zero overflow → zero pixels touched.
+        self.overflow_indicator = bool(overflow_indicator)
         self._text = ""
         self._bitmap = np.zeros(self.bitmap_shape, np.float32)
 
@@ -107,7 +115,7 @@ class HudOverlay:
     def __zenith_capture_key__(self):
         # The text rides a dynamic; geometry/config shape the trace.
         return ("HudOverlay", self.max_chars, self.scale, self.color,
-                self.background, self.margin)
+                self.background, self.margin, self.overflow_indicator)
 
     # -- host side -----------------------------------------------------------
 
@@ -143,6 +151,7 @@ class HudOverlay:
         margin = self.margin
         color = np.asarray(self.color, np.float32)
         bg = self.background
+        overflow_indicator = self.overflow_indicator
 
         def record(ctx):
             import jax
@@ -176,6 +185,25 @@ class HudOverlay:
             box_a = band[..., 1:2]
             rgb = img[..., :3] * (1.0 - bg * box_a)  # dim the box
             rgb = rgb * (1.0 - text_a) + color * text_a
+            if overflow_indicator:
+                # Red bar under the text line: width ∝ log2(overflow).
+                # All elementwise; the traced scalar needs no host fetch.
+                ovf = ctx.frame_overflow().astype(jnp.float32)
+                frac = jnp.clip(jnp.log2(1.0 + ovf) / 24.0, 0.0, 1.0)
+                bar_y0 = margin + bh + 2
+                bar_h = max(2, bh // 4)
+                gy = row0 + jnp.arange(h, dtype=jnp.int32)[:, None]
+                gx = jnp.arange(w, dtype=jnp.int32)[None, :]
+                bar_w = frac * (w - 2 * margin)
+                in_bar = (
+                    (gy >= bar_y0) & (gy < bar_y0 + bar_h)
+                    & (gx >= margin)
+                    & (gx.astype(jnp.float32) < margin + bar_w)
+                    & (ovf > 0)
+                )
+                bar_a = in_bar.astype(jnp.float32)[..., None]
+                warn = jnp.asarray([1.0, 0.15, 0.1], jnp.float32)
+                rgb = rgb * (1.0 - bar_a) + warn * bar_a
             ctx.set(dst, jnp.concatenate([rgb, img[..., 3:]], axis=-1))
 
         node.execute(record)

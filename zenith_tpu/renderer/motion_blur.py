@@ -20,13 +20,15 @@ same machinery TAA uses (renderer/taa.py):
   ``strength`` (the shutter fraction); both ride a packed (4,) dynamic,
   so tuning the shutter never recompiles.
 
-Known quality trades (standard for a gather-only resolve, documented
-rather than hidden): a moving object does not smear over the static
-background behind it (that needs velocity dilation / scatter), and sky
-pixels keep zero velocity (a ray reprojection would be needed; the
-streak loss on pure camera rotation against sky is minor at TAA-scale
-motion). Stateless across frames except the previous-VP observation —
-no history surface, no feedback path.
+With ``DeferredRenderer(velocity=True)`` the G-buffer carries the
+PREVIOUS-frame world position per pixel (per-draw velocity), so OBJECT
+motion streaks correctly too, and dominant-velocity dilation
+(``dilate_velocity``) lets a moving silhouette smear over the static
+background behind it — the standard scatter-as-gather fix. Remaining
+trade: sky pixels keep zero velocity (a ray reprojection would be
+needed; the streak loss on pure camera rotation against sky is minor at
+TAA-scale motion). Stateless across frames except the previous-VP
+observation — no history surface, no feedback path.
 """
 
 from __future__ import annotations
@@ -39,14 +41,43 @@ from zenith_tpu.rendergraph import RenderGraphBuilder
 from zenith_tpu.rendergraph.resource import RenderGraphResource
 
 
+def dilate_velocity(vx: jnp.ndarray, vy: jnp.ndarray,
+                    radius: int = 1) -> "tuple[jnp.ndarray, jnp.ndarray]":
+    """Dominant-velocity dilation: each pixel takes the velocity of the
+    FASTEST pixel in its (2r+1)² neighborhood. This is what lets a moving
+    object smear OVER the static background behind it — background pixels
+    adjacent to the silhouette inherit the object's velocity, so their
+    streak taps reach into the object (the standard scatter-as-gather
+    trick; a pure gather resolve without it renders object motion with a
+    hard edge). Edge-clamped shifts (pad + slice), zero gathers."""
+    h, w = vx.shape
+    speed2 = vx * vx + vy * vy
+    pv = jnp.pad(jnp.stack([vx, vy, speed2], -1),
+                 ((radius, radius), (radius, radius), (0, 0)), mode="edge")
+    best_vx, best_vy, best_s = vx, vy, speed2
+    for dy in range(2 * radius + 1):
+        for dx in range(2 * radius + 1):
+            if dy == radius and dx == radius:
+                continue
+            n = pv[dy:dy + h, dx:dx + w]
+            take = n[..., 2] > best_s
+            best_vx = jnp.where(take, n[..., 0], best_vx)
+            best_vy = jnp.where(take, n[..., 1], best_vy)
+            best_s = jnp.maximum(best_s, n[..., 2])
+    return best_vx, best_vy
+
+
 def motion_blur_resolve(
     hdr: jnp.ndarray,  # (H, W, 4) scene color (post-TAA, pre-tonemap)
-    world_pos: jnp.ndarray,  # (H, W, 3) G-buffer world positions
+    world_pos: jnp.ndarray,  # (H, W, 3) G-buffer world positions — PREVIOUS
+    #   frame's positions when the renderer runs with velocity=True (the
+    #   g.prev plane), else current positions (camera-only blur)
     depth: jnp.ndarray,  # (H, W) reverse-Z depth (0 = background)
     prev_vp: jnp.ndarray,  # (4, 4) PREVIOUS frame's unjittered view-proj
     params: jnp.ndarray,  # (4,): strength, max_radius_px, pad, pad
     samples: int = 8,
     jitter: bool = True,
+    dilate: int = 0,  # dominant-velocity dilation radius (px)
 ) -> jnp.ndarray:
     """One motion-blur resolve: reproject → clamp velocity → N-tap
     streak average. Returns the blurred (H, W, 4) color.
@@ -80,6 +111,8 @@ def motion_blur_resolve(
     )
     vx = vx * scale
     vy = vy * scale
+    if dilate > 0:
+        vx, vy = dilate_velocity(vx, vy, dilate)
 
     # Centered streak: offsets in (-1/2, +1/2] of the velocity. Taps use
     # round-half-up (floor(x+0.5)): jnp.round's half-to-even would double
@@ -122,16 +155,20 @@ class MotionBlur:
     """
 
     def __init__(self, strength: float = 1.0, max_radius: float = 32.0,
-                 samples: int = 8, jitter: bool = True):
+                 samples: int = 8, jitter: bool = True, dilate: int = 1):
         self.strength = float(strength)
         self.max_radius = float(max_radius)
         self.samples = int(samples)
         self.jitter = bool(jitter)
+        # Dominant-velocity dilation radius — only applied when the
+        # G-buffer carries the per-draw velocity plane (object motion is
+        # what needs silhouette smear; pure camera blur has smooth fields).
+        self.dilate = int(dilate)
         self._prev_vp = None  # np (4, 4) previous frame's unjittered VP
         self._last_vp = None  # most recent unjittered VP observed
 
     def __zenith_capture_key__(self):
-        return ("MotionBlur", self.samples, self.jitter)
+        return ("MotionBlur", self.samples, self.jitter, self.dilate)
 
     def reset(self) -> None:
         """Drop the VP history (resize, scene cut)."""
@@ -178,11 +215,17 @@ class MotionBlur:
         builder.set_dynamic("mblur.params", self._params())
         node = builder.add_lambda_node("motion_blur")
         src = node.read(hdr_input)
-        p_in = node.read(gbuffer["pos"])
+        # Per-draw velocity plane when the renderer provides it
+        # (DeferredRenderer(velocity=True)): object motion streaks too,
+        # and dominant-velocity dilation smears silhouettes over the
+        # background. Without it: camera-only blur (r3 behavior).
+        has_vel = "prev_pos" in gbuffer
+        p_in = node.read(gbuffer["prev_pos"] if has_vel else gbuffer["pos"])
         d_in = node.read(gbuffer["depth"])
         dst = node.write(output)
         samples = self.samples
         jitter = self.jitter
+        dilate = self.dilate if has_vel else 0
 
         def record(ctx):
             hdr = ctx.get(src)
@@ -195,14 +238,14 @@ class MotionBlur:
                     ctx.get_full(src),
                     ctx.get_full(p_in)[..., :3],
                     ctx.get_full(d_in),
-                    prev_vp, params, samples, jitter,
+                    prev_vp, params, samples, jitter, dilate,
                 )
                 y0 = jax.lax.axis_index(ctx.shard_axis) * hdr.shape[0]
                 out = jax.lax.dynamic_slice_in_dim(full, y0, hdr.shape[0], 0)
             else:
                 out = motion_blur_resolve(
                     hdr, ctx.get(p_in)[..., :3], ctx.get(d_in),
-                    prev_vp, params, samples, jitter,
+                    prev_vp, params, samples, jitter, dilate,
                 )
             ctx.set(dst, out)
 

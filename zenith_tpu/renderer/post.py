@@ -161,10 +161,13 @@ def _bilinear_plane(plane: jnp.ndarray, sy: jnp.ndarray,
 
 
 def apply_film(mapped: jnp.ndarray, f: jnp.ndarray, ca_enabled: bool,
-               row0=0) -> jnp.ndarray:
+               row0=0, full_h: "int | None" = None) -> jnp.ndarray:
     """The FilmEffects chain on tonemapped LDR rgb. ``f`` is the packed
     (5,) vector. With ``ca_enabled`` the input must be the FULL surface
-    (the radial resample reaches across row bands)."""
+    (the radial resample reaches across row bands). ``row0``/``full_h``
+    are the band contract shared with apply_grade_post: ``row0`` seeds the
+    grain hash with GLOBAL rows; ``full_h`` is accepted for symmetry (the
+    grain needs only row0 — nothing here depends on the surface height)."""
     h, w = mapped.shape[0], mapped.shape[1]
     if ca_enabled:
         # Lateral CA: R sampled outward, B inward, scaled about the image

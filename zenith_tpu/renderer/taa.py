@@ -10,7 +10,12 @@ TPU-first:
 - Reprojection needs no motion-vector pass: the deferred G-buffer already
   holds world positions, so the previous frame's screen position is one
   dense 4x4 transform with the previous UNJITTERED view-projection —
-  exactly the projection math the SSAO taps use (ops/ssao.py).
+  exactly the projection math the SSAO taps use (ops/ssao.py). Under
+  ``DeferredRenderer(velocity=True)`` the G-buffer additionally carries
+  the PREVIOUS-frame world position per pixel (per-draw velocity: prev
+  model matrices / joint palettes / morph weights / instance offsets),
+  and the resolve reprojects through that plane instead — history lands
+  exactly where a moving surface point was, no ghosting fallback.
 - History is sampled bilinearly (4 gathers — the expensive TPU primitive,
   kept to the minimum that doesn't shimmer) and rectified by a 3x3
   neighborhood clamp built from ``jnp.roll`` shifts (zero gathers).
@@ -236,7 +241,12 @@ class TemporalAA:
 
         node = builder.add_lambda_node("taa")
         src = node.read(hdr_input)
-        p_in = node.read(gbuffer["pos"])
+        # Per-draw velocity (DeferredRenderer(velocity=True)): reproject
+        # via the PREVIOUS-frame world-position plane — history lands on
+        # where the surface point WAS, correct for moving/skinned/morphing
+        # objects. Without it, fall back to the static-world assumption
+        # (current positions + previous camera).
+        p_in = node.read(gbuffer.get("prev_pos", gbuffer["pos"]))
         d_in = node.read(gbuffer["depth"])
         dst = node.write(output)
         alpha = self.alpha

@@ -370,13 +370,29 @@ def _layer_splice(cur, layer: int, arr):
 class _NodeContextBase:
     def __init__(self, graph: "RenderGraph", node: GraphNode,
                  state: Dict[int, Any], dynamics: Dict[str, Any],
-                 shard_ctx=None):
+                 shard_ctx=None, stats_ref=None):
         self._graph = graph
         self._node = node
         self._state = state
         self._dynamics = dynamics
         # (axis_name, n_shards, banded_rid_set) under an SPMD mesh.
         self._shard_ctx = shard_ctx
+        # Running [overflow, nan] traced counters (shared across the walk).
+        self._stats_ref = stats_ref
+
+    def frame_overflow(self):
+        """Running traced bin-overflow total at THIS point in the graph —
+        DEVICE-side, zero host reads (the in-band telemetry the
+        dispatch-poison trap forbids fetching; PERF.md). Declare the
+        consuming node AFTER the draw nodes it observes (node order =
+        declaration order). Under an SPMD mesh the total is psum'd across
+        row bands, so every shard composites the same number."""
+        if self._stats_ref is None:
+            return jnp.int32(0)
+        v = self._stats_ref[0]
+        if self._shard_ctx is not None:
+            v = jax.lax.psum(v, self._shard_ctx[0])
+        return v
 
     @property
     def sharded(self) -> bool:
@@ -485,8 +501,9 @@ class GraphicNodeExecutionContext(_NodeContextBase):
                  colors: List[Any], depth: Optional[Any],
                  bin_capacity: int, stencil: Optional[Any] = None,
                  viewport: Optional[tuple] = None, shard_ctx=None,
-                 budget_scale: int = 1):
-        super().__init__(graph, node, state, dynamics, shard_ctx)
+                 budget_scale: int = 1, stats_ref=None):
+        super().__init__(graph, node, state, dynamics, shard_ctx,
+                         stats_ref=stats_ref)
         self._viewport = viewport
         self._budget_scale = budget_scale
         self.pipeline = pipeline
@@ -611,7 +628,8 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         from zenith_tpu.ops.draw import draw_indexed_batch
 
         resolved = []
-        for vb, ib, res in draws:
+        for draw in draws:
+            vb, ib, res = draw[0], draw[1], draw[2]
             vb_v = (
                 self.get(vb)
                 if isinstance(vb, RenderGraphResourceAccess)
@@ -625,7 +643,12 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             merged = dict(self._bindings)
             if res:
                 merged.update(res)
-            resolved.append((vb_v, ib_v, merged))
+            if len(draw) > 3 and draw[3]:
+                # Instanced blended draw: (vb, ib, res, {"instance_count",
+                # "instance_data"}) — blend-kernel path only (ops.draw).
+                resolved.append((vb_v, ib_v, merged, draw[3]))
+            else:
+                resolved.append((vb_v, ib_v, merged))
         self._colors, self._depth, stats = draw_indexed_batch(
             self._colors,
             self._depth,
@@ -916,8 +939,10 @@ class RenderGraph:
             for rid, st in enumerate(resources):
                 if st.is_imported:
                     state[rid] = imports[str(rid)]
-            overflow = jnp.int32(0)
-            nan_pixels = jnp.int32(0)
+            # Running [overflow, nan] counters: a LIST so node contexts can
+            # read the running total mid-graph (ctx.frame_overflow — the
+            # in-band telemetry path, e.g. the HUD overflow indicator).
+            stats_ref = [jnp.int32(0), jnp.int32(0)]
             validate = _validate_enabled()
             shard_ctx = (axis, n_shards, banded) if mesh is not None else None
 
@@ -933,7 +958,8 @@ class RenderGraph:
             for node in active_nodes:
                 if node.kind == "lambda":
                     ctx = LambdaNodeExecutionContext(
-                        self, node, state, dynamics, shard_ctx
+                        self, node, state, dynamics, shard_ctx,
+                        stats_ref=stats_ref,
                     )
                     node.job(ctx)
                     # A lambda write replaces the resolved surface — any
@@ -1115,6 +1141,7 @@ class RenderGraph:
                     colors, depth, options.bin_capacity, stencil,
                     viewport=viewport, shard_ctx=shard_ctx,
                     budget_scale=options.budget_scale,
+                    stats_ref=stats_ref,
                 )
                 node.job(ctx)
 
@@ -1148,18 +1175,18 @@ class RenderGraph:
                     if mesh is not None:
                         banded.add(node.stencil_attachment)
                 for ov in ctx.stats:
-                    overflow = overflow + ov
+                    stats_ref[0] = stats_ref[0] + ov
                 if validate:
                     # NaN screening of this node's attachment writes — a NaN
                     # escaping a shader poisons every downstream blend.
                     for (rid, _cd, _m, _l), arr in zip(
                         node.color_attachments, ctx._colors
                     ):
-                        nan_pixels = nan_pixels + jnp.isnan(arr).sum().astype(
-                            jnp.int32
-                        )
+                        stats_ref[1] = stats_ref[1] + jnp.isnan(
+                            arr
+                        ).sum().astype(jnp.int32)
                     if ctx._depth is not None:
-                        nan_pixels = nan_pixels + jnp.isnan(
+                        stats_ref[1] = stats_ref[1] + jnp.isnan(
                             ctx._depth
                         ).sum().astype(jnp.int32)
 
@@ -1169,7 +1196,9 @@ class RenderGraph:
                     outputs[str(rid)] = state[rid]
             return (
                 outputs,
-                FrameStatsOutput(bin_overflow=overflow, nan_pixels=nan_pixels),
+                FrameStatsOutput(
+                    bin_overflow=stats_ref[0], nan_pixels=stats_ref[1]
+                ),
                 banded,
             )
 

@@ -495,6 +495,14 @@ class SceneApp(RenderableApp):
                             help="camera motion blur (G-buffer reprojection "
                                  "velocity + N-tap streak; shutter params "
                                  "ride a dynamic; deferred mode)")
+        parser.add_argument("--velocity", action="store_true",
+                            help="per-draw velocity G-buffer plane "
+                                 "(DeferredRenderer(velocity=True)): TAA "
+                                 "reprojects and motion blur streaks "
+                                 "correctly for MOVING objects (skinned/"
+                                 "morphed/instanced too); auto-enabled when "
+                                 "--taa or --motion-blur runs with animated "
+                                 "content")
         parser.add_argument("--soft-shadows", action="store_true",
                             help="VSM soft sun shadows (blurred depth "
                                  "moments + Chebyshev visibility; "
@@ -588,12 +596,25 @@ class SceneApp(RenderableApp):
         )
         parser.add_argument(
             "--retained", action="store_true",
-            help="retained mode: build the graph once, re-execute with "
-                 "fresh camera dynamics (trace once, re-execute)",
+            help="(default; kept for compatibility) retained mode: build "
+                 "the graph once, re-execute with fresh dynamics",
+        )
+        parser.add_argument(
+            "--no-retained", action="store_true",
+            help="disable auto-retained execution: rebuild the graph every "
+                 "frame (the reference's per-frame rebuild, engine.rs:93-102 "
+                 "— useful for benchmarking the rebuild path)",
         )
         ns, _ = parser.parse_known_args(args.app_args)
         self.textured = ns.textured
-        self.retained = ns.retained
+        # AUTO-RETAINED is the default: the frame structure is static
+        # across frames (every per-frame value rides a dynamic), so the
+        # engine re-executes the cached program — the XLA way to match the
+        # reference's negligible per-frame rebuild cost (engine.rs:93-102).
+        # A structural scene edit calls mark_structure_dirty() and the
+        # next frame transparently takes the rebuild path.
+        self.retained = not ns.no_retained
+        self._structure_dirty = False
         self.instances = ns.instances
         self.gun_instances = ns.gun_instances
         self.glass = ns.glass
@@ -631,6 +652,15 @@ class SceneApp(RenderableApp):
         self.dof = None
         self.use_mblur = ns.motion_blur and ns.mode == "deferred"
         self.mblur = None
+        # Per-draw velocity: explicit flag, or automatic when a temporal
+        # effect (TAA / motion blur) runs alongside animated content
+        # (skinning, morphs, particles — the cases where camera-only
+        # reprojection is wrong).
+        self.use_velocity = ns.mode == "deferred" and (
+            ns.velocity
+            or ((self.use_taa or self.use_mblur)
+                and (self.skinned or self.morph or self.n_particles > 0))
+        )
         self.psys = None
         self._dt = 1.0 / 60.0
         self.spots = ns.spots if ns.mode == "deferred" else 0
@@ -751,6 +781,7 @@ class SceneApp(RenderableApp):
                 scene, wireframe=self.wireframe,
                 ssao=SSAOOptions(radius=6.0) if self.ssao else False,
                 id_buffer=self.use_pick,
+                velocity=self.use_velocity,
             )
         else:
             self.renderer = ForwardShadowRenderer(
@@ -796,7 +827,8 @@ class SceneApp(RenderableApp):
         if self.use_hud:
             from zenith_tpu.renderer.hud import HudOverlay
 
-            self.hud = HudOverlay(max_chars=24, scale=2)
+            self.hud = HudOverlay(max_chars=24, scale=2,
+                                  overflow_indicator=True)
             self.hud.set_text("FPS ----")
         self.camera = Camera(
             fov_y=Degree(35.0), aspect_ratio=window.width / max(window.height, 1)
@@ -875,12 +907,33 @@ class SceneApp(RenderableApp):
         pitch = -math.atan2(self._height - 5.0, self._radius)
         self.camera.set_yaw_pitch(Radians(self.orbit), Radians(pitch))
 
+    def mark_structure_dirty(self) -> None:
+        """Call after a STRUCTURAL scene edit (object added/removed, a
+        classifying field flipped: translucent / skin / morph / instancing
+        None-ness, texture swapped): the next update_dynamics returns None
+        once, which routes that frame through the rebuild path (app.render
+        → build → compile at the new structure) and re-caches the retained
+        program. Value changes (transforms, visibility, materials, light
+        params, animation) ride dynamics and never need this."""
+        self._structure_dirty = True
+
     def update_dynamics(self):
-        """Retained-mode hook (engine.py): camera values only — the rest of
-        the scene's dynamics are static. Returns None unless --retained."""
+        """Auto-retained hook (engine.py): per-frame values only — the
+        frame STRUCTURE is static, so the engine re-executes the cached
+        program. Returns None (→ rebuild path) when --no-retained or after
+        mark_structure_dirty()."""
         if not self.retained or self.renderer is None:
             return None
-        d = self.renderer.frame_dynamics(self.camera)
+        if self._structure_dirty:
+            self._structure_dirty = False
+            return None
+        # include_models: transforms + visibility toggles keep flowing in
+        # retained mode (one (N,4,4) np.stack per frame — host-cheap).
+        d = (
+            self.renderer.frame_dynamics(self.camera, include_models=True)
+            if self.mode == "deferred"
+            else self.renderer.frame_dynamics(self.camera)
+        )
         if self.taa is not None:
             d.update(self.taa.frame_dynamics(self.camera))
         if self.post is not None:

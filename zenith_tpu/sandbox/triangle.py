@@ -32,6 +32,14 @@ class TriangleApp(RenderableApp):
         out = builder.import_resource(output)
         self.triangle_renderer.render_to(builder, out, width, height)
 
+    def update_dynamics(self):
+        """Auto-retained execution (engine.py): the only per-frame value is
+        the time uniform — frames 2+ skip render_to/build/compile entirely
+        and re-execute the cached frame program with a fresh time."""
+        if self.triangle_renderer is None:
+            return None
+        return self.triangle_renderer.frame_dynamics()
+
 
 def main() -> None:
     from zenith_tpu.launch import launch
