@@ -47,6 +47,13 @@ CONFIGS = {
     "all": {"ibl": True, "ssao": True, "fxaa": True},
     "all_taa": {"ibl": True, "ssao": True, "taa": True,
                 "auto_exposure": True, "cascades": 3},
+    # Round-4 additions: per-draw velocity (the animated-content TAA/blur
+    # path), picking, HUD, decals, translucency (kernel blend path).
+    "velocity": {"taa": True, "motion_blur": True, "velocity": True},
+    "pick": {"pick": True},
+    "hud": {"hud": True},
+    "decals": {"decals": 4},
+    "glass": {"glass": True},
 }
 
 
@@ -82,7 +89,20 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
     scene = build_scene(device, 100, np.random.default_rng(42),
                         ibl=cfg.get("ibl", False),
                         skinned=cfg.get("skinned", False),
-                        morph=cfg.get("morph", False))
+                        morph=cfg.get("morph", False),
+                        glass=cfg.get("glass", False))
+    if cfg.get("decals"):
+        from zenith_tpu.renderer.decal import Decal
+
+        nd = cfg["decals"]
+        for k in range(nd):
+            a = 2.0 * math.pi * k / nd
+            scene.decals.append(Decal(
+                name=f"decal{k}",
+                position=(55 * math.cos(a), 55 * math.sin(a), 0.1),
+                size=(26.0, 26.0, 4.0),
+                color=(0.9, 0.25 + 0.1 * k, 0.2, 0.85),
+            ))
     if cfg.get("cascades", 1) > 1:
         scene.sun = dc_replace(scene.sun, cascades=cfg["cascades"])
     if cfg.get("soft_shadows"):
@@ -97,8 +117,16 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
             color=(3.0, 0.6, 0.5), intensity=1800.0, radius=130.0,
         ))
     renderer = DeferredRenderer(
-        scene, ssao=SSAOOptions(radius=6.0) if cfg.get("ssao") else False
+        scene, ssao=SSAOOptions(radius=6.0) if cfg.get("ssao") else False,
+        velocity=cfg.get("velocity", False),
+        id_buffer=cfg.get("pick", False),
     )
+    hud = None
+    if cfg.get("hud"):
+        from zenith_tpu.renderer.hud import HudOverlay
+
+        hud = HudOverlay(max_chars=24, scale=2, overflow_indicator=True)
+        hud.set_text("FPS 0000.0")
     from zenith_tpu.renderer import ColorGrade, DepthOfField
 
     from zenith_tpu.renderer import FilmEffects
@@ -206,7 +234,7 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
             )
             taa.render_to(builder, post_in, taa_out, camera, w, h,
                           renderer.gbuffer_handles)
-            post_in = taa_out
+            post_in = taa_handle = taa_out
         if mblur is not None:
             mb_out = builder.create(
                 TextureDesc.color("scene.mblur", w, h, Format.RGBA32F)
@@ -222,12 +250,16 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
                           renderer.gbuffer_handles)
             post_in = dof_out
         post.render_to(builder, post_in, out)
+        if hud is not None:
+            hud.render_to(builder, out)
         present.render_to(builder, out, enc)
         compiled = builder.build().compile(device, pipeline_cache, options)
         compiled.execute(device)
         # Cross-frame feedback (device-resident, async — part of the path).
         if taa is not None:
-            taa.feedback(compiled.value(post_in))
+            # History is TAA's own output — NOT post_in, which later
+            # stages (motion blur / DoF) may have re-pointed.
+            taa.feedback(compiled.value(taa_handle))
         if post.auto_exposure and post.exposure_out is not None:
             post.feedback(compiled.value(post.exposure_out))
         return compiled.value(enc)

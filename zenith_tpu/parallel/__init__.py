@@ -10,6 +10,8 @@ ideal ICI profile.
 """
 
 from zenith_tpu.parallel.sharding import (
+    ORDER_BACKGROUND,
+    composite_depth_planes,
     default_mesh,
     make_row_sharded_frame,
     halo_exchange_rows,
@@ -18,6 +20,8 @@ from zenith_tpu.parallel.sharding import (
 )
 
 __all__ = [
+    "ORDER_BACKGROUND",
+    "composite_depth_planes",
     "default_mesh",
     "make_row_sharded_frame",
     "make_sort_last_frame",

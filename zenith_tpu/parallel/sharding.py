@@ -177,6 +177,116 @@ def composite_depth(color, depth, axis_name: str):
     return c_out, z_out
 
 
+# Background value of the submission-order plane: larger than any draw
+# sequence number, so undrawn pixels lose every tie against drawn ones and
+# resolve among themselves to the (identical) loaded contents of rank 0.
+ORDER_BACKGROUND = _np_int32_max = 2**31 - 1
+
+
+def composite_depth_planes(
+    planes: "list",
+    depth,
+    order,
+    axis_name: str,
+    band_output: bool = False,
+):
+    """Binary-swap sort-last compositing of N attachment planes sharing ONE
+    depth plane — the engine-graph generalization of ``composite_depth``.
+
+    Per pixel the winner is the device with max z; equal z resolves to the
+    lowest ``order`` (a per-pixel int32 submission-order plane the draw
+    context stamps per draw call — lower = earlier, ``ORDER_BACKGROUND``
+    for undrawn pixels), and equal (z, order) to the lowest device rank
+    (contiguous triangle shards make that earliest-submission — the
+    first-wins rule of sequential GREATER draws). The lexicographic
+    (z, -order, -rank) max is associative, so the pairwise binary-swap
+    tournament is exact.
+
+    With ``band_output`` each device keeps its contiguous row piece r —
+    exactly the row-band layout of the graph's sort-first path, so the
+    result feeds banded downstream nodes with ZERO extra reassembly
+    traffic. Otherwise full surfaces are all_gathered on every device.
+    Non-power-of-two meshes or heights that don't divide fall back to an
+    all_gather composite (same winner rule).
+    """
+    n = jax.lax.axis_size(axis_name)
+    h = depth.shape[0]
+    rank = jax.lax.axis_index(axis_name)
+    if n == 1:
+        return planes, depth, order
+    if n & (n - 1) != 0 or h % n != 0:
+        # all_gather fallback: same lexicographic winner, O(n·H·W) traffic.
+        z_all = jax.lax.all_gather(depth, axis_name)  # (n, H, W)
+        o_all = jax.lax.all_gather(order, axis_name)  # (n, H, W)
+        # Winner rank per pixel: lexicographic (z desc, order asc, rank asc)
+        # — scan ranks in order, keeping the incumbent on ties.
+        z_w, o_w, r_w = z_all[0], o_all[0], jnp.zeros(z_all[0].shape, jnp.int32)
+        for r in range(1, n):
+            take = (z_all[r] > z_w) | ((z_all[r] == z_w) & (o_all[r] < o_w))
+            z_w = jnp.where(take, z_all[r], z_w)
+            o_w = jnp.where(take, o_all[r], o_w)
+            r_w = jnp.where(take, jnp.int32(r), r_w)
+        out_planes = []
+        for p in planes:
+            p_all = jax.lax.all_gather(p, axis_name)
+            sel = r_w.reshape(r_w.shape + (1,) * (p_all.ndim - 1 - r_w.ndim))
+            out_planes.append(
+                jnp.take_along_axis(p_all, sel[None], axis=0)[0]
+            )
+        if band_output:
+            piece = h // n if h % n == 0 else None
+            if piece is None:
+                return out_planes, z_w, o_w  # can't band: keep replicated
+            s = rank * piece
+            out_planes = [
+                jax.lax.dynamic_slice_in_dim(p, s, piece, 0)
+                for p in out_planes
+            ]
+            z_w = jax.lax.dynamic_slice_in_dim(z_w, s, piece, 0)
+            o_w = jax.lax.dynamic_slice_in_dim(o_w, s, piece, 0)
+        return out_planes, z_w, o_w
+
+    z, o = depth, order
+    ps = list(planes)
+    rk = jnp.full(z.shape, rank, jnp.int32)
+    d = n // 2
+    while d >= 1:
+        half = z.shape[0] // 2
+        bit0 = (rank & d) == 0  # traced scalar bool: am I the lower rank?
+        perm = [(i, i ^ d) for i in range(n)]
+
+        def swap_half(a):
+            send = jnp.where(bit0, a[half:], a[:half])
+            mine = jnp.where(bit0, a[:half], a[half:])
+            return jax.lax.ppermute(send, axis_name, perm), mine
+
+        z_recv, z_mine = swap_half(z)
+        o_recv, o_mine = swap_half(o)
+        r_recv, r_mine = swap_half(rk)
+        take = (z_recv > z_mine) | (
+            (z_recv == z_mine)
+            & ((o_recv < o_mine) | ((o_recv == o_mine) & (r_recv < r_mine)))
+        )
+        z = jnp.where(take, z_recv, z_mine)
+        o = jnp.where(take, o_recv, o_mine)
+        rk = jnp.where(take, r_recv, r_mine)
+        new_ps = []
+        for p in ps:
+            p_recv, p_mine = swap_half(p)
+            t = take.reshape(take.shape + (1,) * (p.ndim - take.ndim))
+            new_ps.append(jnp.where(t, p_recv, p_mine))
+        ps = new_ps
+        d //= 2
+    if band_output:
+        # Device r holds contiguous piece r (rank bits MSB→LSB selected
+        # top/bottom each round) — already the row-band layout.
+        return ps, z, o
+    ps = [jax.lax.all_gather(p, axis_name, axis=0, tiled=True) for p in ps]
+    z = jax.lax.all_gather(z, axis_name, axis=0, tiled=True)
+    o = jax.lax.all_gather(o, axis_name, axis=0, tiled=True)
+    return ps, z, o
+
+
 def make_row_sharded_frame(
     mesh: Mesh,
     pipeline: GraphicPipeline,

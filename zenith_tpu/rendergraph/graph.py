@@ -104,6 +104,23 @@ class CompileOptions:
     replicated. Constraints: every attachment height must divide by the
     mesh size × tile_h, and lambda-node math must be row-local (elementwise
     resolves are; cross-row blurs like bloom are not).
+
+    ``parallel`` picks the work decomposition for GRAPHIC nodes under a
+    mesh. ``"sort_first"`` (default): row bands as above — zero raster-time
+    collectives, but a scene whose geometry clusters in a few bands load-
+    imbalances (one device rasterizes everything). ``"sort_last"``:
+    eligible opaque nodes shard TRIANGLES contiguously across the mesh
+    instead — every device rasterizes its T/n subset at full resolution,
+    then a binary-swap depth composite (O(H·W) ICI per device,
+    parallel.sharding.composite_depth_planes) lands the result directly in
+    the row-band layout, so downstream nodes (lighting lambdas, post,
+    blended draws) run exactly as in sort-first. Eligibility per node:
+    single-sample, full-surface attachments, depth test+write with strict
+    GREATER compare, no blending, no stencil — anything else (glass,
+    MSAA, render-to-mip) falls back to the banded path within the same
+    frame. Triangle order is preserved: a per-pixel submission-order plane
+    breaks equal-z ties exactly like sequential draws (up to ties between
+    different records of one batched draw landing on different shards).
     """
 
     tile_h: int = 32
@@ -111,6 +128,7 @@ class CompileOptions:
     bin_capacity: int = DEFAULT_BIN_CAPACITY
     mesh: Optional[Any] = None  # jax.sharding.Mesh (hashable)
     shard_axis: str = "rows"
+    parallel: str = "sort_first"  # or "sort_last" (triangle sharding)
     # Multiplies every draw's entry budget; the engine doubles it when a
     # frame reports bin overflow (adaptive growth, like a pipeline-cache
     # miss — recompiles once at the new size).
@@ -501,7 +519,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
                  colors: List[Any], depth: Optional[Any],
                  bin_capacity: int, stencil: Optional[Any] = None,
                  viewport: Optional[tuple] = None, shard_ctx=None,
-                 budget_scale: int = 1, stats_ref=None):
+                 budget_scale: int = 1, stats_ref=None, tri_shard=None):
         super().__init__(graph, node, state, dynamics, shard_ctx,
                          stats_ref=stats_ref)
         self._viewport = viewport
@@ -514,6 +532,58 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         self._bindings: Dict[str, Any] = {}
         self._bin_capacity = bin_capacity
         self.stats: List[Any] = []
+        # Sort-last triangle sharding (CompileOptions.parallel="sort_last"):
+        # (axis_name, n_shards) when this node's draws shard triangles.
+        self._tri_shard = tri_shard
+        self._order: Optional[Any] = None  # per-pixel submission-order plane
+        self._draw_seq = 0
+
+    def _shard_ib(self, ib):
+        """Contiguous per-device slice of a TRIANGLE_LIST index buffer
+        (sort-last triangle sharding). A short tail pads with copies of the
+        first triple — harmless under the strict-GREATER opaque contract
+        (an exact re-draw of a triangle fails the depth test everywhere,
+        and cross-shard duplicates composite to identical values). Non-list
+        topologies (strips/fans/lines/points) and non-FILL polygon modes
+        draw replicated instead: the composite resolves identical
+        fragments to rank 0, so the result stays correct, just un-sped."""
+        st = self.pipeline.desc.state
+        from zenith_tpu.rhi.state import PolygonMode, PrimitiveTopology
+
+        if (
+            st.input_assembly.topology != PrimitiveTopology.TRIANGLE_LIST
+            or st.rasterization.polygon_mode != PolygonMode.FILL
+        ):
+            return ib
+        axis_name, n = self._tri_shard
+        tri = ib.reshape(-1, 3)
+        t = tri.shape[0]
+        per = -(-t // n)
+        pad = per * n - t
+        if pad:
+            tri = jnp.concatenate(
+                [tri, jnp.broadcast_to(tri[0], (pad, 3))], axis=0
+            )
+        start = jax.lax.axis_index(axis_name) * per
+        return jax.lax.dynamic_slice_in_dim(tri, start, per, 0)
+
+    def _stamp_order(self, z_before) -> None:
+        """Record which pixels this draw call won (depth changed — under
+        strict GREATER an equal-z later fragment never writes), so the
+        sort-last composite can break cross-shard equal-z ties in exact
+        submission order."""
+        from zenith_tpu.parallel.sharding import ORDER_BACKGROUND
+
+        if self._order is None:
+            self._order = jnp.full(
+                (self.grid.height, self.grid.width),
+                ORDER_BACKGROUND, jnp.int32,
+            )
+        changed = self._depth != z_before
+        self._order = jnp.where(
+            changed, jnp.int32(self._draw_seq), self._order
+        )
+        self._draw_seq += 1
 
     @property
     def extent(self) -> "Tuple[int, int]":
@@ -595,6 +665,9 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         merged = dict(self._bindings)
         if resources:
             merged.update(resources)
+        z_before = self._depth
+        if self._tri_shard is not None:
+            ib = self._shard_ib(ib)
         self._colors, self._depth, stats = draw_indexed(
             self._colors,
             self._depth,
@@ -611,6 +684,8 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             instance_data=instance_data,
             budget_scale=self._budget_scale,
         )
+        if self._tri_shard is not None:
+            self._stamp_order(z_before)
         if stats.stencil is not None:
             self._stencil = stats.stencil
         self.stats.append(stats.bin_overflow)
@@ -643,12 +718,15 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             merged = dict(self._bindings)
             if res:
                 merged.update(res)
+            if self._tri_shard is not None:
+                ib_v = self._shard_ib(ib_v)
             if len(draw) > 3 and draw[3]:
                 # Instanced blended draw: (vb, ib, res, {"instance_count",
                 # "instance_data"}) — blend-kernel path only (ops.draw).
                 resolved.append((vb_v, ib_v, merged, draw[3]))
             else:
                 resolved.append((vb_v, ib_v, merged))
+        z_batch_before = self._depth
         self._colors, self._depth, stats = draw_indexed_batch(
             self._colors,
             self._depth,
@@ -661,6 +739,11 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             viewport=self._viewport,
             budget_scale=self._budget_scale,
         )
+        if self._tri_shard is not None:
+            # One order stamp per batch: in-shard record order is resolved
+            # in-kernel; cross-shard equal-z ties WITHIN one batch resolve
+            # by rank (see CompileOptions.parallel docs).
+            self._stamp_order(z_batch_before)
         if stats.stencil is not None:
             self._stencil = stats.stencil
         self.stats.append(stats.bin_overflow)
@@ -1009,18 +1092,61 @@ class RenderGraph:
                     )
                 att_w = max(1, tdesc.width >> first_mip)
                 full_h = max(1, tdesc.height >> first_mip)
-                if mesh is not None:
-                    assert full_h % (n_shards * options.tile_h) == 0, (
-                        f"attachment height {full_h} must divide by mesh "
-                        f"size {n_shards} x tile_h {options.tile_h}"
+
+                # Sort-last eligibility (CompileOptions.parallel docs):
+                # opaque single-sample full-surface depth-writing GREATER
+                # nodes shard triangles; everything else stays banded.
+                from zenith_tpu.rhi.state import CompareOp as _CmpOp
+
+                _ds = pipeline.desc.state.depth_stencil
+                node_sl = (
+                    mesh is not None
+                    and options.parallel == "sort_last"
+                    and not subres
+                    and pipeline.desc.state.multisample.samples == 1
+                    and node.stencil_attachment is None
+                    and node.depth_attachment is not None
+                    and _ds.depth_test_enable
+                    and _ds.depth_write_enable
+                    and _ds.depth_compare_op == _CmpOp.GREATER
+                    and not any(
+                        cd.blend_enable
+                        for _, cd, _, _ in node.color_attachments
                     )
-                local_h = full_h // n_shards
+                )
+                if node_sl:
+                    assert full_h % n_shards == 0, (
+                        f"attachment height {full_h} must divide by mesh "
+                        f"size {n_shards} for the sort-last composite"
+                    )
+                    # Full-resolution raster per device; the binary-swap
+                    # composite bands the result at node end.
+                    local_h = full_h
+                else:
+                    if mesh is not None:
+                        assert full_h % (n_shards * options.tile_h) == 0, (
+                            f"attachment height {full_h} must divide by mesh "
+                            f"size {n_shards} x tile_h {options.tile_h}"
+                        )
+                    local_h = full_h // n_shards
                 grid = TileGrid(
                     width=att_w,
                     height=local_h,
                     tile_h=options.tile_h,
                     tile_w=options.tile_w,
                 )
+
+                def local_view(rid, arr, fh):
+                    """A loaded attachment in this node's working layout:
+                    full surface for sort-last nodes (gathering a banded
+                    input), row band otherwise."""
+                    if node_sl:
+                        if rid in banded:
+                            return jax.lax.all_gather(
+                                arr, axis, axis=0, tiled=True
+                            )
+                        return arr
+                    return band_of(rid, arr, fh)
 
                 def att_load(rid, amip, alayer):
                     """Current contents of an attachment sub-surface (None
@@ -1053,7 +1179,7 @@ class RenderGraph:
                     else:
                         state[rid] = arr
                 viewport = None
-                if mesh is not None:
+                if mesh is not None and not node_sl:
                     y0 = jax.lax.axis_index(axis) * local_h
                     viewport = (0, y0, att_w, full_h)
 
@@ -1098,7 +1224,7 @@ class RenderGraph:
                         if per_sample is not None:
                             colors.append(per_sample)
                             continue
-                        arr = band_of(rid, cur, full_h)
+                        arr = local_view(rid, cur, full_h)
                     colors.append(to_samples(arr))
 
                 depth = None
@@ -1114,7 +1240,7 @@ class RenderGraph:
                         if per_sample is not None:
                             depth = per_sample
                         else:
-                            cur = band_of(rid, cur, full_h)
+                            cur = local_view(rid, cur, full_h)
                             depth = to_samples(
                                 cur[..., 0] if cur.ndim == 3 else cur
                             )
@@ -1134,7 +1260,7 @@ class RenderGraph:
                         if per_sample is not None:
                             stencil = per_sample
                         else:
-                            stencil = to_samples(band_of(srid, cur, full_h))
+                            stencil = to_samples(local_view(srid, cur, full_h))
 
                 ctx = GraphicNodeExecutionContext(
                     self, node, state, dynamics, pipeline, grid,
@@ -1142,8 +1268,32 @@ class RenderGraph:
                     viewport=viewport, shard_ctx=shard_ctx,
                     budget_scale=options.budget_scale,
                     stats_ref=stats_ref,
+                    tri_shard=(axis, n_shards) if node_sl else None,
                 )
                 node.job(ctx)
+
+                if node_sl:
+                    # Sort-last composite: every device rasterized its
+                    # triangle shard at full resolution — merge by depth
+                    # (submission-order tie-break) straight into the
+                    # row-band layout downstream nodes expect.
+                    from zenith_tpu.parallel.sharding import (
+                        ORDER_BACKGROUND,
+                        composite_depth_planes,
+                    )
+
+                    order = ctx._order
+                    if order is None:  # node recorded no draws
+                        order = jnp.full(
+                            (grid.height, grid.width),
+                            ORDER_BACKGROUND, jnp.int32,
+                        )
+                    planes, d_comp, _ = composite_depth_planes(
+                        list(ctx._colors), ctx._depth, order, axis,
+                        band_output=True,
+                    )
+                    ctx._colors = planes
+                    ctx._depth = d_comp
 
                 # Epilogue: store attachments back (store-op STORE semantics;
                 # DONT_CARE stores too — contents are valid, just unneeded).
