@@ -119,3 +119,60 @@ class TestActionMapper:
         am.tick(1 / 60)
         # smoothing 0 ⇒ abrupt: one tick saturates to -1.
         assert am.get_axis("move") == pytest.approx(-1.0)
+
+
+class TestSameFrameTap:
+    """Press+release batched into ONE event pump (a quick tap through a
+    network front-end that flushes every ~16 ms, e.g. zenith_tpu.viewer).
+    The prev-frame set diff alone would lose the tap entirely; the latch
+    makes it JUST_PRESSED for one frame, JUST_RELEASED the next."""
+
+    def test_key_tap_within_one_frame_registers(self):
+        im = InputManager()
+        im.on_window_event(press(KeyCode.ESCAPE))
+        im.on_window_event(release(KeyCode.ESCAPE))
+        im.tick()
+        assert im.is_key_just_pressed(KeyCode.ESCAPE)
+        assert not im.is_key_pressed(KeyCode.ESCAPE)  # physically up by now
+        im.tick()
+        assert im.is_key_just_released(KeyCode.ESCAPE)
+        im.tick()
+        assert im.key_state(KeyCode.ESCAPE) == KeyState.RELEASED
+
+    def test_tap_then_repress_same_frame_stays_held(self):
+        im = InputManager()
+        im.on_window_event(press(KeyCode.KEY_W))
+        im.on_window_event(release(KeyCode.KEY_W))
+        im.on_window_event(press(KeyCode.KEY_W))
+        im.tick()
+        assert im.is_key_just_pressed(KeyCode.KEY_W)
+        assert im.is_key_pressed(KeyCode.KEY_W)
+        im.tick()
+        assert im.key_state(KeyCode.KEY_W) == KeyState.HELD
+
+    def test_release_of_held_key_is_not_a_tap(self):
+        im = InputManager()
+        im.on_window_event(press(KeyCode.KEY_W))
+        im.tick()
+        im.tick()
+        im.on_window_event(release(KeyCode.KEY_W))
+        im.tick()
+        assert im.is_key_just_released(KeyCode.KEY_W)
+        assert not im.is_key_just_pressed(KeyCode.KEY_W)
+
+    def test_mouse_tap_within_one_frame_registers(self):
+        im = InputManager()
+        im.on_window_event(MouseInput(MouseButton.LEFT, ElementState.PRESSED))
+        im.on_window_event(MouseInput(MouseButton.LEFT, ElementState.RELEASED))
+        im.tick()
+        assert im.is_mouse_just_pressed(MouseButton.LEFT)
+        im.tick()
+        assert im.is_mouse_just_released(MouseButton.LEFT)
+
+    def test_action_fires_on_same_frame_tap(self):
+        mapper = InputActionMapper()
+        mapper.register_action("quit", [KeyCode.ESCAPE])
+        mapper.on_window_event(press(KeyCode.ESCAPE))
+        mapper.on_window_event(release(KeyCode.ESCAPE))
+        mapper.tick(1 / 60)
+        assert mapper.is_action_just_pressed("quit")

@@ -53,11 +53,18 @@ class InputManager:
         self._keys_just_released: set[KeyCode] = set()
         self._keys_with_repeat: set[KeyCode] = set()
         self._prev_keys_pressed: set[KeyCode] = set()
+        # Keys pressed AND released between two ticks (a quick tap batched
+        # into one event pump — routine for a network front-end that
+        # flushes events every ~16 ms, impossible under winit's per-event
+        # cadence). A pure prev-frame set diff would lose them; latch so
+        # the tap reads JUST_PRESSED this frame, JUST_RELEASED the next.
+        self._keys_tapped: set[KeyCode] = set()
 
         self._mouse_pressed: set[MouseButton] = set()
         self._mouse_just_pressed: set[MouseButton] = set()
         self._mouse_just_released: set[MouseButton] = set()
         self._prev_mouse_pressed: set[MouseButton] = set()
+        self._mouse_tapped: set[MouseButton] = set()
 
         self._modifiers = ModifiersState()
 
@@ -72,12 +79,18 @@ class InputManager:
                 else:
                     self._keys_with_repeat.add(event.key)
             else:
+                if (event.key in self._keys_pressed
+                        and event.key not in self._prev_keys_pressed):
+                    self._keys_tapped.add(event.key)
                 self._keys_pressed.discard(event.key)
                 self._keys_with_repeat.discard(event.key)
         elif isinstance(event, MouseInput):
             if event.state == ElementState.PRESSED:
                 self._mouse_pressed.add(event.button)
             else:
+                if (event.button in self._mouse_pressed
+                        and event.button not in self._prev_mouse_pressed):
+                    self._mouse_tapped.add(event.button)
                 self._mouse_pressed.discard(event.button)
         elif isinstance(event, ModifiersChanged):
             self._modifiers = ModifiersState(
@@ -91,13 +104,23 @@ class InputManager:
             self.clear()
 
     def tick(self) -> None:
-        """Advance the state machine one frame (reference input.rs:115-147)."""
-        self._keys_just_pressed = self._keys_pressed - self._prev_keys_pressed
+        """Advance the state machine one frame (reference input.rs:115-147).
+
+        Latched taps (press+release inside one pump) are folded into the
+        prev-frame diff: JUST_PRESSED now, JUST_RELEASED on the next tick
+        (they ride ``_prev_*_pressed`` into it)."""
+        self._keys_just_pressed = (
+            self._keys_pressed | self._keys_tapped
+        ) - self._prev_keys_pressed
         self._keys_just_released = self._prev_keys_pressed - self._keys_pressed
-        self._mouse_just_pressed = self._mouse_pressed - self._prev_mouse_pressed
+        self._mouse_just_pressed = (
+            self._mouse_pressed | self._mouse_tapped
+        ) - self._prev_mouse_pressed
         self._mouse_just_released = self._prev_mouse_pressed - self._mouse_pressed
-        self._prev_keys_pressed = set(self._keys_pressed)
-        self._prev_mouse_pressed = set(self._mouse_pressed)
+        self._prev_keys_pressed = self._keys_pressed | self._keys_tapped
+        self._prev_mouse_pressed = self._mouse_pressed | self._mouse_tapped
+        self._keys_tapped = set()
+        self._mouse_tapped = set()
 
     def key_state(self, key: KeyCode) -> KeyState:
         if key in self._keys_just_pressed:
@@ -141,9 +164,11 @@ class InputManager:
         self._keys_just_pressed.clear()
         self._keys_just_released.clear()
         self._keys_with_repeat.clear()
+        self._keys_tapped.clear()
         self._mouse_pressed.clear()
         self._mouse_just_pressed.clear()
         self._mouse_just_released.clear()
+        self._mouse_tapped.clear()
 
 
 @dataclass

@@ -7,6 +7,9 @@ the window's event queue — fed interactively by a front-end, or synthesized
 by ``--flight`` which replays a scripted WASD+mouse path.
 
 Run:  python -m zenith_tpu.sandbox.fly --frames 240 --out /tmp/fly.png
+Interactive (the winit-window analog, zenith_tpu.viewer):
+      python -m zenith_tpu.sandbox.fly --serve 8089
+then open http://127.0.0.1:8089/ in a browser and fly for real.
 """
 
 from __future__ import annotations
@@ -114,6 +117,16 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=1280)
     parser.add_argument("--height", type=int, default=720)
     parser.add_argument("--readback-interval", type=int, default=1)
+    parser.add_argument(
+        "--serve", type=int, nargs="?", const=8089, default=None,
+        metavar="PORT",
+        help="serve an interactive browser viewer on PORT (default 8089) "
+        "instead of replaying the scripted flight",
+    )
+    parser.add_argument(
+        "--fps-cap", type=float, default=60.0,
+        help="frame pacing for --serve (the stream can't use more)",
+    )
     known, rest = parser.parse_known_args()
     os.environ.setdefault("ZENITH_READBACK_INTERVAL", str(known.readback_interval))
 
@@ -128,7 +141,31 @@ def main() -> None:
 
     app = FlyApp(args)
     loop = EngineLoop(app, window=window)
-    loop.run(max_frames=known.frames, frame_callback=scripted_flight)
+    if known.serve is not None:
+        import time
+
+        from zenith_tpu.viewer import ViewerServer
+
+        viewer = ViewerServer(window, port=known.serve).start()
+        print(f"flying at {viewer.url} — WASD/QE + click-to-look, Esc quits")
+        min_dt = 1.0 / max(known.fps_cap, 1e-3)
+        last = [0.0]
+
+        def pace(frame: int, _window) -> None:
+            # The TPU renders this scene at >1000 FPS; pace to the cap so
+            # an interactive session doesn't spin the chip (and the MJPEG
+            # encoder) for frames nobody sees.
+            now = time.perf_counter()
+            if now - last[0] < min_dt:
+                time.sleep(min_dt - (now - last[0]))
+            last[0] = time.perf_counter()
+
+        try:
+            loop.run(max_frames=None, frame_callback=pace)
+        finally:
+            viewer.stop()
+    else:
+        loop.run(max_frames=known.frames, frame_callback=scripted_flight)
 
     if known.out and window.last_frame is not None:
         window.write_png(known.out, window.last_frame)
