@@ -177,6 +177,7 @@ class TestScene:
         from zenith_tpu.core.mathtypes import Degree
 
         r.shadows = False
+        r.velocity = False
         cam = Camera(fov_y=Degree(40.0), aspect_ratio=2.0)
         d = DeferredRenderer.frame_dynamics(r, cam)
         assert "def.atmo" not in d
