@@ -11,7 +11,7 @@ test:
 
 # The fast correctness core (~2 min): run between edits.
 quick:
-	python -m pytest tests/test_raster.py tests/test_draw.py \
+	python -m pytest tests/test_raster.py tests/test_fixedfunc.py \
 	  tests/test_rendergraph.py tests/test_input.py tests/test_camera.py \
 	  tests/test_viewer.py -q
 

@@ -16,9 +16,16 @@ def launch(
     argv: "Optional[list[str]]" = None,
     window: "Optional[Window]" = None,
     max_frames: "Optional[int]" = None,
+    serve: "Optional[int]" = None,
+    fps_cap: float = 60.0,
 ) -> EngineLoop:
     """Parse args → init logging/profiling/assets → construct app → run the
-    loop (lib.rs:31-44). Returns the loop for inspection (tests/benches)."""
+    loop (lib.rs:31-44). Returns the loop for inspection (tests/benches).
+
+    ``serve=PORT`` runs the session interactively instead: an HTTP viewer
+    (zenith_tpu.viewer) streams presented frames to a browser and feeds
+    its keyboard/mouse back into the window's event queue, paced to
+    ``fps_cap`` — every sandbox app exposes it as ``--serve [PORT]``."""
     args = EngineArgs.parse_args(argv)
     profile.initialize()
     log.initialize(args.log_level.to_logging_level())
@@ -42,5 +49,16 @@ def launch(
 
     app = app_class(args)
     loop = EngineLoop(app, window=window)
-    loop.run(max_frames=max_frames)
+    if serve is None:
+        loop.run(max_frames=max_frames)
+        return loop
+    from zenith_tpu.viewer import ViewerServer, make_pace
+
+    viewer = ViewerServer(loop.window, port=serve).start()
+    print(f"serving interactively at {viewer.url} (Esc in-app or close the "
+          f"tab to stop; Ctrl-C here)")
+    try:
+        loop.run(max_frames=max_frames, frame_callback=make_pace(fps_cap))
+    finally:
+        viewer.stop()
     return loop

@@ -142,26 +142,12 @@ def main() -> None:
     app = FlyApp(args)
     loop = EngineLoop(app, window=window)
     if known.serve is not None:
-        import time
-
-        from zenith_tpu.viewer import ViewerServer
+        from zenith_tpu.viewer import ViewerServer, make_pace
 
         viewer = ViewerServer(window, port=known.serve).start()
         print(f"flying at {viewer.url} — WASD/QE + click-to-look, Esc quits")
-        min_dt = 1.0 / max(known.fps_cap, 1e-3)
-        last = [0.0]
-
-        def pace(frame: int, _window) -> None:
-            # The TPU renders this scene at >1000 FPS; pace to the cap so
-            # an interactive session doesn't spin the chip (and the MJPEG
-            # encoder) for frames nobody sees.
-            now = time.perf_counter()
-            if now - last[0] < min_dt:
-                time.sleep(min_dt - (now - last[0]))
-            last[0] = time.perf_counter()
-
         try:
-            loop.run(max_frames=None, frame_callback=pace)
+            loop.run(max_frames=None, frame_callback=make_pace(known.fps_cap))
         finally:
             viewer.stop()
     else:

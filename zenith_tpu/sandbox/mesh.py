@@ -119,11 +119,21 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--readback-interval", type=int, default=1)
+    parser.add_argument(
+        "--serve", type=int, nargs="?", const=8089, default=None,
+        metavar="PORT",
+        help="interactive browser viewer on PORT (default 8089); "
+        "runs until closed unless --frames is also given",
+    )
+    parser.add_argument("--fps-cap", type=float, default=60.0,
+                        help="frame pacing for --serve")
     known, rest = parser.parse_known_args()
     os.environ.setdefault("ZENITH_READBACK_INTERVAL", str(known.readback_interval))
 
     window = Window(width=known.width, height=known.height, title="mesh")
-    loop = launch(MeshApp, argv=rest, window=window, max_frames=known.frames)
+    loop = launch(MeshApp, argv=rest, window=window,
+                  max_frames=None if known.serve is not None else known.frames,
+                  serve=known.serve, fps_cap=known.fps_cap)
     if known.out and window.last_frame is not None:
         window.write_png(known.out, window.last_frame)
         print(f"wrote {known.out}")

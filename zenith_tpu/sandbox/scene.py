@@ -21,6 +21,13 @@ import numpy as np
 from zenith_tpu.app import Args, RenderableApp, RenderContext
 from zenith_tpu.asset import AssetManager, AssetUrl, Mesh, registry
 from zenith_tpu.core.camera import Camera
+from zenith_tpu.core.events import (
+    DeviceEvent,
+    KeyboardInput,
+    KeyCode,
+    MouseInput,
+    WindowEvent,
+)
 from zenith_tpu.core.mathtypes import Degree, Radians
 from zenith_tpu.renderer import (
     DeferredRenderer,
@@ -681,6 +688,23 @@ class SceneApp(RenderableApp):
         self.orbit = float(os.environ.get("ZENITH_ORBIT_START", "0.0"))
         self._radius = 120.0
         self._height = 20.0
+        # Interactive take-over: the first real input event (from the
+        # browser viewer or any other front-end) switches the scripted
+        # orbit to fly controls — same contract as sandbox.fly.
+        from zenith_tpu.core.camera import CameraController
+        from zenith_tpu.core.input import InputActionMapper
+
+        self.controller = CameraController(mouse_sensitivity=0.4)
+        self.controller.move_speed = 60.0
+        self.mapper = InputActionMapper()
+        self.mapper.register_axis(
+            "forward", [KeyCode.KEY_W], [KeyCode.KEY_S], 0.5)
+        self.mapper.register_axis(
+            "right", [KeyCode.KEY_D], [KeyCode.KEY_A], 0.5)
+        self.mapper.register_axis("up", [KeyCode.KEY_E], [KeyCode.KEY_Q], 0.5)
+        self.mapper.register_action("quit", [KeyCode.ESCAPE])
+        self._interactive = False
+        self._window = None
 
     def prepare(self, render_device, window) -> None:
         rng = np.random.default_rng(42)
@@ -855,9 +879,19 @@ class SceneApp(RenderableApp):
 
             self.mblur = MotionBlur(strength=1.0, max_radius=32.0)
         self._extent = (window.width, window.height)
+        self._window = window
         self._radius = 170.0
         self._height = 25.0
         self._update_camera()
+
+    def on_window_event(self, event: WindowEvent) -> None:
+        if isinstance(event, (KeyboardInput, MouseInput)):
+            self._interactive = True
+        self.mapper.on_window_event(event)
+        self.controller.on_window_event(event)
+
+    def on_device_event(self, event: DeviceEvent) -> None:
+        self.controller.on_device_event(event)
 
     def resize(self, width: int, height: int) -> None:
         self._extent = (width, height)
@@ -867,8 +901,22 @@ class SceneApp(RenderableApp):
             self.mblur.reset()
 
     def tick(self, delta_time: float) -> None:
-        self.orbit += delta_time * float(os.environ.get("ZENITH_ORBIT_SPEED", "0.4"))
-        self._update_camera()
+        if self._interactive:
+            self.mapper.tick(delta_time)
+            if (self.mapper.is_action_just_pressed("quit")
+                    and self._window is not None):
+                self._window.request_close()
+            self.controller.update_cameras(
+                delta_time,
+                self.mapper.get_axis("forward"),
+                self.mapper.get_axis("right"),
+                self.mapper.get_axis("up"),
+                [self.camera],
+            )
+        else:
+            self.orbit += delta_time * float(
+                os.environ.get("ZENITH_ORBIT_SPEED", "0.4"))
+            self._update_camera()
         if self.taa is not None:
             self.taa.jitter_camera(self.camera, *self._extent)
         if self.post is not None and self.post.auto_exposure:
@@ -1106,11 +1154,21 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--readback-interval", type=int, default=1)
+    parser.add_argument(
+        "--serve", type=int, nargs="?", const=8089, default=None,
+        metavar="PORT",
+        help="interactive browser viewer on PORT (default 8089); "
+        "runs until closed unless --frames is also given",
+    )
+    parser.add_argument("--fps-cap", type=float, default=60.0,
+                        help="frame pacing for --serve")
     known, rest = parser.parse_known_args()
     os.environ.setdefault("ZENITH_READBACK_INTERVAL", str(known.readback_interval))
 
     window = Window(width=known.width, height=known.height, title="scene")
-    loop = launch(SceneApp, argv=rest, window=window, max_frames=known.frames)
+    loop = launch(SceneApp, argv=rest, window=window,
+                  max_frames=None if known.serve is not None else known.frames,
+                  serve=known.serve, fps_cap=known.fps_cap)
     if known.out and window.last_frame is not None:
         window.write_png(known.out, window.last_frame)
         print(f"wrote {known.out}")

@@ -138,6 +138,23 @@ class TerrainApp(RenderableApp):
         self.orbit = float(os.environ.get("ZENITH_ORBIT_START", "0.0"))
         self.orbit_speed = float(os.environ.get("ZENITH_ORBIT_SPEED", "0.1"))
         self.tri_count = 0
+        # Interactive take-over (same contract as sandbox.scene/fly): the
+        # first input event switches the scripted flyover to fly controls.
+        from zenith_tpu.core.camera import CameraController
+        from zenith_tpu.core.events import KeyCode
+        from zenith_tpu.core.input import InputActionMapper
+
+        self.controller = CameraController(mouse_sensitivity=0.4)
+        self.controller.move_speed = 80.0
+        self.mapper = InputActionMapper()
+        self.mapper.register_axis(
+            "forward", [KeyCode.KEY_W], [KeyCode.KEY_S], 0.5)
+        self.mapper.register_axis(
+            "right", [KeyCode.KEY_D], [KeyCode.KEY_A], 0.5)
+        self.mapper.register_axis("up", [KeyCode.KEY_E], [KeyCode.KEY_Q], 0.5)
+        self.mapper.register_action("quit", [KeyCode.ESCAPE])
+        self._interactive = False
+        self._window = None
 
     def prepare(self, render_device, window) -> None:
         from zenith_tpu.renderer import (
@@ -192,6 +209,7 @@ class TerrainApp(RenderableApp):
             fov_y=Degree(45.0),
             aspect_ratio=window.width / max(window.height, 1),
         )
+        self._window = window
         self._place_camera()
 
     def _place_camera(self) -> None:
@@ -205,9 +223,33 @@ class TerrainApp(RenderableApp):
             Radians(self.orbit), Radians(-0.28)
         )
 
+    def on_window_event(self, event) -> None:
+        from zenith_tpu.core.events import KeyboardInput, MouseInput
+
+        if isinstance(event, (KeyboardInput, MouseInput)):
+            self._interactive = True
+        self.mapper.on_window_event(event)
+        self.controller.on_window_event(event)
+
+    def on_device_event(self, event) -> None:
+        self.controller.on_device_event(event)
+
     def tick(self, dt: float) -> None:
-        self.orbit += self.orbit_speed * dt
-        self._place_camera()
+        if self._interactive:
+            self.mapper.tick(dt)
+            if (self.mapper.is_action_just_pressed("quit")
+                    and self._window is not None):
+                self._window.request_close()
+            self.controller.update_cameras(
+                dt,
+                self.mapper.get_axis("forward"),
+                self.mapper.get_axis("right"),
+                self.mapper.get_axis("up"),
+                [self.camera],
+            )
+        else:
+            self.orbit += self.orbit_speed * dt
+            self._place_camera()
 
     def render(self, context: RenderContext) -> None:
         width, height = context.extent
@@ -232,13 +274,22 @@ def main() -> None:
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--height", type=int, default=1080)
     parser.add_argument("--readback-interval", type=int, default=1)
+    parser.add_argument(
+        "--serve", type=int, nargs="?", const=8089, default=None,
+        metavar="PORT",
+        help="interactive browser viewer on PORT (default 8089); "
+        "runs until closed unless --frames is also given",
+    )
+    parser.add_argument("--fps-cap", type=float, default=60.0,
+                        help="frame pacing for --serve")
     known, rest = parser.parse_known_args()
     os.environ.setdefault(
         "ZENITH_READBACK_INTERVAL", str(known.readback_interval)
     )
     window = Window(width=known.width, height=known.height, title="terrain")
     loop = launch(TerrainApp, argv=rest, window=window,
-                  max_frames=known.frames)
+                  max_frames=None if known.serve is not None else known.frames,
+                  serve=known.serve, fps_cap=known.fps_cap)
     if known.out and window.last_frame is not None:
         window.write_png(known.out, window.last_frame)
         print(f"wrote {known.out}")

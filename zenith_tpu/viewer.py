@@ -211,6 +211,25 @@ setInterval(async () => {
 _BOUNDARY = "zenithframe"
 
 
+def make_pace(fps_cap: float = 60.0):
+    """Frame callback that paces the engine loop to ``fps_cap`` — an
+    interactive session must not spin the chip (and the MJPEG encoder)
+    for frames nobody sees. Device readback back-pressure may pace lower
+    still (e.g. ~39 FPS at 480x270 through a network tunnel)."""
+    import time
+
+    min_dt = 1.0 / max(fps_cap, 1e-3)
+    last = [0.0]
+
+    def pace(_frame: int, _window) -> None:
+        now = time.perf_counter()
+        if now - last[0] < min_dt:
+            time.sleep(min_dt - (now - last[0]))
+        last[0] = time.perf_counter()
+
+    return pace
+
+
 class ViewerServer:
     """Serve a ``Window`` over HTTP: MJPEG stream out, input events in."""
 
