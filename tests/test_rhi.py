@@ -259,6 +259,28 @@ class TestSwapchain:
         sc.present(jnp.zeros((4, 8, 4), jnp.uint8), pre_encoded=False)
         sc.flush()
 
+    def test_readback_interval_zero_never_copies(self):
+        """readback_interval=0 = benchmark mode: the swapchain only fences —
+        no frame is ever delivered to the sink (PERF.md dispatch-poison
+        hygiene for engine-path timing)."""
+        import jax.numpy as jnp
+
+        core = RhiCore()
+        device = core.create_render_device()
+        delivered = []
+        sc = Swapchain(
+            device,
+            SwapchainConfig(width=8, height=4, num_images=2,
+                            readback_interval=0),
+            on_present=lambda img, idx: delivered.append(idx),
+        )
+        for frame in range(6):
+            sc.acquire_next_image()
+            sc.present(jnp.full((4, 8, 4), frame / 10.0))
+        sc.flush()
+        assert delivered == []
+        assert sc._frame_counter == 6
+
     def test_resize_keeps_counter(self):
         core = RhiCore()
         device = core.create_render_device()

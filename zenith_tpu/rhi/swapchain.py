@@ -61,7 +61,10 @@ class SwapchainConfig:
     # on_present sink (1 = every frame). Device-side rendering/encoding is
     # unaffected; this only throttles the device→host copy, which dominates
     # when the chip is reached through a network tunnel. The analog of a
-    # display link's fixed bandwidth.
+    # display link's fixed bandwidth. 0 = NEVER read back: pure fencing
+    # (benchmark mode — a single device→host copy permanently degrades
+    # async dispatch on this backend, PERF.md traps; `flush()` still
+    # delivers nothing, so `Window.last_frame` stays None).
     readback_interval: int = 1
 
 
@@ -159,8 +162,8 @@ class Swapchain:
             self._textures[self._image_index] = (
                 self._textures[self._image_index].with_array(rendered)
             )
-        interval = max(1, self.config.readback_interval)
-        if self._frame_counter % interval == 0:
+        interval = self.config.readback_interval
+        if interval > 0 and self._frame_counter % interval == 0:
             encoded = (
                 rendered
                 if pre_encoded
