@@ -352,6 +352,72 @@ class TestSegmented:
         np.testing.assert_allclose(z, ref["z"], atol=1e-4)
         np.testing.assert_allclose(out["c"][mask], ref["c"][mask], atol=2e-3)
 
+    def test_entry_chunk_selection(self):
+        """Multi-M-entry budgets grow the CHUNK so the kernels' SMEM pair
+        (4 s32 routing tables + double-buffered entry window) fits the 1 MB
+        budget — 11.5M-entry terrain draws measured fatal at chunk 128 on
+        v5e. Small budgets keep the baseline (growth only inflates the
+        window term there)."""
+        from zenith_tpu.ops import binning as B
+
+        # Small draws: baseline chunk, even under a tiny budget (growth
+        # would only increase the dominant window term).
+        assert B.entry_chunk_for(2048, 4, 25) == B.ENTRY_CHUNK
+        # The terrain flyover at grid 1200, 4x budget (the measured OOM):
+        # tables at 128 = 4 x 355 KB --> must grow to 512.
+        assert B.entry_chunk_for(11_510_408, 1014, 25) == 512
+        # At the lean 2x budget the baseline still fits (tables 736 KB).
+        assert B.entry_chunk_for(5_755_204, 1014, 25) == B.ENTRY_CHUNK
+        # Enormous budgets that cannot fit return the least-overshoot chunk
+        # instead of looping forever (tables irreducible).
+        assert B.entry_chunk_for(10**9, 1014, 25) == B.MAX_ENTRY_CHUNK
+
+    def test_raster_matches_at_grown_chunk(self, rng, monkeypatch):
+        """Raster output is bit-identical when the bins use a larger
+        chunk (forced via the baseline constant — the kernels derive the
+        chunk from the bins' shapes)."""
+        import jax.numpy as jnp
+
+        from zenith_tpu.ops import (
+            bin_segmented,
+            corner_attributes,
+            raster_segmented,
+        )
+        from zenith_tpu.ops import binning as B
+
+        nv = 24
+        pos = rng.uniform(-1.1, 1.1, size=(nv, 2))
+        zz = rng.uniform(0.1, 0.9, size=(nv, 1))
+        ww = rng.uniform(0.8, 3.0, size=(nv, 1))
+        clip = np.concatenate([pos * ww, zz * ww, ww], axis=1).astype(np.float32)
+        idx = rng.integers(0, nv, size=(12, 3)).astype(np.int32)
+        vary = rng.uniform(0, 1, size=(nv, 3)).astype(np.float32)
+        records = setup_triangles(
+            jnp.asarray(clip, jnp.float32), jnp.asarray(idx, jnp.int32),
+            W, H, cull_mode=CullMode.NONE,
+        )
+        corner = corner_attributes(
+            records, jnp.asarray(idx, jnp.int32), jnp.asarray(vary)
+        )
+
+        base_bins = bin_segmented(records, corner, GRID, entry_budget=2048)
+        assert base_bins.rast_pad.shape[0] // base_bins.blk_count.shape[0] \
+            == B.ENTRY_CHUNK
+
+        monkeypatch.setattr(B, "ENTRY_CHUNK", 512)
+        big_bins = bin_segmented(records, corner, GRID, entry_budget=2048)
+        assert big_bins.rast_pad.shape[0] // big_bins.blk_count.shape[0] == 512
+
+        z0, acc0 = raster_segmented(
+            base_bins, GRID, jnp.zeros((H, W), jnp.float32)
+        )
+        z1, acc1 = raster_segmented(
+            big_bins, GRID, jnp.zeros((H, W), jnp.float32)
+        )
+        assert int(base_bins.overflow) == 0 and int(big_bins.overflow) == 0
+        np.testing.assert_array_equal(np.asarray(z0), np.asarray(z1))
+        np.testing.assert_array_equal(np.asarray(acc0), np.asarray(acc1))
+
     def test_huge_record_dense_path(self):
         # A screen-covering triangle takes the huge path (span > span_cap);
         # must still rasterize everywhere, in correct submission order with a

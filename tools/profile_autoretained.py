@@ -69,14 +69,16 @@ def measure(cfg: dict, frames: int = 300, reps: int = 4) -> dict:
         jax.block_until_ready(list((compiled._outputs or {}).values()))
 
     # Warm-up: compile + fill the async queue (excluded from timing).
-    loop.run(max_frames=40)
+    # final=False: the end-of-run tail does a device→host overflow fetch
+    # that would permanently poison async dispatch for the timed frames.
+    loop.run(max_frames=40, final=False)
     fence()
 
     times = []
     for _rep in range(reps):
         target = loop.frames_rendered + frames
         t0 = time.perf_counter()
-        loop.run(max_frames=target)
+        loop.run(max_frames=target, final=False)
         fence()
         times.append((time.perf_counter() - t0) / frames)
     ms = min(times) * 1e3

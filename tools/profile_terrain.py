@@ -49,14 +49,16 @@ def measure(grid: int, frames: int = 120, reps: int = 4) -> dict:
         compiled = loop.engine.last_retired._compiled
         jax.block_until_ready(list((compiled._outputs or {}).values()))
 
-    loop.run(max_frames=20)  # compile + queue fill (excluded)
+    # final=False: the end-of-run tail does a device→host overflow fetch
+    # that would permanently poison async dispatch for the timed frames.
+    loop.run(max_frames=20, final=False)  # compile + queue fill (excluded)
     fence()
 
     times = []
     for _rep in range(reps):
         target = loop.frames_rendered + frames
         t0 = time.perf_counter()
-        loop.run(max_frames=target)
+        loop.run(max_frames=target, final=False)
         fence()
         times.append((time.perf_counter() - t0) / frames)
     ms = min(times) * 1e3

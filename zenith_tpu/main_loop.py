@@ -47,11 +47,18 @@ class EngineLoop:
         self.app.prepare(self.engine.render_device, self.window)
 
     def run(self, max_frames: Optional[int] = None,
-            frame_callback=None) -> None:
+            frame_callback=None, final: bool = True) -> None:
         """Run until close / max_frames. ``frame_callback(frame, window)``,
         if given, runs before each frame's event pump — the hook scripted
         front-ends use to feed input events (a human-at-the-controls
-        stand-in)."""
+        stand-in).
+
+        ``final=False`` makes the call RESUMABLE: the end-of-session tail
+        (the one-shot bin-overflow fetch — a device→host read that would
+        permanently poison async dispatch for any frames rendered by a
+        later run(), PERF.md traps — and engine shutdown/flush) is
+        skipped; call run() again to continue, or once more with
+        ``final=True`` to end the session."""
         if self.engine is None:
             self._resumed()
         self._last_tick = time.perf_counter()
@@ -67,6 +74,8 @@ class EngineLoop:
             self._tick()
             self.engine.render(self.app)
             self.frames_rendered += 1
+        if not final:
+            return
         # End-of-run overflow check: with ZENITH_STATS_SYNC off the 1 Hz
         # fetch (and adaptive budget growth) is disabled to avoid the
         # dispatch poison — but the process dispatches nothing after this

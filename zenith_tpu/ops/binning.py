@@ -90,7 +90,43 @@ class SegmentedBins(NamedTuple):
     overflow: jnp.ndarray  # () i32 — entries dropped (budget/span caps)
 
 
-ENTRY_CHUNK = 128  # entries per kernel block
+ENTRY_CHUNK = 128  # baseline entries per kernel block (grows for huge budgets)
+# The segmented raster kernels keep BOTH their per-block routing tables
+# (4 s32 arrays of B entries, scalar prefetch) AND the double-buffered
+# (chunk, lanes) entry-stream window in SMEM — 1 MB total on v5e, shared
+# with ~50 KB of fixed windows + spill. Growing the chunk halves the table
+# term per doubling but doubles the window term, so bin_segmented picks the
+# SMALLEST chunk whose pair fits this budget (multi-M-triangle draws:
+# terrain at 2.88M tris measured fatal at chunk 128 — 4 × 355 KB tables).
+RASTER_SMEM_BUDGET = 896 * 1024
+MAX_ENTRY_CHUNK = 1024
+
+
+def entry_chunk_for(entry_budget: int, num_tiles: int, d_total: int) -> int:
+    """Entries per kernel block for a draw: the smallest power-of-2 chunk
+    (≥ ENTRY_CHUNK) whose SMEM footprint — 4 s32 routing tables of
+    cdiv(budget, chunk) + num_tiles blocks plus the double-buffered
+    (chunk, d_total→128-lane-padded) f32 entry window — fits
+    RASTER_SMEM_BUDGET. Larger chunks only cost DMA width (the kernel
+    loops over each block's LIVE count), but every tile pays at least one
+    block's stream, so the smallest fitting chunk wins."""
+    lanes = -(-d_total // 128) * 128
+
+    def smem_bytes(c: int) -> int:
+        blocks = -(-entry_budget // c) + num_tiles
+        return 4 * 4 * blocks + 4 * 2 * c * lanes
+
+    candidates = []
+    c = ENTRY_CHUNK
+    while c <= MAX_ENTRY_CHUNK:
+        candidates.append(c)
+        c *= 2
+    for c in candidates:  # smallest fitting chunk wins
+        if smem_bytes(c) <= RASTER_SMEM_BUDGET:
+            return c
+    # Nothing fits (enormous budget): minimize the overshoot and let the
+    # compiler's SMEM report name the draw.
+    return min(candidates, key=smem_bytes)
 
 # Single-key packed (tile, record) sort when the key fits 31 bits (vs the
 # two-key variadic sort). Measured equal-or-slower on v5e (see sort comment
@@ -146,6 +182,9 @@ def bin_segmented(
         # budget_scale adaptively on overflow, like a pipeline-cache miss).
         entry_budget = max(2 * r, 8192)
     entry_budget = int(entry_budget) * max(int(budget_scale), 1)
+    # Huge budgets grow the chunk so the kernels' SMEM footprint stays
+    # within RASTER_SMEM_BUDGET (see entry_chunk_for).
+    chunk = entry_chunk_for(entry_budget, t, 16 + corner_flat.shape[1])
     # +T: every tile rounds its segment up to a whole block, so sparse
     # coverage (a screen-filling quad: 1-2 entries in hundreds of tiles) can
     # need up to one block per tile beyond the entry budget.

@@ -534,14 +534,14 @@ def raster_segmented_blend(
 ) -> "tuple[jnp.ndarray, jnp.ndarray]":
     """Order-correct blending raster pass → (z (H, W), color (H, W, 4)).
     See _segmented_blend_kernel."""
-    from zenith_tpu.ops.binning import ENTRY_CHUNK
-
     if interpret is None:
         interpret = pallas_interpret()
     h, w = grid.height, grid.width
     th, tw = grid.tile_h, grid.tile_w
     b_max = bins.blk_count.shape[0]
-    chunk = ENTRY_CHUNK
+    # The actual chunk rides the bins' static shapes (bin_segmented grows it
+    # past ENTRY_CHUNK for huge entry budgets — MAX_ENTRY_BLOCKS).
+    chunk = bins.rast_pad.shape[0] // b_max
     d_total = bins.rast_pad.shape[-1]
     d = d_total - 16
     assert d % 3 == 0
@@ -819,14 +819,14 @@ def raster_segmented(
     interpret: Optional[bool] = None,
 ) -> "tuple[jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
     """Segmented-binning raster pass → (z (H, W), acc (A+1, H, W))."""
-    from zenith_tpu.ops.binning import ENTRY_CHUNK, SegmentedBins  # noqa: F401
-
     if interpret is None:
         interpret = pallas_interpret()
     h, w = grid.height, grid.width
     th, tw = grid.tile_h, grid.tile_w
     b_max = bins.blk_count.shape[0]
-    chunk = ENTRY_CHUNK
+    # The actual chunk rides the bins' static shapes (bin_segmented grows it
+    # past ENTRY_CHUNK for huge entry budgets — MAX_ENTRY_BLOCKS).
+    chunk = bins.rast_pad.shape[0] // b_max
     d_total = bins.rast_pad.shape[-1]
     d = d_total - 16
     assert d % 3 == 0

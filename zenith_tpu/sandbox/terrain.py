@@ -188,9 +188,11 @@ class TerrainApp(RenderableApp):
                 generate_mips=True,
             ),
             # A big mesh close to the camera bins wide: give the segmented
-            # binner a deep entry budget up front.
+            # binner a deep entry budget up front. 2× triangles (real
+            # tile-pair counts hug 1.2×R; overflow is counted, and the
+            # chunk-size SMEM fit prefers lean budgets at multi-M scale).
             bin_capacity=4096,
-            entry_budget=max(4 * self.tri_count, 1 << 20),
+            entry_budget=max(2 * self.tri_count, 1 << 20),
         )
         sun = DirectionalLight(
             direction=(0.45, -0.35, 0.55), intensity=3.0,
