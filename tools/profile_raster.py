@@ -46,7 +46,7 @@ def main() -> None:
     w, h = args.width, args.height
 
     from zenith_tpu.ops import TileGrid
-    from zenith_tpu.ops.binning import ENTRY_CHUNK, bin_segmented
+    from zenith_tpu.ops.binning import bin_segmented
     from zenith_tpu.ops.geometry import setup_with_attrs
     from zenith_tpu.ops.raster import raster_segmented
     from zenith_tpu.rhi.state import CullMode, FrontFace
@@ -126,14 +126,29 @@ def main() -> None:
 
         return f
 
+    def b_max_for(grid, budget_scale):
+        # Derive the block count from the bins' actual static shapes —
+        # bin_segmented grows the entry chunk past ENTRY_CHUNK for large
+        # budgets, so recomputing from ENTRY_CHUNK here would be wrong.
+        def f(vbuf, ibuf, mvp):
+            clip, vary = vs(vbuf, mvp)
+            records, corner = setup_with_attrs(
+                clip, ibuf, vary, w, h,
+                cull_mode=CullMode.BACK,
+                front_face=FrontFace.COUNTER_CLOCKWISE,
+            )
+            return bin_segmented(records, corner, grid,
+                                 budget_scale=budget_scale)
+
+        return jax.eval_shape(f, vb, ib, mvp_at(0)).blk_count.shape[0]
+
     # H1: dead-block tail. Same grid, same entries; budget_scale grows b_max.
     grid32 = TileGrid(width=w, height=h, tile_h=32, tile_w=128)
     for scale in (1, 2, 4):
         r = t * 2  # records after instancing=1... actually R = tris
         full = bench(full_chain(grid32, scale), lambda i: (vb, ib, mvp_at(i)))
         bo = bench(bin_chain(grid32, scale), lambda i: (vb, ib, mvp_at(i)))
-        budget = max(2 * t, 8192) * scale
-        b_max = -(-budget // ENTRY_CHUNK) + grid32.num_tiles
+        b_max = b_max_for(grid32, scale)
         results[f"scale{scale}_blocks"] = b_max
         results[f"scale{scale}_full_ms"] = full
         results[f"scale{scale}_raster_ms"] = full - bo
@@ -167,8 +182,7 @@ def main() -> None:
         g = TileGrid(width=w, height=h, tile_h=th, tile_w=tw)
         full = bench(full_chain(g, 1), lambda i: (vb, ib, mvp_at(i)))
         bo = bench(bin_chain(g, 1), lambda i: (vb, ib, mvp_at(i)))
-        budget = max(2 * t, 8192)
-        b_max = -(-budget // ENTRY_CHUNK) + g.num_tiles
+        b_max = b_max_for(g, 1)
         results[f"tile{th}x{tw}_blocks"] = b_max
         results[f"tile{th}x{tw}_full_ms"] = full
         results[f"tile{th}x{tw}_raster_ms"] = full - bo

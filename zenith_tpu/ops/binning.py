@@ -167,7 +167,6 @@ def bin_segmented(
     r = records.rast16.shape[0]
     t = grid.num_tiles
     tiles_x = grid.tiles_x
-    chunk = ENTRY_CHUNK
     rast16 = records.rast16
     valid = records.valid
     corner_flat = corner_data.reshape(r, -1)

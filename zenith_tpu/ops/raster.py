@@ -540,7 +540,7 @@ def raster_segmented_blend(
     th, tw = grid.tile_h, grid.tile_w
     b_max = bins.blk_count.shape[0]
     # The actual chunk rides the bins' static shapes (bin_segmented grows it
-    # past ENTRY_CHUNK for huge entry budgets — MAX_ENTRY_BLOCKS).
+    # past ENTRY_CHUNK for huge entry budgets — MAX_ENTRY_CHUNK).
     chunk = bins.rast_pad.shape[0] // b_max
     d_total = bins.rast_pad.shape[-1]
     d = d_total - 16
@@ -825,7 +825,7 @@ def raster_segmented(
     th, tw = grid.tile_h, grid.tile_w
     b_max = bins.blk_count.shape[0]
     # The actual chunk rides the bins' static shapes (bin_segmented grows it
-    # past ENTRY_CHUNK for huge entry budgets — MAX_ENTRY_BLOCKS).
+    # past ENTRY_CHUNK for huge entry budgets — MAX_ENTRY_CHUNK).
     chunk = bins.rast_pad.shape[0] // b_max
     d_total = bins.rast_pad.shape[-1]
     d = d_total - 16

@@ -67,6 +67,13 @@ class SwapchainConfig:
     # delivers nothing, so `Window.last_frame` stays None).
     readback_interval: int = 1
 
+    def __post_init__(self) -> None:
+        if self.readback_interval < 0:
+            raise ValueError(
+                "readback_interval must be >= 0 (0 = benchmark mode: "
+                f"never read back); got {self.readback_interval}"
+            )
+
 
 @dataclass
 class _PendingFrame:
