@@ -54,6 +54,11 @@ CONFIGS = {
     "hud": {"hud": True},
     "decals": {"decals": 4},
     "glass": {"glass": True},
+    # Round-5: depth-peeled fragment-rate textured glass (exact per-pixel
+    # sampling) vs the vertex-rate kernel path on the same textured scene.
+    "glass_tex_peel": {"glass": True, "glass_textured": True},
+    "glass_tex_kernel": {"glass": True, "glass_textured": True,
+                         "glass_mode": "kernel"},
 }
 
 
@@ -90,7 +95,8 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
                         ibl=cfg.get("ibl", False),
                         skinned=cfg.get("skinned", False),
                         morph=cfg.get("morph", False),
-                        glass=cfg.get("glass", False))
+                        glass=cfg.get("glass", False),
+                        glass_textured=cfg.get("glass_textured", False))
     if cfg.get("decals"):
         from zenith_tpu.renderer.decal import Decal
 
@@ -118,8 +124,9 @@ def measure(cfg: dict, frames: int = 120, reps: int = 4,
         ))
     renderer = DeferredRenderer(
         scene, ssao=SSAOOptions(radius=6.0) if cfg.get("ssao") else False,
-        velocity=cfg.get("velocity", False),
+        velocity=cfg.get("velocity", None),  # None = the auto default
         id_buffer=cfg.get("pick", False),
+        glass_mode=cfg.get("glass_mode", "auto"),
     )
     hud = None
     if cfg.get("hud"):

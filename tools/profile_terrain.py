@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-GRIDS = [512, 768, 1200]
+GRIDS = [512, 768, 1200, 2048]  # 0.52M / 1.18M / 2.88M / 8.38M triangles
 
 
 def measure(grid: int, frames: int = 120, reps: int = 4) -> dict:
