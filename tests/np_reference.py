@@ -64,6 +64,7 @@ def render_reference(
     # stencil = {"front": face, "back": face, "init": (H,W) int or scalar}
     # face = {"compare": str, "reference": int, "compare_mask": int,
     #         "write_mask": int, "fail_op"/"pass_op"/"depth_fail_op": str}
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
 ):
     """Returns dict with 'z' (H,W), 'tri' (H,W) int32 (-1 background), and
     perspective-correct interpolated varyings (H,W,C); plus 'stencil' (H,W)
@@ -85,8 +86,8 @@ def render_reference(
         k: np.zeros((height, width, v.shape[1]), np.float64) for k, v in varyings.items()
     }
 
-    xs = np.arange(width, dtype=np.float64)[None, :] + 0.5
-    ys = np.arange(height, dtype=np.float64)[:, None] + 0.5
+    xs = np.arange(width, dtype=np.float64)[None, :] + float(sample_offset[0])
+    ys = np.arange(height, dtype=np.float64)[:, None] + float(sample_offset[1])
     X = np.broadcast_to(xs, (height, width))
     Y = np.broadcast_to(ys, (height, width))
 

@@ -128,6 +128,28 @@ def entry_chunk_for(entry_budget: int, num_tiles: int, d_total: int) -> int:
     # compiler's SMEM report name the draw.
     return min(candidates, key=smem_bytes)
 
+
+def max_budget_for(num_tiles: int, d_total: int) -> int:
+    """The largest entry budget whose kernel SMEM footprint (routing
+    tables + double-buffered entry window, see entry_chunk_for) fits
+    RASTER_SMEM_BUDGET at SOME chunk size. bin_segmented clamps requested
+    budgets here (with a warning): a budget past this cap cannot compile
+    at all (v5e SMEM is 1 MB), so the honest behavior is the smaller
+    budget plus the overflow counter — dropped work is COUNTED, a
+    too-big budget would be a compile error. Multi-M-triangle draws: an
+    8.4M-triangle terrain requested 2x = 16.8M entries and measured
+    'Ran out of memory in memory space smem (1.52M of 1.00M)'; the cap
+    (~12M entries at 1080p) rasterized it with zero overflow."""
+    lanes = -(-d_total // 128) * 128
+    best = 0
+    c = ENTRY_CHUNK
+    while c <= MAX_ENTRY_CHUNK:
+        avail = RASTER_SMEM_BUDGET - 4 * 2 * c * lanes - 4 * 4 * num_tiles
+        if avail > 0:
+            best = max(best, (avail // 16) * c)
+        c *= 2
+    return best
+
 # Single-key packed (tile, record) sort when the key fits 31 bits (vs the
 # two-key variadic sort). Measured equal-or-slower on v5e (see sort comment
 # below) — default OFF; tools/profile_raster.py A/Bs it.
@@ -181,6 +203,20 @@ def bin_segmented(
         # budget_scale adaptively on overflow, like a pipeline-cache miss).
         entry_budget = max(2 * r, 8192)
     entry_budget = int(entry_budget) * max(int(budget_scale), 1)
+    # Budgets past what SMEM can route cannot compile at any chunk size:
+    # clamp to the cap (dropped work is COUNTED via overflow; a compile
+    # error would count nothing). See max_budget_for.
+    cap = max_budget_for(t, 16 + corner_flat.shape[1])
+    if 0 < cap < entry_budget:
+        from zenith_tpu.core import log as _log
+
+        _log.get(__name__).warning(
+            "entry budget %d exceeds the SMEM routing cap %d for this "
+            "draw (%d tiles, %d data columns) — clamped; watch the bin "
+            "overflow counter",
+            entry_budget, cap, t, 16 + corner_flat.shape[1],
+        )
+        entry_budget = cap
     # Huge budgets grow the chunk so the kernels' SMEM footprint stays
     # within RASTER_SMEM_BUDGET (see entry_chunk_for).
     chunk = entry_chunk_for(entry_budget, t, 16 + corner_flat.shape[1])

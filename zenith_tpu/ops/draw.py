@@ -53,6 +53,108 @@ from zenith_tpu.rhi.state import (
 # Default per-tile candidate capacity; renderers override per scene.
 DEFAULT_BIN_CAPACITY = 256
 
+# Records per sequential raster part (multi-M-triangle draws). One binning
+# materializes sort payloads of (budget, 16 + D) floats several times over
+# (~4 GB at 6M records with G-buffer varyings); past this, a single draw
+# splits into SEQUENTIAL bin+raster parts inside the same program —
+# (z, stencil, color) thread through, attribute planes merge by part
+# coverage, so the result is bit-equal to one pass (submission order is
+# preserved: parts are contiguous record ranges) while XLA sequences the
+# parts' temporaries instead of coexisting them. An 8.4M-triangle terrain
+# measured 21.4 GB (> 16 GB HBM) unsplit.
+MAX_RECORDS_PER_RASTER = 6 * 1024 * 1024
+
+
+class _BinParts:
+    """1..K sequential binning units for one draw (see _bin_parts)."""
+
+    def __init__(self, parts: list):
+        self.parts = parts
+
+    @property
+    def overflow(self):
+        total = self.parts[0].overflow
+        for p in self.parts[1:]:
+            total = total + p.overflow
+        return total
+
+
+def _bin_parts(records, corner_data, grid, entry_budget=None,
+               budget_scale=1) -> _BinParts:
+    """Bin a draw's records, splitting into sequential parts when a single
+    raster would exceed the SMEM routing cap (binning.max_budget_for) or
+    the HBM working-set cap (MAX_RECORDS_PER_RASTER)."""
+    from zenith_tpu.ops.binning import max_budget_for
+
+    r = records.rast16.shape[0]
+    corner_flat_cols = (
+        corner_data.reshape(r, -1).shape[1] if r else 0
+    )
+    d_total = 16 + corner_flat_cols
+    scale = max(int(budget_scale), 1)
+    budget = (
+        int(entry_budget) if entry_budget is not None else max(2 * r, 8192)
+    ) * scale
+    cap = max_budget_for(grid.num_tiles, d_total)
+    k = 1
+    if cap > 0:
+        k = max(k, -(-budget // cap))
+    k = max(k, -(-max(r, 1) // MAX_RECORDS_PER_RASTER))
+    if k <= 1:
+        return _BinParts([
+            bin_segmented(records, corner_data, grid,
+                          entry_budget=entry_budget,
+                          budget_scale=budget_scale)
+        ])
+    step = -(-r // k)
+    parts = []
+    for s in range(0, r, step):
+        e = min(r, s + step)
+        rec = geometry.TriangleRecords(
+            rast16=records.rast16[s:e],
+            shade16=records.shade16[s:e],
+            tri_id=records.tri_id[s:e],
+            valid=records.valid[s:e],
+            aabb=records.aabb[s:e],
+        )
+        sub = max(-(-budget // k), 2 * (e - s), 8192)
+        if cap > 0:
+            sub = min(sub, cap)
+        parts.append(bin_segmented(rec, corner_data[s:e], grid,
+                                   entry_budget=sub))
+    return _BinParts(parts)
+
+
+def _raster_parts(bin_parts: _BinParts, grid, init_z, *, init_stencil=None,
+                  stencil_front=None, stencil_back=None, z_bound=None,
+                  **kw):
+    """raster_segmented over a _BinParts: parts run sequentially with the
+    depth (and stencil) plane THREADED through — identical semantics to one
+    pass over the concatenated records (parts are contiguous record ranges,
+    so submission order is preserved). Attribute planes merge by part
+    coverage: a later part's fragment only passes the threaded depth test
+    where an in-order single pass would also have accepted it."""
+    z = init_z
+    sten = init_stencil
+    acc = None
+    for bins in bin_parts.parts:
+        if stencil_front is not None:
+            z, acc_i, sten = raster_segmented(
+                bins, grid, z, init_stencil=sten,
+                stencil_front=stencil_front, stencil_back=stencil_back,
+                **kw,
+            )
+        else:
+            z, acc_i = raster_segmented(bins, grid, z, z_bound=z_bound,
+                                        **kw)
+        if acc is None:
+            acc = acc_i
+        else:
+            acc = jnp.where((acc_i[-1] > 0.0)[None], acc_i, acc)
+    if stencil_front is not None:
+        return z, acc, sten
+    return z, acc
+
 
 class _CheckedAttrs(dict):
     """Vertex-attribute dict with a named error on a missing key — a shader
@@ -396,8 +498,8 @@ def draw_indexed(
     # bin_capacity is interpreted as a per-draw entry budget multiplier for
     # the segmented binner (legacy callers pass per-tile caps; the budget is
     # never less than 4×records, so those remain valid hints).
-    bins = bin_segmented(records, corner_data, grid, entry_budget=entry_budget,
-                         budget_scale=budget_scale)
+    bins = _bin_parts(records, corner_data, grid, entry_budget=entry_budget,
+                      budget_scale=budget_scale)
 
     samples = state.multisample.samples
     if samples > 1:
@@ -422,7 +524,7 @@ def draw_indexed(
             else jnp.full((grid.height, grid.width),
                           ds.stencil_clear_value & 0xFF, jnp.int32)
         )
-        z_out, acc, stencil_out = raster_segmented(
+        z_out, acc, stencil_out = _raster_parts(
             bins,
             grid,
             init_z,
@@ -436,7 +538,7 @@ def draw_indexed(
             interpret=interpret,
         )
     else:
-        z_out, acc = raster_segmented(
+        z_out, acc = _raster_parts(
             bins,
             grid,
             init_z,
@@ -535,7 +637,7 @@ def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
             else:
                 init_s = jnp.full((grid.height, grid.width),
                                   ds.stencil_clear_value & 0xFF, jnp.int32)
-            z_s, acc_s, sten_s = raster_segmented(
+            z_s, acc_s, sten_s = _raster_parts(
                 bins, grid, init_z,
                 depth_test=ds.depth_test_enable,
                 depth_write=ds.depth_write_enable,
@@ -549,7 +651,7 @@ def _raster_shade_msaa(colors, depth, pipeline, resources, bins, grid,
             )
             out_s.append(sten_s)
         else:
-            z_s, acc_s = raster_segmented(
+            z_s, acc_s = _raster_parts(
                 bins, grid, init_z,
                 depth_test=ds.depth_test_enable,
                 depth_write=ds.depth_write_enable,
@@ -614,7 +716,7 @@ def _raster_shade_msaa_per_pixel(colors, depth, pipeline, resources, bins,
                 else jnp.full((grid.height, grid.width),
                               ds.stencil_clear_value & 0xFF, jnp.int32)
             )
-            z_s, acc_s, st_s = raster_segmented(
+            z_s, acc_s, st_s = _raster_parts(
                 bins, grid, init_z,
                 init_stencil=init_s,
                 stencil_front=ds.stencil_front,
@@ -623,7 +725,7 @@ def _raster_shade_msaa_per_pixel(colors, depth, pipeline, resources, bins,
             )
             stens.append(st_s)
         else:
-            z_s, acc_s = raster_segmented(bins, grid, init_z, **common)
+            z_s, acc_s = _raster_parts(bins, grid, init_z, **common)
         zs.append(z_s)
         accs.append(acc_s)
 
@@ -646,7 +748,7 @@ def _raster_shade_msaa_per_pixel(colors, depth, pipeline, resources, bins,
             init_zc = depth[0]
     else:
         init_zc = jnp.zeros((grid.height, grid.width), jnp.float32)
-    z_c, acc_c = raster_segmented(
+    z_c, acc_c = _raster_parts(
         bins, grid, init_zc,
         depth_test=ds.depth_test_enable,
         depth_write=ds.depth_write_enable,
@@ -690,7 +792,7 @@ def draw_indexed_batch(
     colors: "Sequence[jnp.ndarray]",
     depth: Optional[jnp.ndarray],
     pipeline: GraphicPipeline,
-    draws: "Sequence[tuple]",  # (vb, ib, resources) per draw
+    draws: "Sequence[tuple]",  # (vb, ib, resources[, inst]) per draw
     grid: TileGrid,
     per_draw_uniforms: "Sequence[str]" = (),
     interpret: Optional[bool] = None,
@@ -698,6 +800,7 @@ def draw_indexed_batch(
     entry_budget: Optional[int] = None,
     stencil: Optional[jnp.ndarray] = None,
     budget_scale: int = 1,
+    peel_layers: Optional[int] = None,
 ) -> "tuple[list[jnp.ndarray], Optional[jnp.ndarray], DrawStats]":
     """Trace N draws through ONE binning + raster + fragment + blend pass.
 
@@ -721,8 +824,13 @@ def draw_indexed_batch(
     bindings that differ across draws and are not listed become tuples.
 
     Blending across overlapping draws is ORDER-dependent; batching resolves
-    one depth winner per pixel, so blend_enable with multiple draws is
-    rejected.
+    one depth winner per pixel, so blend_enable with multiple draws needs
+    either the in-order blend-kernel path (kernel-safe fragment shader) or
+    DEPTH PEELING (``peel_layers=K``): K winner-resolve passes, each bounded
+    by the previous layer's depth, shaded at FULL fragment rate (texture
+    sampling allowed) and composited back-to-front — exact for ≤K
+    overlapping translucent fragments per pixel; deeper fragments are
+    dropped and counted into ``DrawStats.bin_overflow``.
     """
     state = pipeline.desc.state
     rast_state = state.rasterization
@@ -734,7 +842,24 @@ def draw_indexed_batch(
         desc.blend_enable
         for desc in pipeline.desc.color_attachment_descs or ()
     )
-    if blend_enabled:
+    peel = peel_layers is not None
+    if peel:
+        from zenith_tpu.rhi.state import CompareOp as _CO
+
+        assert blend_enabled, "peel_layers requires a blending pipeline"
+        assert len(colors) == 1, "depth peel: exactly one color attachment"
+        assert not ds.stencil_test_enable, (
+            "depth peel: stencil unsupported (use the in-order blend-kernel "
+            "path for stencil + blending)"
+        )
+        assert ds.depth_test_enable and ds.depth_compare_op in (
+            _CO.GREATER, _CO.GREATER_OR_EQUAL, _CO.LESS, _CO.LESS_OR_EQUAL
+        ), (
+            "depth peel needs an ordering depth test (GREATER/GEQ/LESS/"
+            "LEQ) — peeling resolves layers by depth, not submission order"
+        )
+        assert int(peel_layers) >= 1
+    if blend_enabled and not peel:
         # Order-dependent blending cannot ride the winner-resolve kernel
         # (one fragment per pixel); it takes the per-tile in-order blend
         # kernel instead — fragment shader inlined per record, blend
@@ -748,13 +873,11 @@ def draw_indexed_batch(
             assert len(colors) == 1, (
                 "blend batch: exactly one color attachment"
             )
-            assert not ds.stencil_test_enable, (
-                "blend batch: stencil unsupported"
-            )
             return _draw_batch_blend(
                 colors, depth, pipeline, draws, grid,
                 interpret=interpret, viewport=viewport,
                 entry_budget=entry_budget, budget_scale=budget_scale,
+                stencil=stencil,
             )
         if n_draws > 1:
             raise ValueError(
@@ -762,19 +885,13 @@ def draw_indexed_batch(
                 "needs a KERNEL-SAFE fragment shader (Shader.fragment(..., "
                 "kernel_safe=True): pure elementwise jnp, no texture "
                 "sampling) — the blend runs per fragment in submission "
-                "order inside the raster kernel. Alternatively submit "
-                "blended draws individually (one full-screen shade+blend "
-                "per draw)."
+                "order inside the raster kernel — or peel_layers=K for "
+                "depth-peeled full-fragment-rate translucency (texture "
+                "sampling allowed; exact for ≤K layers). Alternatively "
+                "submit blended draws individually (one full-screen "
+                "shade+blend per draw)."
             )
 
-    if any(len(d) > 3 and d[3] for d in draws):
-        raise ValueError(
-            "instanced draws in draw_indexed_batch are supported only on "
-            "the blend-kernel path (a blend-enabled pipeline with a "
-            "kernel-safe fragment shader); submit instanced opaque draws "
-            "via draw_indexed(instance_count=...) instead"
-        )
-    draws = [d[:3] for d in draws]
     layout = pipeline.vertex_layout
     depth_bias = None
     if rast_state.depth_bias_enable:
@@ -794,15 +911,55 @@ def draw_indexed_batch(
     corner_parts = []
     attr_layout = None
     budget_total = 0
-    for di, (vb, ib, res) in enumerate(draws):
+    for di, draw in enumerate(draws):
+        vb, ib, res = draw[0], draw[1], draw[2]
+        inst = draw[3] if len(draw) > 3 else None
         attrs = _CheckedAttrs(
             layout.unpack(vb) if layout is not None else {"position": vb},
             pipeline.vertex_shader.name,
         )
         vs_res = BoundResources(pipeline.vertex_shader.reflection, res)
-        vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+        prim_kind, prims = _assemble_primitives(
+            ib, state.input_assembly, rast_state.polygon_mode
+        )
+        if inst:
+            # Per-draw instancing (vkCmdDrawIndexed instanceCount): the
+            # vertex stage runs vmapped over instances; records concatenate
+            # in instance order, matching Vulkan's primitive ordering.
+            icount = int(inst.get("instance_count", 1))
+            idata = inst.get("instance_data") or {}
+            _check_instance_inputs(pipeline, idata, icount)
+            nv0 = vb.shape[0]
+            inst_arrs = {
+                k: jnp.asarray(v, jnp.float32).reshape(icount, -1)
+                for k, v in idata.items()
+            }
+            idx_f = jnp.arange(icount, dtype=jnp.float32)[:, None]
+
+            def one_instance(inst_vals, iidx, attrs=attrs, vs_res=vs_res,
+                             nv0=nv0):
+                a = _CheckedAttrs(attrs, pipeline.vertex_shader.name)
+                for k, v in inst_vals.items():
+                    a[k] = jnp.broadcast_to(v[None, :], (nv0, v.shape[-1]))
+                a["instance_index"] = jnp.broadcast_to(
+                    iidx[None, :], (nv0, 1)
+                )
+                out = dict(pipeline.vertex_shader.fn(a, vs_res))
+                return out.pop("position"), out
+
+            clips, vs_outs = jax.vmap(one_instance)(inst_arrs, idx_f)
+            clip = clips.reshape(icount * nv0, 4)
+            vs_out = {
+                k: v.reshape(icount * nv0, -1) for k, v in vs_outs.items()
+            }
+            offs = (
+                jnp.arange(icount, dtype=jnp.int32) * nv0
+            )[:, None, None]
+            prims = (prims[None, :, :] + offs).reshape(-1, prims.shape[1])
+        else:
+            vs_out = dict(pipeline.vertex_shader.fn(attrs, vs_res))
+            clip = vs_out.pop("position")
         _warn_unused_bindings(pipeline.vertex_shader, vs_res)
-        clip = vs_out.pop("position")
         point_sizes = _pop_point_sizes(vs_out)
         nv = clip.shape[0]
 
@@ -832,9 +989,6 @@ def draw_indexed_batch(
             if vary_cols
             else jnp.zeros((nv, 0), jnp.float32)
         )
-        prim_kind, prims = _assemble_primitives(
-            ib, state.input_assembly, rast_state.polygon_mode
-        )
         records, corner = _setup_records(
             prim_kind, clip, prims, flat_vary, grid, rast_state, viewport,
             depth_bias, point_sizes=point_sizes,
@@ -853,7 +1007,7 @@ def draw_indexed_batch(
     )
     corner_data = jnp.concatenate(corner_parts)
 
-    bins = bin_segmented(
+    bins = _bin_parts(
         records, corner_data, grid,
         entry_budget=entry_budget or budget_total,
         budget_scale=budget_scale,
@@ -867,7 +1021,7 @@ def draw_indexed_batch(
                 else jnp.full((grid.height, grid.width),
                               ds.stencil_clear_value & 0xFF, jnp.int32)
             )
-            return raster_segmented(
+            return _raster_parts(
                 bins, grid, init_z,
                 depth_test=ds.depth_test_enable,
                 depth_write=ds.depth_write_enable,
@@ -877,7 +1031,7 @@ def draw_indexed_batch(
                 stencil_back=ds.stencil_back,
                 sample_offset=sample_offset, interpret=interpret,
             )
-        z_out, acc = raster_segmented(
+        z_out, acc = _raster_parts(
             bins, grid, init_z,
             depth_test=ds.depth_test_enable, depth_write=ds.depth_write_enable,
             compare_op=ds.depth_compare_op, depth_clamp=rast_state.depth_clamp,
@@ -910,8 +1064,8 @@ def draw_indexed_batch(
                 # selection (N is small and static; a where-chain beats a
                 # per-pixel gather by orders of magnitude on this backend).
                 table = [
-                    jnp.asarray(res[name], jnp.float32).reshape(-1)
-                    for _, _, res in draws
+                    jnp.asarray(d[2][name], jnp.float32).reshape(-1)
+                    for d in draws
                 ]
                 widths = {int(t.shape[0]) for t in table}
                 assert len(widths) == 1, (
@@ -928,7 +1082,7 @@ def draw_indexed_batch(
                     plane = jnp.where(sel, table[i][None, None, :], plane)
                 fs_resources[name] = plane
             else:
-                vals = [res.get(name) for _, _, res in draws]
+                vals = [d[2].get(name) for d in draws]
                 if all(v is vals[0] for v in vals):
                     fs_resources[name] = vals[0]
                 else:
@@ -953,6 +1107,85 @@ def draw_indexed_batch(
         return new_cols
 
     samples = state.multisample.samples
+    if peel:
+        # DEPTH PEELING (Everitt 2001, TPU-shaped): K bounded winner-resolve
+        # passes over ONE shared binning — peel k rejects fragments at or
+        # before peel k-1's depth, so each pass resolves the next-nearest
+        # layer. Every layer shades DENSELY at full fragment rate (texture
+        # sampling, derivatives — anything a dense FS can do), then the
+        # layers composite back-to-front through the pipeline's blend
+        # equation. Exact for ≤K overlapping translucent fragments per
+        # pixel; a final bounded probe pass counts dropped deeper fragments
+        # into DrawStats.bin_overflow (the same dropped-work channel the
+        # binner uses). Reference parity: pipeline.rs:337-412 translucent()
+        # composes freely with sampling shaders — this is the
+        # fragment-rate-correct path the in-order blend kernel (vertex-rate
+        # textures) cannot provide.
+        k_layers = int(peel_layers)
+
+        def peel_chain(init_z_s, dst, off):
+            layers = []
+            bound = None
+            for _k in range(k_layers):
+                z_k, acc_k = _raster_parts(
+                    bins, grid, init_z_s,
+                    depth_test=True, depth_write=True,
+                    compare_op=ds.depth_compare_op,
+                    depth_clamp=rast_state.depth_clamp,
+                    sample_offset=off, interpret=interpret,
+                    z_bound=bound,
+                )
+                layers.append((z_k, acc_k))
+                bound = z_k
+            # Overflow probe: one more bounded pass — any surviving
+            # fragment is a dropped (K+1)-th layer.
+            _, acc_over = _raster_parts(
+                bins, grid, init_z_s,
+                depth_test=True, depth_write=False,
+                compare_op=ds.depth_compare_op,
+                depth_clamp=rast_state.depth_clamp,
+                sample_offset=off, interpret=interpret,
+                z_bound=bound,
+            )
+            over = jnp.sum((acc_over[-1] > 0.0).astype(jnp.int32))
+            for z_k, acc_k in reversed(layers):
+                dst = shade_sample(z_k, acc_k, [dst])[0]
+            return dst, layers[0][0], over
+
+        if samples > 1:
+            offsets = SAMPLE_POSITIONS.get(samples)
+            assert offsets is not None, f"unsupported sample count {samples}"
+            out_c, out_zs = [], []
+            over_total = jnp.int32(0)
+            for s, off in enumerate(offsets):
+                init_z_s = (
+                    depth[s] if depth is not None
+                    else jnp.zeros((grid.height, grid.width), jnp.float32)
+                )
+                c_s, z_s, over = peel_chain(init_z_s, colors[0][s], off)
+                out_c.append(c_s)
+                out_zs.append(z_s)
+                over_total = over_total + over
+            new_depth = None
+            if depth is not None:
+                new_depth = (
+                    jnp.stack(out_zs) if ds.depth_write_enable else depth
+                )
+            return [jnp.stack(out_c)], new_depth, DrawStats(
+                bin_overflow=bins.overflow + over_total
+            )
+
+        init_z = depth if depth is not None else jnp.zeros(
+            (grid.height, grid.width), jnp.float32
+        )
+        c_out, z_out, over = peel_chain(init_z, colors[0], (0.5, 0.5))
+        new_depth = None
+        if depth is not None:
+            new_depth = z_out if ds.depth_write_enable else depth
+        return [c_out], new_depth, DrawStats(
+            bin_overflow=bins.overflow + over
+        )
+
     if samples > 1:
         # Batched MSAA: one shared binning, one raster + shade per Vulkan
         # standard sample position — the same supersampled contract as
@@ -1000,6 +1233,7 @@ def draw_indexed_batch(
 def _draw_batch_blend(
     colors, depth, pipeline, draws, grid,
     interpret=None, viewport=None, entry_budget=None, budget_scale=1,
+    stencil=None,
 ):
     """Order-correct transparency for batched draws: one binning over every
     draw's records (submission order preserved by the (tile, record) sort),
@@ -1130,11 +1364,40 @@ def _draw_batch_blend(
         aabb=jnp.concatenate([r.aabb for r in rec_parts]),
     )
     corner_data = jnp.concatenate(corner_parts)
-    bins = bin_segmented(
+    bins = _bin_parts(
         records, corner_data, grid,
         entry_budget=entry_budget or budget_total,
         budget_scale=budget_scale,
     )
+
+    def blend_parts(init_z_p, init_c_p, init_s_p=None, sample_offset=(0.5, 0.5)):
+        """raster_segmented_blend threading (z, color[, stencil]) through
+        the sequential bin parts — the in-order blend carries its state in
+        the planes, so parts compose exactly (contiguous record ranges
+        preserve submission order)."""
+        z_p, c_p, s_p = init_z_p, init_c_p, init_s_p
+        for b in bins.parts:
+            if s_p is not None:
+                z_p, c_p, s_p = raster_segmented_blend(
+                    b, grid, z_p, c_p, shade_blend,
+                    depth_test=ds.depth_test_enable,
+                    depth_write=ds.depth_write_enable,
+                    compare_op=ds.depth_compare_op,
+                    depth_clamp=rast_state.depth_clamp,
+                    sample_offset=sample_offset, interpret=interpret,
+                    init_stencil=s_p, stencil_front=ds.stencil_front,
+                    stencil_back=ds.stencil_back,
+                )
+            else:
+                z_p, c_p = raster_segmented_blend(
+                    b, grid, z_p, c_p, shade_blend,
+                    depth_test=ds.depth_test_enable,
+                    depth_write=ds.depth_write_enable,
+                    compare_op=ds.depth_compare_op,
+                    depth_clamp=rast_state.depth_clamp,
+                    sample_offset=sample_offset, interpret=interpret,
+                )
+        return z_p, c_p, s_p
 
     cdesc = (pipeline.desc.color_attachment_descs or
              (ColorAttachmentDesc(),))[0]
@@ -1180,6 +1443,12 @@ def _draw_batch_blend(
             jnp.where(passed, out[..., k], c_planes[k]) for k in range(4)
         )
 
+    with_stencil = ds.stencil_test_enable
+
+    def default_stencil():
+        return jnp.full((grid.height, grid.width),
+                        ds.stencil_clear_value & 0xFF, jnp.int32)
+
     samples = state.multisample.samples
     if samples > 1:
         # MSAA through the blend kernel: one shared binning, one in-order
@@ -1188,39 +1457,43 @@ def _draw_batch_blend(
         # sample — supersampled quality for both sample_shading modes).
         offsets = SAMPLE_POSITIONS.get(samples)
         assert offsets is not None, f"unsupported sample count {samples}"
-        out_z, out_c = [], []
+        out_z, out_c, out_s = [], [], []
         for s, off in enumerate(offsets):
             init_z_s = (
                 depth[s] if depth is not None
                 else jnp.zeros((grid.height, grid.width), jnp.float32)
             )
-            z_s, c_s = raster_segmented_blend(
-                bins, grid, init_z_s, colors[0][s], shade_blend,
-                depth_test=ds.depth_test_enable,
-                depth_write=ds.depth_write_enable,
-                compare_op=ds.depth_compare_op,
-                depth_clamp=rast_state.depth_clamp,
-                sample_offset=off,
-                interpret=interpret,
-            )
+            if with_stencil:
+                init_s_s = (
+                    stencil[s] if stencil is not None else default_stencil()
+                )
+                z_s, c_s, st_s = blend_parts(
+                    init_z_s, colors[0][s], init_s_s, sample_offset=off
+                )
+                out_s.append(st_s)
+            else:
+                z_s, c_s, _ = blend_parts(
+                    init_z_s, colors[0][s], sample_offset=off
+                )
             out_z.append(z_s)
             out_c.append(c_s)
         new_depth = jnp.stack(out_z) if depth is not None else None
         return (
             [jnp.stack(out_c)], new_depth,
-            DrawStats(bin_overflow=bins.overflow),
+            DrawStats(bin_overflow=bins.overflow,
+                      stencil=jnp.stack(out_s) if out_s else None),
         )
 
     init_z = depth if depth is not None else jnp.zeros(
         (grid.height, grid.width), jnp.float32
     )
-    z_out, color = raster_segmented_blend(
-        bins, grid, init_z, colors[0], shade_blend,
-        depth_test=ds.depth_test_enable,
-        depth_write=ds.depth_write_enable,
-        compare_op=ds.depth_compare_op,
-        depth_clamp=rast_state.depth_clamp,
-        interpret=interpret,
-    )
+    if with_stencil:
+        init_s = stencil if stencil is not None else default_stencil()
+        z_out, color, stencil_out = blend_parts(init_z, colors[0], init_s)
+        new_depth = z_out if depth is not None else None
+        return [color], new_depth, DrawStats(
+            bin_overflow=bins.overflow, stencil=stencil_out
+        )
+    z_out, color, _ = blend_parts(init_z, colors[0])
     new_depth = z_out if depth is not None else None
     return [color], new_depth, DrawStats(bin_overflow=bins.overflow)

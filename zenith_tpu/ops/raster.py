@@ -407,6 +407,111 @@ def _segmented_kernel(
             acc_ref[a] = out[1 + a]
 
 
+def _segmented_peel_kernel(
+    # scalar prefetch
+    ty_ref,  # SMEM (B,)
+    tx_ref,  # SMEM (B,)
+    cnt_ref,  # SMEM (B,)
+    init_ref,  # SMEM (B,)
+    # streamed blocks
+    rast_ref,  # SMEM (CHUNK, 16 + D)
+    initz_ref,  # VMEM (TH, TW)
+    bound_ref,  # VMEM (TH, TW) — previous peel's resolved depth
+    z_alias_ref,  # ANY — aliased init buffer
+    acc_alias_ref,  # ANY — aliased init buffer
+    # outputs
+    z_ref,  # VMEM (TH, TW)
+    acc_ref,  # VMEM (A+1, TH, TW)
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_attrs: int,
+    compare: Callable,
+    bound_compare: Callable,
+    depth_write: bool,
+    depth_clamp: bool = False,
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
+):
+    """The segmented kernel with a DEPTH-PEEL bound plane: fragments at or
+    beyond the previous layer's depth (per ``bound_compare``, the strict
+    opposite of the depth compare) are rejected before the depth test, so
+    each pass resolves the NEXT-nearest fragment per pixel — classic depth
+    peeling (Everitt 2001), the exact-for-≤K-layers transparency path.
+    Structure mirrors _segmented_kernel; the only addition is the bound
+    plane test."""
+    del z_alias_ref, acc_alias_ref
+    b = pl.program_id(0)
+    a_n = num_attrs + 1
+
+    @pl.when(init_ref[b] == 1)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        acc_ref[:] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+    count = cnt_ref[b]
+
+    @pl.when(count > 0)
+    def _process():
+        tx = tx_ref[b]
+        ty = ty_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + sample_offset[0]
+        y = (ty * tile_h + row).astype(jnp.float32) + sample_offset[1]
+        bound = bound_ref[:]
+
+        sub = 8  # unrolled records per loop iteration
+
+        def body(s, carry):
+            z, *acc = carry
+            base = s * sub
+            for jj in range(sub):
+                i = base + jj
+                e01 = rast_ref[i, 0] * x + rast_ref[i, 1] * y + rast_ref[i, 2]
+                e12 = rast_ref[i, 3] * x + rast_ref[i, 4] * y + rast_ref[i, 5]
+                e20 = rast_ref[i, 6] * x + rast_ref[i, 7] * y + rast_ref[i, 8]
+                cov = (
+                    ((e01 > 0.0) | ((e01 == 0.0) & (rast_ref[i, 9] > 0.0)))
+                    & ((e12 > 0.0) | ((e12 == 0.0) & (rast_ref[i, 10] > 0.0)))
+                    & ((e20 > 0.0) | ((e20 == 0.0) & (rast_ref[i, 11] > 0.0)))
+                )
+                inv_det = rast_ref[i, 12]
+                w0 = e12 * inv_det
+                w1 = e20 * inv_det
+                w2 = e01 * inv_det
+                zpx = (
+                    w0 * rast_ref[i, 13]
+                    + w1 * rast_ref[i, 14]
+                    + w2 * rast_ref[i, 15]
+                )
+                cov &= i < count
+                if depth_clamp:
+                    zpx = jnp.clip(zpx, 0.0, 1.0)
+                else:
+                    cov &= (zpx >= 0.0) & (zpx <= 1.0)
+                cov &= bound_compare(zpx, bound)  # strictly behind prev peel
+                passed = cov & compare(zpx, z)
+                if depth_write:
+                    z = jnp.where(passed, zpx, z)
+                new_acc = []
+                for a in range(a_n):
+                    plane = (
+                        w0 * rast_ref[i, 16 + a]
+                        + w1 * rast_ref[i, 16 + a_n + a]
+                        + w2 * rast_ref[i, 16 + 2 * a_n + a]
+                    )
+                    new_acc.append(jnp.where(passed, plane, acc[a]))
+                acc = new_acc
+            return (z, *acc)
+
+        n_sub = pl.cdiv(count, sub)
+        init_carry = (z_ref[:], *[acc_ref[a] for a in range(a_n)])
+        out = jax.lax.fori_loop(0, n_sub, body, init_carry)
+        z_ref[:] = out[0]
+        for a in range(a_n):
+            acc_ref[a] = out[1 + a]
+
+
 def _segmented_blend_kernel(
     # scalar prefetch
     ty_ref,  # SMEM (B,)
@@ -519,6 +624,145 @@ def _segmented_blend_kernel(
             c_ref[a] = out[1 + a]
 
 
+def _segmented_blend_stencil_kernel(
+    # scalar prefetch
+    ty_ref,  # SMEM (B,)
+    tx_ref,  # SMEM (B,)
+    cnt_ref,  # SMEM (B,)
+    init_ref,  # SMEM (B,)
+    # streamed blocks
+    rast_ref,  # SMEM (CHUNK, 16 + D)
+    initz_ref,  # VMEM (TH, TW)
+    initc_ref,  # VMEM (4, TH, TW)
+    inits_ref,  # VMEM (TH, TW) i32 — stencil init
+    z_alias_ref,  # ANY — aliased init buffers
+    c_alias_ref,
+    s_alias_ref,
+    # outputs
+    z_ref,  # VMEM (TH, TW)
+    c_ref,  # VMEM (4, TH, TW)
+    s_ref,  # VMEM (TH, TW) i32
+    *,
+    tile_h: int,
+    tile_w: int,
+    num_attrs: int,
+    compare: Callable,
+    depth_write: bool,
+    depth_clamp: bool = False,
+    shade_blend: Callable = None,
+    front_face_state=None,  # StencilOpState
+    back_face_state=None,  # StencilOpState
+    sample_offset: "tuple[float, float]" = (0.5, 0.5),
+):
+    """The in-order blend kernel with a STENCIL plane in the carry — the
+    full Vulkan output merger for blended pipelines (pipeline.rs:337-480:
+    blend and stencil state compose freely). Per-fragment order (27.18-19):
+    coverage → stencil test → depth test; stencil ops fire on their
+    outcomes; only fragments passing BOTH tests shade + blend. Facing
+    selects front/back state via the record's front·iw channel (the
+    second-to-last attr column; iw > 0 always)."""
+    del z_alias_ref, c_alias_ref, s_alias_ref
+    b = pl.program_id(0)
+    a_n = num_attrs + 1
+    same_faces = front_face_state == back_face_state
+
+    @pl.when(init_ref[b] == 1)
+    def _init():
+        z_ref[:] = initz_ref[:]
+        c_ref[:] = initc_ref[:]
+        s_ref[:] = inits_ref[:]
+
+    count = cnt_ref[b]
+
+    @pl.when(count > 0)
+    def _process():
+        tx = tx_ref[b]
+        ty = ty_ref[b]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+        x = (tx * tile_w + col).astype(jnp.float32) + sample_offset[0]
+        y = (ty * tile_h + row).astype(jnp.float32) + sample_offset[1]
+
+        sub = 4  # fragment shader is inlined per record: keep unroll small
+
+        def face_test(face, cov, sten):
+            ref_m = (face.reference & face.compare_mask) & 0xFF
+            s_m = sten & (face.compare_mask & 0xFF)
+            return cov & _compare_fn(face.compare_op)(
+                jnp.full_like(s_m, ref_m), s_m
+            )
+
+        def body(s, carry):
+            z, sten, c0, c1, c2, c3 = carry
+            base = s * sub
+            for jj in range(sub):
+                i = base + jj
+                e01 = rast_ref[i, 0] * x + rast_ref[i, 1] * y + rast_ref[i, 2]
+                e12 = rast_ref[i, 3] * x + rast_ref[i, 4] * y + rast_ref[i, 5]
+                e20 = rast_ref[i, 6] * x + rast_ref[i, 7] * y + rast_ref[i, 8]
+                cov = (
+                    ((e01 > 0.0) | ((e01 == 0.0) & (rast_ref[i, 9] > 0.0)))
+                    & ((e12 > 0.0) | ((e12 == 0.0) & (rast_ref[i, 10] > 0.0)))
+                    & ((e20 > 0.0) | ((e20 == 0.0) & (rast_ref[i, 11] > 0.0)))
+                )
+                inv_det = rast_ref[i, 12]
+                w0 = e12 * inv_det
+                w1 = e20 * inv_det
+                w2 = e01 * inv_det
+                zpx = (
+                    w0 * rast_ref[i, 13]
+                    + w1 * rast_ref[i, 14]
+                    + w2 * rast_ref[i, 15]
+                )
+                cov &= i < count
+                if depth_clamp:
+                    zpx = jnp.clip(zpx, 0.0, 1.0)
+                else:
+                    cov &= (zpx >= 0.0) & (zpx <= 1.0)
+
+                if same_faces:
+                    spass = face_test(front_face_state, cov, sten)
+                    dpass = spass & compare(zpx, z)
+                    sten = _stencil_face_update(
+                        front_face_state, cov, spass, dpass, sten
+                    )
+                else:
+                    is_front = rast_ref[i, 16 + a_n - 2] > 0.0
+                    spass_f = face_test(front_face_state, cov, sten)
+                    spass_b = face_test(back_face_state, cov, sten)
+                    spass = jnp.where(is_front, spass_f, spass_b)
+                    dpass = spass & compare(zpx, z)
+                    snew_f = _stencil_face_update(
+                        front_face_state, cov, spass_f, dpass, sten
+                    )
+                    snew_b = _stencil_face_update(
+                        back_face_state, cov, spass_b, dpass, sten
+                    )
+                    sten = jnp.where(is_front, snew_f, snew_b)
+                if depth_write:
+                    z = jnp.where(dpass, zpx, z)
+                planes = [
+                    w0 * rast_ref[i, 16 + a]
+                    + w1 * rast_ref[i, 16 + a_n + a]
+                    + w2 * rast_ref[i, 16 + 2 * a_n + a]
+                    for a in range(a_n)
+                ]
+                c0, c1, c2, c3 = shade_blend(
+                    planes, dpass, x, y, zpx, (c0, c1, c2, c3)
+                )
+            return (z, sten, c0, c1, c2, c3)
+
+        n_sub = pl.cdiv(count, sub)
+        init_carry = (
+            z_ref[:], s_ref[:], c_ref[0], c_ref[1], c_ref[2], c_ref[3]
+        )
+        out = jax.lax.fori_loop(0, n_sub, body, init_carry)
+        z_ref[:] = out[0]
+        s_ref[:] = out[1]
+        for a in range(4):
+            c_ref[a] = out[2 + a]
+
+
 def raster_segmented_blend(
     bins,  # SegmentedBins
     grid: TileGrid,
@@ -531,9 +775,13 @@ def raster_segmented_blend(
     depth_clamp: bool = False,
     sample_offset: "tuple[float, float]" = (0.5, 0.5),
     interpret: Optional[bool] = None,
-) -> "tuple[jnp.ndarray, jnp.ndarray]":
-    """Order-correct blending raster pass → (z (H, W), color (H, W, 4)).
-    See _segmented_blend_kernel."""
+    init_stencil: Optional[jnp.ndarray] = None,  # (H, W) i32
+    stencil_front=None,  # StencilOpState when stencil test enabled
+    stencil_back=None,
+) -> "tuple[jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
+    """Order-correct blending raster pass → (z (H, W), color (H, W, 4)),
+    plus the updated stencil plane when ``stencil_front`` is given.
+    See _segmented_blend_kernel / _segmented_blend_stencil_kernel."""
     if interpret is None:
         interpret = pallas_interpret()
     h, w = grid.height, grid.width
@@ -550,6 +798,7 @@ def raster_segmented_blend(
 
     effective_compare = compare_op if depth_test else CompareOp.ALWAYS
     effective_write = depth_write and depth_test
+    with_stencil = stencil_front is not None
 
     init_z = init_z.astype(jnp.float32)
     hp = grid.tiles_y * th
@@ -559,6 +808,14 @@ def raster_segmented_blend(
     if (hp, wp) != (h, w):
         z_seed = jnp.pad(init_z, ((0, hp - h), (0, wp - w)))
         c_seed = jnp.pad(c_seed, ((0, 0), (0, hp - h), (0, wp - w)))
+
+    if with_stencil:
+        return _raster_segmented_blend_stencil(
+            bins, grid, z_seed, c_seed, shade_blend,
+            effective_compare, effective_write, depth_clamp, sample_offset,
+            interpret, init_stencil, stencil_front, stencil_back,
+            h, w, hp, wp, th, tw, b_max, chunk, d_total, num_attrs,
+        )
 
     kernel = functools.partial(
         _segmented_blend_kernel,
@@ -630,6 +887,100 @@ def raster_segmented_blend(
         out_z = out_z[:h, :w]
         out_c = out_c[:, :h, :w]
     return out_z, jnp.moveaxis(out_c, 0, -1)
+
+
+def _raster_segmented_blend_stencil(
+    bins, grid, z_seed, c_seed, shade_blend,
+    effective_compare, effective_write, depth_clamp, sample_offset,
+    interpret, init_stencil, stencil_front, stencil_back,
+    h, w, hp, wp, th, tw, b_max, chunk, d_total, num_attrs,
+):
+    """Stencil variant of raster_segmented_blend → (z, color, stencil)."""
+    if stencil_back is None:
+        stencil_back = stencil_front
+    if init_stencil is None:
+        init_stencil = jnp.zeros((h, w), jnp.int32)
+    s_seed = init_stencil.astype(jnp.int32)
+    if (hp, wp) != (h, w):
+        s_seed = jnp.pad(s_seed, ((0, hp - h), (0, wp - w)))
+
+    kernel = functools.partial(
+        _segmented_blend_stencil_kernel,
+        tile_h=th,
+        tile_w=tw,
+        num_attrs=num_attrs,
+        compare=_compare_fn(effective_compare),
+        depth_write=effective_write,
+        depth_clamp=depth_clamp,
+        shade_blend=shade_blend,
+        front_face_state=stencil_front,
+        back_face_state=stencil_back,
+        sample_offset=sample_offset,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b_max,),
+        in_specs=[
+            pl.BlockSpec((chunk, d_total), lambda i, ty, tx, cnt, ini: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, th, tw),
+                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # z seed (aliased → out 0)
+            pl.BlockSpec(memory_space=pl.ANY),  # c seed (aliased → out 1)
+            pl.BlockSpec(memory_space=pl.ANY),  # s seed (aliased → out 2)
+        ],
+        out_specs=[
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, th, tw),
+                         lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((th, tw), lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+
+    vmem_budget = min(
+        100 * 1024 * 1024,
+        max(32 * 1024 * 1024, 3 * (6 * hp * wp * 4)),
+    )
+    out_z, out_c, out_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((4, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.int32),
+        ],
+        # args: 4 prefetch + [rows, initz, initc, inits, z_seed, c_seed,
+        # s_seed].
+        input_output_aliases={8: 0, 9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_budget),
+        interpret=interpret,
+    )(
+        bins.blk_tile_y,
+        bins.blk_tile_x,
+        bins.blk_count,
+        bins.blk_init,
+        bins.rast_pad,
+        z_seed,
+        c_seed,
+        s_seed,
+        z_seed,
+        c_seed,
+        s_seed,
+    )
+    if (hp, wp) != (h, w):
+        out_z = out_z[:h, :w]
+        out_c = out_c[:, :h, :w]
+        out_s = out_s[:h, :w]
+    return out_z, jnp.moveaxis(out_c, 0, -1), out_s
 
 
 def _stencil_apply(op, s: jnp.ndarray, reference: int) -> jnp.ndarray:
@@ -817,8 +1168,17 @@ def raster_segmented(
     stencil_back=None,
     sample_offset: "tuple[float, float]" = (0.5, 0.5),
     interpret: Optional[bool] = None,
+    z_bound: Optional[jnp.ndarray] = None,  # (H, W) depth-peel bound plane
 ) -> "tuple[jnp.ndarray, jnp.ndarray] | tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]":
-    """Segmented-binning raster pass → (z (H, W), acc (A+1, H, W))."""
+    """Segmented-binning raster pass → (z (H, W), acc (A+1, H, W)).
+
+    ``z_bound`` switches on DEPTH PEELING: fragments not strictly behind
+    the bound plane (the previous peel's resolved depth) are rejected, so
+    the pass resolves the next-nearest layer. Requires an ordering depth
+    compare (GREATER/GEQ or LESS/LEQ) with the depth test enabled; cannot
+    combine with stencil. Fragments exactly AT the bound are rejected —
+    coplanar equal-depth fragments collapse into one peel (the classic
+    depth-peeling tie limitation)."""
     if interpret is None:
         interpret = pallas_interpret()
     h, w = grid.height, grid.width
@@ -846,6 +1206,84 @@ def raster_segmented(
     if (hp, wp) != (h, w):
         z_seed = jnp.pad(init_z, ((0, hp - h), (0, wp - w)))
     acc_seed = jnp.zeros((a_n, hp, wp), jnp.float32)
+
+    if z_bound is not None:
+        assert not with_stencil, "depth peeling cannot combine with stencil"
+        assert depth_test, "depth peeling requires the depth test"
+        if compare_op in (CompareOp.GREATER, CompareOp.GREATER_OR_EQUAL):
+            bound_op = CompareOp.LESS
+        elif compare_op in (CompareOp.LESS, CompareOp.LESS_OR_EQUAL):
+            bound_op = CompareOp.GREATER
+        else:
+            raise ValueError(
+                f"depth peeling needs an ordering depth compare "
+                f"(GREATER/GEQ/LESS/LEQ), got {compare_op}"
+            )
+        bound_seed = z_bound.astype(jnp.float32)
+        if (hp, wp) != (h, w):
+            bound_seed = jnp.pad(bound_seed, ((0, hp - h), (0, wp - w)))
+
+        kernel = functools.partial(
+            _segmented_peel_kernel,
+            tile_h=th,
+            tile_w=tw,
+            num_attrs=num_attrs,
+            compare=_compare_fn(effective_compare),
+            bound_compare=_compare_fn(bound_op),
+            depth_write=effective_write,
+            depth_clamp=depth_clamp,
+            sample_offset=sample_offset,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(b_max,),
+            in_specs=[
+                pl.BlockSpec((chunk, d_total),
+                             lambda i, ty, tx, cnt, ini: (i, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((th, tw),
+                             lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((th, tw),
+                             lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # z seed (aliased → out 0)
+                pl.BlockSpec(memory_space=pl.ANY),  # acc seed (→ out 1)
+            ],
+            out_specs=[
+                pl.BlockSpec((th, tw),
+                             lambda i, ty, tx, cnt, ini: (ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((a_n, th, tw),
+                             lambda i, ty, tx, cnt, ini: (0, ty[i], tx[i]),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        out_z, out_acc = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                jax.ShapeDtypeStruct((a_n, hp, wp), jnp.float32),
+            ],
+            # args: 4 prefetch + [rows, initz, bound, z_seed, acc_seed].
+            input_output_aliases={7: 0, 8: 1},
+            interpret=interpret,
+        )(
+            bins.blk_tile_y,
+            bins.blk_tile_x,
+            bins.blk_count,
+            bins.blk_init,
+            bins.rast_pad,
+            z_seed,
+            bound_seed,
+            z_seed,
+            acc_seed,
+        )
+        if (hp, wp) != (h, w):
+            out_z = out_z[:h, :w]
+            out_acc = out_acc[:, :h, :w]
+        return out_z, out_acc
 
     if not with_stencil:
         kernel = functools.partial(
