@@ -331,7 +331,7 @@ class TestOpsInstancedBlend:
             run_instanced(), run_expanded(), atol=1e-5
         )
 
-    def test_instanced_non_blend_batch_rejected(self):
+    def test_instanced_non_blend_batch_supported(self):
         from zenith_tpu.ops.binning import TileGrid
         from zenith_tpu.ops.draw import draw_indexed_batch
         from zenith_tpu.rhi import (
@@ -381,11 +381,20 @@ class TestOpsInstancedBlend:
             jnp.float32,
         )
         ib = jnp.asarray([0, 1, 2], jnp.int32)
+        # Instanced draws now ride EVERY batch path (round 5 lifted the
+        # blend-kernel-only restriction): an instanced opaque batch draw
+        # must equal the same triangle drawn once (both instances
+        # coincide — no instance_data offsets here).
         colors = [jnp.zeros((h, w, 4), jnp.float32)]
-        with pytest.raises(ValueError, match="blend-kernel path"):
-            draw_indexed_batch(
-                colors, None, pipe,
-                [(tri, ib, {}, {"instance_count": 2,
-                                "instance_data": {}})],
-                grid,
-            )
+        out_inst, _d, _s = draw_indexed_batch(
+            colors, None, pipe,
+            [(tri, ib, {}, {"instance_count": 2, "instance_data": {}})],
+            grid,
+        )
+        colors = [jnp.zeros((h, w, 4), jnp.float32)]
+        out_one, _d, _s = draw_indexed_batch(
+            colors, None, pipe, [(tri, ib, {})], grid,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_inst[0]), np.asarray(out_one[0]), atol=1e-6
+        )

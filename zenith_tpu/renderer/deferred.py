@@ -25,7 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from zenith_tpu.asset.render_types import Vertex as VERTEX_LAYOUT
+from zenith_tpu.core import log as _log
 from zenith_tpu.core import mathtypes as m
+from zenith_tpu.core import validate as _validate
 from zenith_tpu.core.camera import Camera
 from zenith_tpu.ops.sampling import sample_shadow_pcf
 from zenith_tpu.rendergraph import RenderGraphBuilder
@@ -56,6 +58,59 @@ from zenith_tpu.rhi.state import (
     GraphicPipelineState,
     LoadOp,
 )
+
+logger = _log.get(__name__)
+
+
+def _band_hint_for(objects, ixs, camera) -> list:
+    """Screen-row occupancy spans for parallel="auto" (one (tri_count,
+    y0, y1) per draw): project each object's AABB corners through the
+    camera; objects without bounds, instanced ones, or ones crossing the
+    near plane hint full extent (never tips the choice toward
+    sort-last). Pure host numpy — runs only when compile is in auto
+    mode (the hint is passed lazily)."""
+    vp = np.asarray(camera.render_view_projection, np.float32)
+    out = []
+    for i in ixs:
+        o = objects[i]
+        tri = int(getattr(o, "tri_count", 0) or 0)
+        if tri <= 0 or not o.visible:
+            continue
+        b = getattr(o, "bounds", None)
+        if b is None or o.instance_offsets is not None:
+            out.append((tri * max(1, getattr(o, "instance_count", 1) or 1),
+                        0.0, 1.0))
+            continue
+        lo, hi = np.asarray(b[0]), np.asarray(b[1])
+        corners = np.array(
+            [[x, y, z, 1.0]
+             for x in (lo[0], hi[0])
+             for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])],
+            np.float32,
+        )
+        m = vp @ np.asarray(o.model_matrix, np.float32)
+        clip = corners @ m.T
+        w = clip[:, 3]
+        if np.any(w <= 1e-6):
+            out.append((tri, 0.0, 1.0))
+            continue
+        y = clip[:, 1] / w
+        y0 = float(np.clip((y.min() + 1.0) * 0.5, 0.0, 1.0))
+        y1 = float(np.clip((y.max() + 1.0) * 0.5, 0.0, 1.0))
+        out.append((tri, y0, y1))
+    return out
+
+
+class GBufferHandles(dict):
+    """The G-buffer plane handles published for screen-space consumers,
+    plus advisory flags. ``animated_without_velocity`` is True when the
+    scene contains animated content but the renderer runs WITHOUT the
+    per-draw velocity plane — temporal consumers (TAA, motion blur) warn
+    on it under validation (their camera-only reprojection ghosts/freezes
+    moving objects)."""
+
+    animated_without_velocity: bool = False
 
 
 def _make_gbuffer_vs(velocity: bool):
@@ -427,6 +482,63 @@ def _make_glass_fs(textured: bool):
     return _glass_fs
 
 
+def _make_glass_peel_vs(instanced: bool):
+    """Translucent vertex stage for the DEPTH-PEELED path: emits the raw
+    ``uv`` varying instead of vertex-rate-sampling the texture — the peel
+    layers shade at full fragment rate, so the texture is sampled per
+    PIXEL (exact for any texture frequency, unlike the Gouraud
+    vertex-rate path of _make_glass_vs)."""
+
+    def _vs(attrs, res):
+        pos = attrs["position"]
+        n = pos.shape[0]
+        hom = jnp.concatenate([pos, jnp.ones((n, 1), jnp.float32)], axis=1)
+        world = hom @ res["Model"].T
+        if instanced:
+            wp = world[:, :3] + attrs["inst_offset"]
+            clip_hom = jnp.concatenate([wp, world[:, 3:4]], axis=1)
+        else:
+            clip_hom = world
+        return {
+            "position": clip_hom @ res["ViewProj"].T,
+            "normal": attrs["normal"] @ res["Model"][:3, :3].T,
+            "uv": attrs["tex_coord"],
+        }
+
+    return _vs
+
+
+def _glass_peel_fs(varyings, res, builtins):
+    """FRAGMENT-RATE translucent shading (depth-peel layers shade densely):
+    samples the glass atlas per pixel with the per-draw UV transform —
+    per-pixel-correct for high-frequency textures where the kernel path's
+    vertex-rate (Gouraud) sampling cannot be. Same lambert-tint lighting
+    as _make_glass_fs."""
+    from zenith_tpu.ops.sampling import sample_texture
+    from zenith_tpu.rhi.sampler import SamplerConfig
+
+    n = varyings["normal"]
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    inv = 1.0 / jnp.sqrt(nx * nx + ny * ny + nz * nz + 1e-8)
+    l = res["SunDir"]
+    ndl = jnp.abs((nx * l[..., 0] + ny * l[..., 1] + nz * l[..., 2]) * inv)
+    c = res["BaseColor"]
+    shade = 0.35 + 0.65 * ndl
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    a = jnp.broadcast_to(c[..., 3], shade.shape)
+    uv = varyings["uv"]
+    uvx = res["UvxGlass"]  # (4,) or per-draw (H, W, 4) plane
+    auv = jnp.stack(
+        [uvx[..., 2] + uv[..., 0] * uvx[..., 0],
+         uvx[..., 3] + uv[..., 1] * uvx[..., 1]],
+        axis=-1,
+    )
+    t = sample_texture(res["GlassAtlas"], auv, SamplerConfig.linear())
+    r, g, b = r * t[..., 0], g * t[..., 1], b * t[..., 2]
+    a = a * t[..., 3]
+    return jnp.stack([r * shade, g * shade, b * shade, a], axis=-1)
+
+
 _glass_vs = _make_glass_vs(False, False)
 _glass_fs = _make_glass_fs(False)
 
@@ -498,7 +610,9 @@ class DeferredRenderer:
                  ssao: "bool | SSAOOptions" = False,
                  winding_flip: bool = False,
                  id_buffer: bool = False,
-                 velocity: bool = False):
+                 velocity: "bool | None" = None,
+                 glass_mode: str = "auto",
+                 glass_peel_layers: int = 4):
         self.scene = scene
         self.wireframe = wireframe
         # Per-draw velocity: every G-buffer variant transforms the vertex
@@ -509,8 +623,22 @@ class DeferredRenderer:
         # correct under animated content, where the camera-only
         # reprojection (taa.py r3) ghosted/froze moving objects. The
         # renderer rolls the previous transforms itself (value-keyed, the
-        # _observe_camera protocol); apps just construct with
-        # velocity=True.
+        # _observe_camera protocol).
+        #
+        # velocity=None (the DEFAULT) is AUTO: on when the scene contains
+        # content whose motion the camera-only reprojection cannot
+        # represent — skins, morph targets, or device-resident (animated)
+        # instance offsets (GPU particles). An app that animates plain
+        # model matrices should pass velocity=True explicitly; temporal
+        # consumers (TAA / motion blur) warn under validation when such a
+        # scene runs without the velocity plane (see gbuffer_handles).
+        self.scene_animated = any(
+            o.skin is not None or o.morph_deltas is not None
+            or isinstance(o.instance_offsets, jax.Array)
+            for o in scene.objects
+        )
+        if velocity is None:
+            velocity = self.scene_animated
         self.velocity = bool(velocity)
         self._prev_motion: "dict | None" = None  # rolled prev transforms
         self._last_motion: "dict | None" = None  # latest observed values
@@ -778,10 +906,21 @@ class DeferredRenderer:
 
         self.has_translucents = any(o.translucent for o in objs)
         if self.has_translucents:
-            # Textured glass: texture content reaches the kernel-safe blend
-            # FS via vertex-rate sampling (see _make_glass_vs) — the r3
-            # "glass can't have a texture" contract hole, closed. Instanced
-            # translucents ride the blend batch's per-draw instancing.
+            # Two translucency paths (reference parity: pipeline.rs:337-412
+            # translucent() composes freely with sampling shaders):
+            #   "kernel" — the per-tile in-order blend kernel. Exact
+            #     submission-order blending for ANY overlap depth, but its
+            #     kernel-safe FS cannot gather: texture content arrives
+            #     vertex-rate (Gouraud, _make_glass_vs) — wrong for texture
+            #     frequencies above the mesh tessellation.
+            #   "peel" — depth peeling (ops.draw peel_layers): K bounded
+            #     winner-resolve passes shaded at FULL fragment rate
+            #     (per-pixel atlas sampling) and composited back-to-front.
+            #     Exact for ≤K overlapping translucent fragments per pixel
+            #     (dropped deeper layers count into bin overflow).
+            # "auto" picks peel for TEXTURED glass (per-pixel-correct
+            # textures) and kernel otherwise (cheaper; untextured glass is
+            # exact there at any depth).
             from zenith_tpu.rhi import texture2d
 
             self.glass_textured = any(
@@ -792,25 +931,65 @@ class DeferredRenderer:
                 o.translucent and o.instance_offsets is not None
                 for o in objs
             )
+            assert glass_mode in ("auto", "kernel", "peel"), glass_mode
+            self.glass_peel = (
+                glass_mode == "peel"
+                or (glass_mode == "auto" and self.glass_textured)
+            )
+            self.glass_peel_layers = int(glass_peel_layers)
             gt, gi = self.glass_textured, self.glass_instanced
-            g_inputs = [attr("position", 3), attr("normal", 3)]
-            if gt:
-                g_inputs.append(attr("tex_coord", 2))
-            if gi:
-                g_inputs.append(attr("inst_offset", 3, per_instance=True))
-            self.glass_vs = Shader.vertex(
-                f"glass{'.tex' if gt else ''}{'.inst' if gi else ''}.vs",
-                _make_glass_vs(gt, gi) if (gt or gi) else _glass_vs,
-                bindings=[uniform("Model"), uniform("ViewProj")]
-                + ([texture2d("GlassTex")] if gt else []),
-                inputs=g_inputs,
-            )
-            self.glass_fs = Shader.fragment(
-                "glass.tex.fs" if gt else "glass.fs",
-                _make_glass_fs(gt) if gt else _glass_fs,
-                bindings=[uniform("BaseColor"), uniform("SunDir")],
-                kernel_safe=True,
-            )
+            if self.glass_peel:
+                from zenith_tpu.rhi.atlas import build_atlas
+
+                self._glass_atlas = build_atlas(
+                    "atlas.glass",
+                    [o.base_color_texture for o in objs if o.translucent],
+                    fallback=(1.0, 1.0, 1.0, 1.0),
+                )
+                g_inputs = [attr("position", 3), attr("normal", 3),
+                            attr("tex_coord", 2)]
+                if gi:
+                    g_inputs.append(
+                        attr("inst_offset", 3, per_instance=True)
+                    )
+                self.glass_vs = Shader.vertex(
+                    f"glass.peel{'.inst' if gi else ''}.vs",
+                    _make_glass_peel_vs(gi),
+                    bindings=[uniform("Model"), uniform("ViewProj")],
+                    inputs=g_inputs,
+                )
+                self.glass_fs = Shader.fragment(
+                    "glass.peel.fs",
+                    _glass_peel_fs,
+                    bindings=[uniform("BaseColor"), uniform("SunDir"),
+                              uniform("UvxGlass"),
+                              texture2d("GlassAtlas")],
+                )
+            else:
+                if gt and _validate.enabled():
+                    logger.warning(
+                        "[validate] textured glass on the blend-KERNEL path "
+                        "samples at VERTEX rate (Gouraud) — wrong for "
+                        "texture frequencies above the mesh tessellation. "
+                        "Use DeferredRenderer(glass_mode='peel') (the "
+                        "'auto' default) for per-pixel-correct sampling."
+                    )
+                self.glass_vs = Shader.vertex(
+                    f"glass{'.tex' if gt else ''}{'.inst' if gi else ''}.vs",
+                    _make_glass_vs(gt, gi) if (gt or gi) else _glass_vs,
+                    bindings=[uniform("Model"), uniform("ViewProj")]
+                    + ([texture2d("GlassTex")] if gt else []),
+                    inputs=[attr("position", 3), attr("normal", 3)]
+                    + ([attr("tex_coord", 2)] if gt else [])
+                    + ([attr("inst_offset", 3, per_instance=True)]
+                       if gi else []),
+                )
+                self.glass_fs = Shader.fragment(
+                    "glass.tex.fs" if gt else "glass.fs",
+                    _make_glass_fs(gt) if gt else _glass_fs,
+                    bindings=[uniform("BaseColor"), uniform("SunDir")],
+                    kernel_safe=True,
+                )
             self._glass_si = GraphicShaderInput(
                 self.glass_vs, self.glass_fs, VERTEX_LAYOUT
             )
@@ -1463,6 +1642,13 @@ class DeferredRenderer:
 
         # -- node: G-buffer (MRT) -------------------------------------------------
         node = builder.add_graphic_node("gbuffer")
+        # SPMD auto-decomposition hint (CompileOptions parallel="auto"):
+        # lazy — the AABB projections run only when compile is in auto
+        # mode, keeping the rebuild path's host cost untouched otherwise.
+        node.set_band_hint(
+            lambda objs=scene.objects, ixs=tuple(plain_ix), cam=camera:
+            _band_hint_for(objs, ixs, cam)
+        )
         if static_geo is None:
             accesses = {
                 i: (node.read(handles[i][0]), node.read(handles[i][1]))
@@ -2170,7 +2356,13 @@ class DeferredRenderer:
                 for i in trans_ix
             }
             glass_tex_acc = {}
-            if self.glass_textured:
+            glass_atlas_acc = None
+            if self.glass_peel:
+                glass_atlas_acc = gnode.read(
+                    builder.import_resource(self._glass_atlas.texture)
+                )
+                glass_uvx = self._glass_atlas.transforms  # (Nt, 4) np
+            elif self.glass_textured:
                 white = _white_glass_texture()
                 for i in trans_ix:
                     t = objects[i].base_color_texture or white
@@ -2184,6 +2376,8 @@ class DeferredRenderer:
                 binder.set_depth(out_ds, self._glass_depth)
             glass_textured = self.glass_textured
             glass_instanced = self.glass_instanced
+            glass_peel = self.glass_peel
+            peel_layers = self.glass_peel_layers
 
             def record_glass(ctx):
                 ctx.bind("ViewProj", ctx.dynamic("def.view_proj"))
@@ -2193,8 +2387,11 @@ class DeferredRenderer:
                 )
                 models = ctx.dynamic("def.models")
                 bcs = ctx.dynamic("def.base_colors")
+                atlas_val = (
+                    ctx.get(glass_atlas_acc) if glass_peel else None
+                )
                 draws = []
-                for i in trans_ix:
+                for k, i in enumerate(trans_ix):
                     obj = objects[i]
                     vba, iba = g_acc[i]
                     res = {
@@ -2203,7 +2400,13 @@ class DeferredRenderer:
                         "BaseColor": bcs[i],
                         "SunDir": sun_dir,
                     }
-                    if glass_textured:
+                    if glass_peel:
+                        # Atlas cell transform for this translucent (k-th
+                        # in scene order — the atlas was built over the
+                        # same filtered order).
+                        res["GlassAtlas"] = atlas_val
+                        res["UvxGlass"] = glass_uvx[k]
+                    elif glass_textured:
                         res["GlassTex"] = ctx.get(glass_tex_acc[i])
                     if glass_instanced:
                         # One pipeline for the whole batch: non-instanced
@@ -2230,19 +2433,29 @@ class DeferredRenderer:
                         draws.append((vba, iba, res, inst))
                     else:
                         draws.append((vba, iba, res))
-                ctx.draw_indexed_batch(draws)
+                if glass_peel:
+                    ctx.draw_indexed_batch(
+                        draws,
+                        per_draw_uniforms=("BaseColor", "UvxGlass"),
+                        peel_layers=peel_layers,
+                    )
+                else:
+                    ctx.draw_indexed_batch(draws)
 
             gnode.execute(record_glass)
 
         # Screen-space consumers declared AFTER this renderer (TAA history
         # reprojection, debug views) read this frame's G-buffer planes
         # through these handles — valid for THIS builder only.
-        self.gbuffer_handles = {
+        self.gbuffer_handles = GBufferHandles({
             "albedo": g_albedo,
             "normal": g_normal,
             "pos": g_pos,
             "depth": g_depth,
-        }
+        })
+        self.gbuffer_handles.animated_without_velocity = (
+            self.scene_animated and not self.velocity
+        )
         if g_prev is not None:
             # Per-draw velocity plane (previous-frame world positions):
             # TAA and motion blur reproject with THIS instead of "pos" —

@@ -220,6 +220,21 @@ class MotionBlur:
         # and dominant-velocity dilation smears silhouettes over the
         # background. Without it: camera-only blur (r3 behavior).
         has_vel = "prev_pos" in gbuffer
+        if (getattr(gbuffer, "animated_without_velocity", False)
+                and not has_vel):
+            from zenith_tpu.core import log as _log
+            from zenith_tpu.core import validate as _validate
+
+            if _validate.enabled() and not getattr(
+                    self, "_warned_no_velocity", False):
+                self._warned_no_velocity = True
+                _log.get(__name__).warning(
+                    "[validate] motion blur on an ANIMATED scene without "
+                    "the per-draw velocity plane: only CAMERA motion "
+                    "streaks — moving objects stay sharp (or smear "
+                    "wrongly). Construct DeferredRenderer(velocity=True) "
+                    "(auto for skins/morphs/GPU-instanced motion)."
+                )
         p_in = node.read(gbuffer["prev_pos"] if has_vel else gbuffer["pos"])
         d_in = node.read(gbuffer["depth"])
         dst = node.write(output)

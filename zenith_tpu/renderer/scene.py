@@ -80,6 +80,13 @@ class SceneObject:
     # pos' = pos + Σ w_t · delta_t in the vertex stage.
     morph_deltas: "Optional[Buffer]" = None
     morph_weights: "Optional[np.ndarray]" = None
+    # Object-space AABB ((2, 3) min/max) + triangle count: performance
+    # metadata for the SPMD auto-decomposition (parallel="auto" band
+    # hints — renderers project these per frame). from_mesh/quad populate
+    # them; objects built from raw device buffers may leave them unset
+    # (such draws hint full-extent, which never tips the choice).
+    bounds: "Optional[np.ndarray]" = None
+    tri_count: int = 0
 
     @property
     def instance_count(self) -> int:
@@ -157,6 +164,11 @@ class SceneObject:
     @staticmethod
     def from_mesh(device: RenderDevice, mesh: MeshAsset, name: str,
                   model_matrix: "Optional[np.ndarray]" = None, **kwargs) -> "SceneObject":
+        pos = np.asarray(mesh.vertices, np.float32)[:, :3]
+        kwargs.setdefault("bounds", np.stack([pos.min(0), pos.max(0)]))
+        kwargs.setdefault(
+            "tri_count", int(np.asarray(mesh.indices).size) // 3
+        )
         return SceneObject(
             name=name,
             vertex_buffer=device.upload_buffer(
@@ -277,6 +289,10 @@ class SceneObject:
         # camera matrices; this ordering is CCW seen from +Z in the y-up
         # sense, which lands CCW on screen after the flip).
         idx = np.array([0, 1, 2, 0, 2, 3], np.int32)
+        kwargs.setdefault(
+            "bounds", np.stack([verts[:, :3].min(0), verts[:, :3].max(0)])
+        )
+        kwargs.setdefault("tri_count", 2)
         return SceneObject(
             name=name,
             vertex_buffer=device.upload_buffer(f"{name}.vb", verts, BufferUsage.VERTEX),

@@ -39,8 +39,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from zenith_tpu.core import log as _log
 from zenith_tpu.rendergraph import RenderGraphBuilder
 from zenith_tpu.rendergraph.resource import RenderGraphResource
+
+logger = _log.get(__name__)
 
 _LUMA = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
 
@@ -246,6 +249,21 @@ class TemporalAA:
         # where the surface point WAS, correct for moving/skinned/morphing
         # objects. Without it, fall back to the static-world assumption
         # (current positions + previous camera).
+        if (getattr(gbuffer, "animated_without_velocity", False)
+                and "prev_pos" not in gbuffer):
+            from zenith_tpu.core import validate as _validate
+
+            if _validate.enabled() and not getattr(
+                    self, "_warned_no_velocity", False):
+                self._warned_no_velocity = True
+                logger.warning(
+                    "[validate] TAA on an ANIMATED scene without the "
+                    "per-draw velocity plane: history reprojects with the "
+                    "static-world assumption — moving/skinned/morphing "
+                    "objects will ghost. Construct "
+                    "DeferredRenderer(velocity=True) (auto for "
+                    "skins/morphs/GPU-instanced motion)."
+                )
         p_in = node.read(gbuffer.get("prev_pos", gbuffer["pos"]))
         d_in = node.read(gbuffer["depth"])
         dst = node.write(output)

@@ -74,6 +74,14 @@ class GraphNode:
     stencil_attachment: Optional[int] = None  # resource id of the S8 plane
     # The record callback, run at trace time with an execution context.
     job: Optional[Callable[[Any], Any]] = None
+    # Screen-row occupancy hint for CompileOptions(parallel="auto"): a
+    # list of (triangle_count, y0, y1) per draw, y in [0, 1] fractional
+    # framebuffer rows (renderers project object AABBs). DELIBERATELY
+    # outside the structure key — it guides the sort-first/sort-last
+    # choice at first compile and must not re-key cached programs as the
+    # camera moves (both modes are bit-equal, so a stale choice is a
+    # performance nuance, never a correctness one).
+    band_hint: "Optional[list]" = None
 
     @property
     def is_complete(self) -> bool:
@@ -256,6 +264,23 @@ class GraphicNodeBuilder(NodeBuilder):
         binder = AttachmentBinder(self._builder, self._node, shader_input, state)
         self._builder._pending_binders.append(binder)
         return binder
+
+    def set_band_hint(self, spans) -> None:
+        """Advise the SPMD auto-decomposition (CompileOptions
+        parallel="auto"): ``spans`` = iterable of (triangle_count, y0, y1)
+        with y0/y1 the draw's fractional screen-row extent in [0, 1]
+        (project the object AABB; use (0, 1) when unknown) — or a
+        zero-argument callable returning that iterable, evaluated only
+        when compile actually runs in auto mode (renderers pay no hint
+        cost otherwise). Performance metadata only — it never affects the
+        rendered result (sort-first and sort-last are bit-equal); the
+        RESOLVED choice enters the structure key (see CompileOptions)."""
+        if callable(spans):
+            self._node.band_hint = spans
+            return
+        self._node.band_hint = [
+            (int(t), float(y0), float(y1)) for t, y0, y1 in spans
+        ]
 
 
 class LambdaNodeBuilder(NodeBuilder):

@@ -121,6 +121,19 @@ class CompileOptions:
     frame. Triangle order is preserved: a per-pixel submission-order plane
     breaks equal-z ties exactly like sequential draws (up to ties between
     different records of one batched draw landing on different shards).
+
+    ``"auto"``: per-node choice at compile time. An eligible node takes
+    sort-last when its ``band_hint`` (renderers project object AABBs to
+    screen rows — GraphicNodeBuilder.set_band_hint) shows the triangle
+    load CLUSTERING into few bands: max-band estimate >
+    AUTO_SL_IMBALANCE x the uniform share, with at least
+    AUTO_SL_MIN_TRIS triangles (below that the composite's O(H·W) ICI
+    dominates — tools/bench_sort_modes.py quantifies the trade).
+    Hint-less nodes stay banded. The resolved choices enter the
+    structure key, so a camera move that flips a choice swaps between
+    (at most two) cached programs rather than mis-serving one; both
+    modes render bit-equal, so a stale choice is never a correctness
+    issue.
     """
 
     tile_h: int = 32
@@ -128,11 +141,47 @@ class CompileOptions:
     bin_capacity: int = DEFAULT_BIN_CAPACITY
     mesh: Optional[Any] = None  # jax.sharding.Mesh (hashable)
     shard_axis: str = "rows"
-    parallel: str = "sort_first"  # or "sort_last" (triangle sharding)
+    # "sort_first" | "sort_last" (triangle sharding) | "auto" (per-node
+    # choice from band_hint occupancy — see class docstring).
+    parallel: str = "sort_first"
     # Multiplies every draw's entry budget; the engine doubles it when a
     # frame reports bin overflow (adaptive growth, like a pipeline-cache
     # miss — recompiles once at the new size).
     budget_scale: int = 1
+
+
+# parallel="auto" thresholds: sort-last pays a binary-swap composite
+# (O(H·W) ICI per device, ~H·W·8 B·(1-1/n) at ~45 GB/s one-way on v5e —
+# tools/bench_sort_modes.py) regardless of triangle count, so it only wins
+# when sort-first's critical-path band holds substantially more than the
+# uniform share of a substantial triangle load.
+AUTO_SL_IMBALANCE = 2.0
+AUTO_SL_MIN_TRIS = 65536
+
+
+def _auto_prefers_sort_last(hint, n_shards: int) -> bool:
+    """Band-occupancy test for CompileOptions(parallel="auto"): estimate
+    per-band triangle load by spreading each draw's triangles over the
+    bands its screen-row extent covers (AABB projection — perspective
+    density inside one extent is not modeled), and prefer sort-last when
+    the max band exceeds AUTO_SL_IMBALANCE x the uniform share."""
+    if not hint or n_shards <= 1:
+        return False
+    total = sum(t for t, _, _ in hint)
+    if total < AUTO_SL_MIN_TRIS:
+        return False
+    bands = [0.0] * n_shards
+    for t, y0, y1 in hint:
+        y0 = min(max(float(y0), 0.0), 1.0)
+        y1 = min(max(float(y1), 0.0), 1.0)
+        if y1 <= y0:
+            y1 = min(1.0, y0 + 1e-6)
+        for b in range(n_shards):
+            b0, b1 = b / n_shards, (b + 1) / n_shards
+            ov = min(y1, b1) - max(y0, b0)
+            if ov > 0:
+                bands[b] += t * ov / (y1 - y0)
+    return max(bands) > AUTO_SL_IMBALANCE * (total / n_shards)
 
 
 def _import_value(res: "Buffer | Texture"):
@@ -697,11 +746,14 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         draws: "List[tuple]",  # (vb access/array, ib access/array, resources)
         per_draw_uniforms: "Tuple[str, ...] | list" = (),
         entry_budget: Optional[int] = None,
+        peel_layers: Optional[int] = None,
     ) -> None:
         """Record N draws as ONE binning+raster+shade pass (the multi-draw
         batching the reference gets for free from GPU hardware). Per-draw
         fragment uniforms named in ``per_draw_uniforms`` reach the fragment
-        shader as dense (H, W, C) planes; see ops.draw.draw_indexed_batch."""
+        shader as dense (H, W, C) planes; see ops.draw.draw_indexed_batch.
+        ``peel_layers=K`` selects depth-peeled translucency for blending
+        pipelines (full-fragment-rate shading, exact ≤K layers)."""
         from zenith_tpu.ops.draw import draw_indexed_batch
 
         resolved = []
@@ -723,8 +775,9 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             if self._tri_shard is not None:
                 ib_v = self._shard_ib(ib_v)
             if len(draw) > 3 and draw[3]:
-                # Instanced blended draw: (vb, ib, res, {"instance_count",
-                # "instance_data"}) — blend-kernel path only (ops.draw).
+                # Instanced batched draw: (vb, ib, res, {"instance_count",
+                # "instance_data"}) — records concatenate in instance order
+                # (ops.draw handles it on every batch path).
                 resolved.append((vb_v, ib_v, merged, draw[3]))
             else:
                 resolved.append((vb_v, ib_v, merged))
@@ -740,6 +793,7 @@ class GraphicNodeExecutionContext(_NodeContextBase):
             stencil=self._stencil,
             viewport=self._viewport,
             budget_scale=self._budget_scale,
+            peel_layers=peel_layers,
         )
         if self._tri_shard is not None:
             # One order stamp per batch: in-shard record order is resolved
@@ -810,7 +864,8 @@ class RenderGraph:
 
     def _structure_key(self, options: CompileOptions,
                        dyn_metas: "Tuple[tuple, ...]" = (),
-                       other_dyn: "Optional[Dict[str, Any]]" = None):
+                       other_dyn: "Optional[Dict[str, Any]]" = None,
+                       extra: tuple = ()):
         """Build the frame-program cache key as a nested HASHABLE TUPLE.
 
         This runs every frame (the graph is rebuilt per frame,
@@ -826,7 +881,7 @@ class RenderGraph:
         colliding two builds on one cached program whose baked unpack
         offsets no longer match.
         """
-        parts = [options, _validate_enabled()]
+        parts = [options, _validate_enabled(), extra]
         add = parts.append
         memo: dict = {}  # per-compile capture-key dedupe (see _capture_key)
 
@@ -926,7 +981,28 @@ class RenderGraph:
 
         flat_dyn, dyn_metas, other_dyn = _pack_dynamics(self.dynamics)
 
-        key = _HKey(self._structure_key(options, dyn_metas, other_dyn))
+        # parallel="auto": resolve the per-node sort-first/sort-last
+        # preference EAGERLY from the band hints so the choice is part of
+        # the structure key — a cached program always matches its
+        # decisions; a camera move that flips one swaps between cached
+        # programs instead of mis-serving one.
+        auto_pref: Dict[int, bool] = {}
+        auto_key: tuple = ()
+        if options.mesh is not None and options.parallel == "auto":
+            n_sh = options.mesh.shape[options.shard_axis]
+            auto_pref = {
+                node.index: _auto_prefers_sort_last(
+                    node.band_hint() if callable(node.band_hint)
+                    else node.band_hint,
+                    n_sh,
+                )
+                for node in active_nodes
+                if node.kind == "graphic"
+            }
+            auto_key = ("auto_sl",) + tuple(sorted(auto_pref.items()))
+
+        key = _HKey(self._structure_key(options, dyn_metas, other_dyn,
+                                        extra=auto_key))
         cached = _FRAME_PROGRAM_CACHE.get(key)
         global _MISS_STREAK, _SELFCHECK_TICK
         if cached is not None:
@@ -956,7 +1032,8 @@ class RenderGraph:
                         _DEEP_FP_CACHE[key] = deep
         else:
             cached = jax.jit(
-                self._build_frame_fn(active_nodes, options, dyn_metas)
+                self._build_frame_fn(active_nodes, options, dyn_metas,
+                                     auto_pref)
             )
             _FRAME_PROGRAM_CACHE[key] = cached
             if len(_FRAME_PROGRAM_CACHE) > _FRAME_PROGRAM_CACHE_MAX:
@@ -998,7 +1075,13 @@ class RenderGraph:
         active_nodes: List[GraphNode],
         options: CompileOptions,
         dyn_metas: "Tuple[tuple, ...]" = (),
+        auto_pref: "Optional[Dict[int, bool]]" = None,
     ):
+        auto_pref = auto_pref or {}
+        # Diagnostic: per-node decomposition chosen on this (fresh) trace —
+        # populated when the frame function actually traces; cache hits
+        # keep the modes of the compile that built them.
+        self.parallel_modes: Dict[str, str] = {}
         resources = self.resources
         pipelines = self._pipelines
         output_ids = list(dict.fromkeys(self._written_imports() + self.exports))
@@ -1110,9 +1193,13 @@ class RenderGraph:
                 from zenith_tpu.rhi.state import CompareOp as _CmpOp
 
                 _ds = pipeline.desc.state.depth_stencil
+                want_sl = options.parallel == "sort_last" or (
+                    options.parallel == "auto"
+                    and auto_pref.get(node.index, False)
+                )
                 node_sl = (
                     mesh is not None
-                    and options.parallel == "sort_last"
+                    and want_sl
                     and not subres
                     and pipeline.desc.state.multisample.samples == 1
                     and node.stencil_attachment is None
@@ -1125,6 +1212,10 @@ class RenderGraph:
                         for _, cd, _, _ in node.color_attachments
                     )
                 )
+                if mesh is not None:
+                    self.parallel_modes[node.name] = (
+                        "sort_last" if node_sl else "sort_first"
+                    )
                 if node_sl:
                     assert full_h % n_shards == 0, (
                         f"attachment height {full_h} must divide by mesh "

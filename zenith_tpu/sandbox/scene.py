@@ -289,7 +289,8 @@ def sky_cube_texture(size: int = 64):
 def build_scene(render_device, num_lights: int, rng: np.random.Generator,
                 textured: bool = False, skybox: bool = True,
                 instances: int = 0, gun_instances: int = 0,
-                glass: bool = False, ibl: bool = False,
+                glass: bool = False, glass_textured: bool = False,
+                ibl: bool = False,
                 skinned: bool = False, morph: bool = False) -> Scene:
     mgr = AssetManager(
         root=default_content_root(),
@@ -367,7 +368,20 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
     objects = [gun, ground]
     if glass:
         # Two standing translucent panes in front of the gun — drawn by the
-        # deferred renderer's glass node (in-order blend kernel).
+        # deferred renderer's glass node (in-order blend kernel, or the
+        # depth-peeled fragment-rate path when textured).
+        glass_tex = None
+        if glass_textured:
+            from zenith_tpu.rhi import Format
+            from zenith_tpu.rhi.resource import Texture as _Tex
+
+            yy, xx = np.mgrid[0:64, 0:64]
+            c = ((xx // 4 + yy // 4) % 2).astype(np.float32)
+            px = np.stack(
+                [0.4 + 0.6 * c, 1.0 - 0.5 * c, np.full_like(c, 0.8),
+                 np.ones_like(c)], axis=-1,
+            ).astype(np.float32)
+            glass_tex = _Tex.from_numpy("pane.checker", px, Format.RGBA32F)
         span = float(np.linalg.norm(bmax - bmin))
         for gi, (dx, tint) in enumerate([
             (-0.4 * span, (0.4, 0.7, 1.0, 0.35)),
@@ -376,6 +390,7 @@ def build_scene(render_device, num_lights: int, rng: np.random.Generator,
             pane = SceneObject.quad(
                 render_device, f"pane{gi}", size=span * 0.6,
                 z=0.0, base_color=tint, translucent=True,
+                base_color_texture=glass_tex,
             )
             # Stand the quad up (rotate about X) and place it.
             rot = np.array(
@@ -471,6 +486,15 @@ class SceneApp(RenderableApp):
         parser.add_argument("--glass", action="store_true",
                             help="two translucent panes through the "
                                  "in-order blend kernel")
+        parser.add_argument("--glass-textured", action="store_true",
+                            help="checker-textured panes (auto-selects the "
+                                 "depth-peeled fragment-rate glass path)")
+        parser.add_argument("--glass-mode",
+                            choices=["auto", "kernel", "peel"],
+                            default="auto",
+                            help="translucency path: in-order blend kernel "
+                                 "(vertex-rate textures) vs depth peeling "
+                                 "(per-pixel textures, exact ≤K layers)")
         parser.add_argument("--ibl", action="store_true",
                             help="image-based lighting from the procedural "
                                  "sky (SH diffuse + prefiltered GGX "
@@ -624,7 +648,9 @@ class SceneApp(RenderableApp):
         self._structure_dirty = False
         self.instances = ns.instances
         self.gun_instances = ns.gun_instances
-        self.glass = ns.glass
+        self.glass = ns.glass or ns.glass_textured
+        self.glass_textured = ns.glass_textured
+        self.glass_mode = ns.glass_mode
         self.ibl = ns.ibl
         self.ssao = ns.ssao
         self.fxaa = ns.fxaa
@@ -659,14 +685,12 @@ class SceneApp(RenderableApp):
         self.dof = None
         self.use_mblur = ns.motion_blur and ns.mode == "deferred"
         self.mblur = None
-        # Per-draw velocity: explicit flag, or automatic when a temporal
-        # effect (TAA / motion blur) runs alongside animated content
-        # (skinning, morphs, particles — the cases where camera-only
-        # reprojection is wrong).
-        self.use_velocity = ns.mode == "deferred" and (
-            ns.velocity
-            or ((self.use_taa or self.use_mblur)
-                and (self.skinned or self.morph or self.n_particles > 0))
+        # Per-draw velocity: explicit flag forces it on; otherwise the
+        # RENDERER's auto default decides (velocity=None: on when the
+        # scene contains skins/morphs/GPU-instanced motion — the cases
+        # where camera-only reprojection is wrong for TAA/motion blur).
+        self.use_velocity = (
+            True if (ns.velocity and ns.mode == "deferred") else None
         )
         self.psys = None
         self._dt = 1.0 / 60.0
@@ -713,6 +737,8 @@ class SceneApp(RenderableApp):
                             instances=self.instances,
                             gun_instances=self.gun_instances,
                             glass=self.glass and self.mode == "deferred",
+                            glass_textured=(self.glass_textured
+                                            and self.mode == "deferred"),
                             ibl=self.ibl and self.mode == "deferred",
                             skinned=self.skinned, morph=self.morph)
         if self.n_decals:
@@ -806,6 +832,7 @@ class SceneApp(RenderableApp):
                 ssao=SSAOOptions(radius=6.0) if self.ssao else False,
                 id_buffer=self.use_pick,
                 velocity=self.use_velocity,
+                glass_mode=self.glass_mode,
             )
         else:
             self.renderer = ForwardShadowRenderer(
