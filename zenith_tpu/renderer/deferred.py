@@ -62,44 +62,7 @@ from zenith_tpu.rhi.state import (
 logger = _log.get(__name__)
 
 
-def _band_hint_for(objects, ixs, camera) -> list:
-    """Screen-row occupancy spans for parallel="auto" (one (tri_count,
-    y0, y1) per draw): project each object's AABB corners through the
-    camera; objects without bounds, instanced ones, or ones crossing the
-    near plane hint full extent (never tips the choice toward
-    sort-last). Pure host numpy — runs only when compile is in auto
-    mode (the hint is passed lazily)."""
-    vp = np.asarray(camera.render_view_projection, np.float32)
-    out = []
-    for i in ixs:
-        o = objects[i]
-        tri = int(getattr(o, "tri_count", 0) or 0)
-        if tri <= 0 or not o.visible:
-            continue
-        b = getattr(o, "bounds", None)
-        if b is None or o.instance_offsets is not None:
-            out.append((tri * max(1, getattr(o, "instance_count", 1) or 1),
-                        0.0, 1.0))
-            continue
-        lo, hi = np.asarray(b[0]), np.asarray(b[1])
-        corners = np.array(
-            [[x, y, z, 1.0]
-             for x in (lo[0], hi[0])
-             for y in (lo[1], hi[1])
-             for z in (lo[2], hi[2])],
-            np.float32,
-        )
-        m = vp @ np.asarray(o.model_matrix, np.float32)
-        clip = corners @ m.T
-        w = clip[:, 3]
-        if np.any(w <= 1e-6):
-            out.append((tri, 0.0, 1.0))
-            continue
-        y = clip[:, 1] / w
-        y0 = float(np.clip((y.min() + 1.0) * 0.5, 0.0, 1.0))
-        y1 = float(np.clip((y.max() + 1.0) * 0.5, 0.0, 1.0))
-        out.append((tri, y0, y1))
-    return out
+from zenith_tpu.renderer.scene import band_hint_for as _band_hint_for
 
 
 class GBufferHandles(dict):

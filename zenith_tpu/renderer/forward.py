@@ -435,6 +435,13 @@ class ForwardShadowRenderer:
 
         # -- node 2: forward lit ----------------------------------------------
         node2 = builder.add_graphic_node("forward")
+        # SPMD auto-decomposition hint (lazy — see scene.band_hint_for).
+        from zenith_tpu.renderer.scene import band_hint_for
+
+        node2.set_band_hint(
+            lambda objs=scene.objects, ixs=tuple(plain_ix), cam=camera:
+            band_hint_for(objs, ixs, cam)
+        )
         if static_geo is None:
             accesses2 = {
                 i: (node2.read(handles[i][0]), node2.read(handles[i][1]))

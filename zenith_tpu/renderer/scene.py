@@ -315,6 +315,47 @@ def stacked_models(objects: "list[SceneObject]") -> np.ndarray:
     ])
 
 
+def band_hint_for(objects, ixs, camera) -> list:
+    """Screen-row occupancy spans for CompileOptions(parallel="auto") —
+    one (tri_count, y0, y1) per draw, y fractional screen rows in [0, 1]:
+    project each object's AABB corners through the camera; objects without
+    bounds, instanced ones, or ones crossing the near plane hint full
+    extent (never tips the choice toward sort-last). Pure host numpy —
+    renderers pass it lazily (GraphicNodeBuilder.set_band_hint), so it
+    runs only when compile is actually in auto mode."""
+    vp = np.asarray(camera.render_view_projection, np.float32)
+    out = []
+    for i in ixs:
+        o = objects[i]
+        tri = int(getattr(o, "tri_count", 0) or 0)
+        if tri <= 0 or not o.visible:
+            continue
+        b = getattr(o, "bounds", None)
+        if b is None or o.instance_offsets is not None:
+            out.append((tri * max(1, getattr(o, "instance_count", 1) or 1),
+                        0.0, 1.0))
+            continue
+        lo, hi = np.asarray(b[0]), np.asarray(b[1])
+        corners = np.array(
+            [[x, y, z, 1.0]
+             for x in (lo[0], hi[0])
+             for y in (lo[1], hi[1])
+             for z in (lo[2], hi[2])],
+            np.float32,
+        )
+        mm = vp @ np.asarray(o.model_matrix, np.float32)
+        clip = corners @ mm.T
+        w = clip[:, 3]
+        if np.any(w <= 1e-6):
+            out.append((tri, 0.0, 1.0))
+            continue
+        y = clip[:, 1] / w
+        y0 = float(np.clip((y.min() + 1.0) * 0.5, 0.0, 1.0))
+        y1 = float(np.clip((y.max() + 1.0) * 0.5, 0.0, 1.0))
+        out.append((tri, y0, y1))
+    return out
+
+
 @dataclass
 class DirectionalLight:
     direction: "tuple" = (0.3, -0.5, 0.8)  # direction TOWARD the light

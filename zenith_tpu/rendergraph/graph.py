@@ -115,9 +115,11 @@ class CompileOptions:
     parallel.sharding.composite_depth_planes) lands the result directly in
     the row-band layout, so downstream nodes (lighting lambdas, post,
     blended draws) run exactly as in sort-first. Eligibility per node:
-    single-sample, full-surface attachments, depth test+write with strict
-    GREATER compare, no blending, no stencil — anything else (glass,
-    MSAA, render-to-mip) falls back to the banded path within the same
+    full-surface attachments, depth test+write with strict GREATER
+    compare, no blending, no stencil — MSAA qualifies (the composite
+    runs per sample plane); blending and stencil do not (both are
+    submission-order state machines that don't commute across triangle
+    shards), and render-to-mip/-layer falls back banded within the same
     frame. Triangle order is preserved: a per-pixel submission-order plane
     breaks equal-z ties exactly like sequential draws (up to ties between
     different records of one batched draw landing on different shards).
@@ -626,9 +628,10 @@ class GraphicNodeExecutionContext(_NodeContextBase):
         from zenith_tpu.parallel.sharding import ORDER_BACKGROUND
 
         if self._order is None:
+            # Matches the depth plane's shape: (H, W) single-sample,
+            # (S, H, W) under MSAA — the composite resolves per sample.
             self._order = jnp.full(
-                (self.grid.height, self.grid.width),
-                ORDER_BACKGROUND, jnp.int32,
+                jnp.shape(z_before), ORDER_BACKGROUND, jnp.int32,
             )
         changed = self._depth != z_before
         self._order = jnp.where(
@@ -1188,8 +1191,13 @@ class RenderGraph:
                 full_h = max(1, tdesc.height >> first_mip)
 
                 # Sort-last eligibility (CompileOptions.parallel docs):
-                # opaque single-sample full-surface depth-writing GREATER
-                # nodes shard triangles; everything else stays banded.
+                # opaque full-surface depth-writing GREATER nodes shard
+                # triangles; everything else stays banded. MSAA qualifies
+                # (the composite vmaps per sample plane); blending cannot
+                # (order-dependent across shards) and stencil cannot (the
+                # stencil state machine is submission-order-dependent even
+                # without blending — KEEP/INCR sequences don't commute
+                # across triangle shards).
                 from zenith_tpu.rhi.state import CompareOp as _CmpOp
 
                 _ds = pipeline.desc.state.depth_stencil
@@ -1201,7 +1209,6 @@ class RenderGraph:
                     mesh is not None
                     and want_sl
                     and not subres
-                    and pipeline.desc.state.multisample.samples == 1
                     and node.stencil_attachment is None
                     and node.depth_attachment is not None
                     and _ds.depth_test_enable
@@ -1306,11 +1313,18 @@ class RenderGraph:
 
                 def stash_samples(rid, amip=0, alayer=None):
                     """Per-sample planes from a previous node rendering the
-                    SAME sub-surface, when usable."""
+                    SAME sub-surface, when usable. A sort-last node works
+                    at full resolution, so a banded stash (S, band_h, W,
+                    ...) gathers its H axis (axis 1) first."""
                     if samples > 1:
                         st = msaa_state.get((rid, amip, alayer))
                         if st is not None and st[0] == samples:
-                            return st[1]
+                            arr = st[1]
+                            if node_sl and rid in banded:
+                                arr = jax.lax.all_gather(
+                                    arr, axis, axis=1, tiled=True
+                                )
+                            return arr
                     return None
 
                 colors = []
@@ -1386,13 +1400,26 @@ class RenderGraph:
                     order = ctx._order
                     if order is None:  # node recorded no draws
                         order = jnp.full(
-                            (grid.height, grid.width),
+                            jnp.shape(ctx._depth) if ctx._depth is not None
+                            else (grid.height, grid.width),
                             ORDER_BACKGROUND, jnp.int32,
                         )
-                    planes, d_comp, _ = composite_depth_planes(
-                        list(ctx._colors), ctx._depth, order, axis,
-                        band_output=True,
-                    )
+                    if samples > 1:
+                        # MSAA sort-last: composite each sample plane by
+                        # its own depth/order (collectives batch cleanly
+                        # under vmap); the result is banded per-sample
+                        # planes (S, band_h, W, ...) — the exact layout
+                        # sort-first MSAA persistence uses.
+                        planes, d_comp, _ = jax.vmap(
+                            lambda p, d, o: composite_depth_planes(
+                                p, d, o, axis, band_output=True
+                            )
+                        )(list(ctx._colors), ctx._depth, order)
+                    else:
+                        planes, d_comp, _ = composite_depth_planes(
+                            list(ctx._colors), ctx._depth, order, axis,
+                            band_output=True,
+                        )
                     ctx._colors = planes
                     ctx._depth = d_comp
 
