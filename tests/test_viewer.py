@@ -142,6 +142,7 @@ class TestFrameDelivery:
             stats = json.loads(resp.read())
         assert stats == {
             "presented_frames": 1, "width": 64, "height": 32, "closed": False,
+            "quality": 85,
         }
 
     def test_stream_yields_multipart_frames(self, served):
@@ -175,3 +176,116 @@ class TestFrameDelivery:
             assert viewer.wait_frame(0, timeout=1.0) == 1
         finally:
             viewer.stop()
+
+
+class TestAdaptiveStream:
+    """Dynamic-resolution controller (viewer.AdaptiveStream): rung ladder,
+    probe-driven initial pick, runtime step-down/step-up with hysteresis,
+    bottom-rung quality degradation. Time is injected by monkeypatching
+    time.perf_counter so the hysteresis windows are deterministic."""
+
+    def _make(self, monkeypatch, target=30.0, view=(1280, 720)):
+        from zenith_tpu import viewer as viewer_mod
+
+        clock = [1000.0]
+        monkeypatch.setattr(viewer_mod.time, "perf_counter", lambda: clock[0])
+        window = Window(width=view[0], height=view[1], title="t")
+        adaptive = viewer_mod.AdaptiveStream(window, target_fps=target)
+        return adaptive, window, clock
+
+    def _run_frames(self, adaptive, clock, fps, seconds):
+        dt = 1.0 / fps
+        end = clock[0] + seconds
+        while clock[0] < end:
+            clock[0] += dt
+            adaptive.note_present()
+
+    def test_rung_ladder_preserves_aspect_and_dedups(self, monkeypatch):
+        adaptive, _, _ = self._make(monkeypatch)
+        assert adaptive.rungs[0] == (1280, 720)
+        aspect = 1280 / 720
+        for w, h in adaptive.rungs:
+            assert w % 8 == 0 and h % 8 == 0
+            assert abs(w / h - aspect) < 0.06
+        assert len(adaptive.rungs) == len(set(adaptive.rungs))
+        assert sorted(adaptive.rungs, reverse=True) == adaptive.rungs
+
+    def test_pick_initial_from_probe(self, monkeypatch):
+        adaptive, window, _ = self._make(monkeypatch, target=30.0)
+        # 720p too slow (50 ms > 30 ms budget), the next rung fits.
+        probe = {
+            adaptive.rungs[0]: {"ms": 50.0},
+            adaptive.rungs[1]: {"ms": 20.0},
+        }
+        w, h = adaptive.pick_initial(probe)
+        assert (w, h) == adaptive.rungs[1]
+        ev = window.drain_window_events()
+        assert ev and ev[-1] == Resized(w, h)
+
+    def test_pick_initial_all_slow_lands_bottom(self, monkeypatch):
+        adaptive, _, _ = self._make(monkeypatch)
+        probe = {wh: {"ms": 500.0} for wh in adaptive.rungs}
+        assert adaptive.pick_initial(probe) == adaptive.rungs[-1]
+
+    def test_sustained_shortfall_steps_down(self, monkeypatch):
+        adaptive, window, clock = self._make(monkeypatch, target=30.0)
+        adaptive._apply()
+        window.drain_window_events()
+        self._run_frames(adaptive, clock, fps=15.0, seconds=6.0)
+        assert adaptive.rung >= 1
+        ev = window.drain_window_events()
+        assert any(isinstance(e, Resized) for e in ev)
+
+    def test_headroom_steps_up_after_hold(self, monkeypatch):
+        adaptive, window, clock = self._make(monkeypatch, target=30.0)
+        adaptive.rung = 2
+        adaptive._apply()
+        window.drain_window_events()
+        # 60 FPS at rung 2: pixel-scaled prediction clears the target.
+        self._run_frames(adaptive, clock, fps=60.0, seconds=8.0)
+        assert adaptive.rung < 2
+        assert any(
+            isinstance(e, Resized) for e in window.drain_window_events()
+        )
+
+    def test_failed_rung_is_not_reentered_soon(self, monkeypatch):
+        adaptive, window, clock = self._make(monkeypatch, target=30.0)
+        # State after falling off rung 0: it failed just now.
+        adaptive._failed_at[0] = clock[0]
+        adaptive.rung = 1
+        adaptive._apply()
+        window.drain_window_events()
+        # Plenty of headroom, but rung 0 just failed — hold for 20 s.
+        self._run_frames(adaptive, clock, fps=60.0, seconds=8.0)
+        assert adaptive.rung == 1
+        self._run_frames(adaptive, clock, fps=60.0, seconds=15.0)
+        assert adaptive.rung == 0
+
+    def test_bottom_rung_degrades_quality_then_recovers(self, monkeypatch):
+        from zenith_tpu import viewer as viewer_mod
+
+        clock = [1000.0]
+        monkeypatch.setattr(viewer_mod.time, "perf_counter", lambda: clock[0])
+        window = Window(width=256, height=144, title="t")
+        server = ViewerServer(window, port=0)  # not started; quality holder
+        adaptive = viewer_mod.AdaptiveStream(
+            window, target_fps=30.0, viewer=server
+        )
+        adaptive.rung = len(adaptive.rungs) - 1
+        adaptive._apply()
+        base_q = server.quality
+        self._run_frames(adaptive, clock, fps=12.0, seconds=8.0)
+        assert server.quality < base_q
+        self._run_frames(adaptive, clock, fps=40.0, seconds=10.0)
+        assert server.quality == base_q
+
+    def test_stats_reports_adaptive_state(self, served):
+        window, viewer = served
+        from zenith_tpu.viewer import AdaptiveStream
+
+        viewer.adaptive = AdaptiveStream(window, target_fps=30.0,
+                                         viewer=viewer)
+        with urllib.request.urlopen(_url(viewer, "/stats"), timeout=5) as r:
+            stats = json.loads(r.read())
+        assert stats["view_width"] == 64 and stats["view_height"] == 32
+        assert "rung" in stats and "fps" in stats

@@ -52,13 +52,7 @@ def launch(
     if serve is None:
         loop.run(max_frames=max_frames)
         return loop
-    from zenith_tpu.viewer import ViewerServer, make_pace
+    from zenith_tpu.viewer import serve_loop
 
-    viewer = ViewerServer(loop.window, port=serve).start()
-    print(f"serving interactively at {viewer.url} (Esc in-app or close the "
-          f"tab to stop; Ctrl-C here)")
-    try:
-        loop.run(max_frames=max_frames, frame_callback=make_pace(fps_cap))
-    finally:
-        viewer.stop()
+    serve_loop(loop, port=serve, fps_cap=fps_cap, max_frames=max_frames)
     return loop

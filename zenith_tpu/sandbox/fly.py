@@ -127,6 +127,15 @@ def main() -> None:
         "--fps-cap", type=float, default=60.0,
         help="frame pacing for --serve (the stream can't use more)",
     )
+    parser.add_argument(
+        "--target-fps", type=float, default=30.0,
+        help="adaptive-stream FPS target for --serve (dynamic resolution "
+        "holds this through the tunnel; see viewer.AdaptiveStream)",
+    )
+    parser.add_argument(
+        "--no-adaptive", action="store_true",
+        help="serve at the fixed window resolution (no dynamic resolution)",
+    )
     known, rest = parser.parse_known_args()
     os.environ.setdefault("ZENITH_READBACK_INTERVAL", str(known.readback_interval))
 
@@ -142,14 +151,12 @@ def main() -> None:
     app = FlyApp(args)
     loop = EngineLoop(app, window=window)
     if known.serve is not None:
-        from zenith_tpu.viewer import ViewerServer, make_pace
+        from zenith_tpu.viewer import serve_loop
 
-        viewer = ViewerServer(window, port=known.serve).start()
-        print(f"flying at {viewer.url} — WASD/QE + click-to-look, Esc quits")
-        try:
-            loop.run(max_frames=None, frame_callback=make_pace(known.fps_cap))
-        finally:
-            viewer.stop()
+        print("flying — WASD/QE + click-to-look, Esc quits")
+        serve_loop(loop, port=known.serve, fps_cap=known.fps_cap,
+                   adaptive=not known.no_adaptive,
+                   target_fps=known.target_fps)
     else:
         loop.run(max_frames=known.frames, frame_callback=scripted_flight)
 
