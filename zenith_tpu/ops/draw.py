@@ -108,10 +108,21 @@ def _bin_parts(records, corner_data, grid, entry_budget=None,
         ])
     step = -(-r // k)
     parts = []
+    dep = None
     for s in range(0, r, step):
         e = min(r, s + step)
+        rast = records.rast16[s:e]
+        if dep is not None:
+            # The parts are data-independent, so without an explicit edge
+            # XLA schedules their multi-GB sort payloads CONCURRENTLY and
+            # the split never bounds peak memory (an 8.4M-tri terrain
+            # still reserved 21.4 GB and OOM'd). Tie this part's input to
+            # the previous part's overflow scalar: the binnings sequence,
+            # each sort payload is transient, and peak drops to ~one
+            # part's working set.
+            rast, _ = jax.lax.optimization_barrier((rast, dep))
         rec = geometry.TriangleRecords(
-            rast16=records.rast16[s:e],
+            rast16=rast,
             shade16=records.shade16[s:e],
             tri_id=records.tri_id[s:e],
             valid=records.valid[s:e],
@@ -120,8 +131,9 @@ def _bin_parts(records, corner_data, grid, entry_budget=None,
         sub = max(-(-budget // k), 2 * (e - s), 8192)
         if cap > 0:
             sub = min(sub, cap)
-        parts.append(bin_segmented(rec, corner_data[s:e], grid,
-                                   entry_budget=sub))
+        b = bin_segmented(rec, corner_data[s:e], grid, entry_budget=sub)
+        parts.append(b)
+        dep = b.overflow
     return _BinParts(parts)
 
 
