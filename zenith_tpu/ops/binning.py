@@ -58,12 +58,13 @@ class TileBins(NamedTuple):
     overflow: jnp.ndarray  # () i32 — records dropped by the K cap
 
     def gather_corner_data(self, corner_data: jnp.ndarray) -> jnp.ndarray:
-        """Gather per-record corner data (R, 3, D) into per-tile order
+        """Gather per-record corner data — flat (R, 3·D) from the
+        geometry stage (or legacy rank-3 (R, 3, D)) — into per-tile order
         (T, K, 3*D) for streaming into the interp kernel (pad slots → 0,
         so their iw is 0 and they can never win a pixel)."""
         r = corner_data.shape[0]
-        d = corner_data.shape[1] * corner_data.shape[2]
-        flat = corner_data.reshape(r, d)
+        flat = corner_data.reshape(r, -1)
+        d = flat.shape[1]
         safe = jnp.clip(self.binned_slot, 0, r - 1)
         g = jnp.take(flat, safe.reshape(-1), axis=0)
         g = g.reshape(self.binned_slot.shape + (d,))
@@ -158,7 +159,7 @@ _PACKED_SORT = False
 
 def bin_segmented(
     records: TriangleRecords,
-    corner_data: jnp.ndarray,  # (R, 3, A+1) from geometry.corner_attributes
+    corner_data: jnp.ndarray,  # (R, 3·(A+1)) flat, from the geometry stage
     grid: TileGrid,
     span_cap: int = 4,
     mid_cap: int = 4096,

@@ -109,16 +109,25 @@ def setup_with_attrs(
         depth_bias=depth_bias, depth_clamp=depth_clamp,
     )
 
-    # Corner interpolation data: [attr·iw…, front·iw, iw].
-    w = jnp.maximum(corners2[..., 3], NEAR_W_EPS)
-    iw = (1.0 / w)[..., None]  # (R, 3, 1)
-    attrs = corners2[..., 4:]
-    r2 = corners2.shape[0]
-    front = jnp.broadcast_to(
-        records.shade16[:, SHADE_FRONT][:, None, None], (r2, 3, 1)
-    )
-    corner_data = jnp.concatenate([attrs * iw, front * iw, iw], axis=-1)
-    return records, corner_data.astype(jnp.float32)
+    # Corner interpolation data, FLAT 2D corner-major (R, 3·(A+2)):
+    # per corner, [attr·iw…, front·iw, iw]. Built (and materialized) 2D
+    # deliberately: a rank-3 (R, 3, A+2) value crossing a fusion boundary
+    # gets a TPU tiled layout that pads both tiny minor dims toward
+    # (8, 128) — at 8.4M records ONE such buffer reserved 21.4 GB (more
+    # than HBM) and killed the compile. The 2D flat form is exactly the
+    # layout every consumer reshapes to anyway (binning's merged stream,
+    # the raster kernels' 3 corner blocks of A+2 columns).
+    w = jnp.maximum(corners2[..., 3], NEAR_W_EPS)  # (R, 3)
+    iw = 1.0 / w
+    front = records.shade16[:, SHADE_FRONT][:, None]  # (R, 1)
+    blocks = []
+    for c in range(3):
+        iw_c = iw[:, c][:, None]
+        blocks.append(corners2[:, c, 4:] * iw_c)  # (R, A)
+        blocks.append(front * iw_c)
+        blocks.append(iw_c)
+    corner_flat = jnp.concatenate(blocks, axis=1)
+    return records, corner_flat.astype(jnp.float32)
 
 
 def setup_lines_with_attrs(
@@ -234,16 +243,22 @@ def setup_lines_with_attrs(
     )
 
     attrs2 = pts[..., 4:]  # (L, 2, A)
-    attr_c = jnp.concatenate([
-        jnp.stack([attrs2[:, 0], attrs2[:, 0], attrs2[:, 1]], axis=1),
-        jnp.stack([attrs2[:, 0], attrs2[:, 1], attrs2[:, 1]], axis=1),
-    ])  # (2L, 3, A)
-    iw_c = iw[..., None]
-    front_c = jnp.ones_like(iw_c)
-    corner_data = jnp.concatenate(
-        [attr_c * iw_c, front_c * iw_c, iw_c], axis=-1
-    )
-    return records, corner_data.astype(jnp.float32)
+    # Flat 2D corner-major (2L, 3·(A+2)) — see setup_with_attrs for why
+    # rank-3 corner data must never materialize. Corner k of rect-triangle
+    # 0 carries endpoint (0, 0, 1); of triangle 1, endpoint (0, 1, 1).
+    l0 = attrs2.shape[0]
+    halves = []
+    for j, ends_idx in enumerate(((0, 0, 1), (0, 1, 1))):
+        iw_j = iw[j * l0:(j + 1) * l0]
+        blocks = []
+        for c, e in enumerate(ends_idx):
+            iw_c = iw_j[:, c][:, None]
+            blocks.append(attrs2[:, e, :] * iw_c)
+            blocks.append(iw_c)  # front ≡ 1 → front·iw = iw
+            blocks.append(iw_c)
+        halves.append(jnp.concatenate(blocks, axis=1))
+    corner_flat = jnp.concatenate(halves, axis=0)
+    return records, corner_flat.astype(jnp.float32)
 
 
 def setup_points_with_attrs(
@@ -326,14 +341,14 @@ def setup_points_with_attrs(
         depth_clamp=depth_clamp, force_front=True,
     )
 
-    attr1 = jnp.broadcast_to(pts[:, None, 4:], (p, 3, a))
-    attr_c = jnp.concatenate([attr1, attr1])  # (2P, 3, A)
-    iw_c = iw[..., None]
-    front_c = jnp.ones_like(iw_c)
-    corner_data = jnp.concatenate(
-        [attr_c * iw_c, front_c * iw_c, iw_c], axis=-1
-    )
-    return records, corner_data.astype(jnp.float32)
+    # Flat 2D corner-major (2P, 3·(A+2)) — see setup_with_attrs for why
+    # rank-3 corner data must never materialize. Attributes, 1/w and the
+    # front flag (≡1) are constant across a point's corners.
+    iw1c = iw1[:, None]  # (P, 1)
+    attr_iw = pts[:, 4:] * iw1c  # (P, A)
+    one_tri = jnp.concatenate([attr_iw, iw1c, iw1c] * 3, axis=1)
+    corner_flat = jnp.concatenate([one_tri, one_tri], axis=0)
+    return records, corner_flat.astype(jnp.float32)
 
 
 def triangle_facing(
@@ -546,8 +561,11 @@ def corner_attributes(
     varyings: jnp.ndarray,  # (Nv, A) flattened vertex-stage outputs
 ) -> jnp.ndarray:
     """Per-record per-corner interpolation data for the forward-interpolating
-    raster kernel: (R, 3, A+1) where [..., :A] = varying·(1/w) (premultiplied
-    for perspective-correct attr/w interpolation) and [..., A] = 1/w.
+    raster kernel, FLAT 2D corner-major (R, 3·(A+1)): per corner,
+    [varying·(1/w)… (premultiplied for perspective-correct attr/w
+    interpolation), 1/w]. Kept 2D for the same reason as setup_with_attrs —
+    rank-3 (R, 3, small) values materialize with TPU tile padding on both
+    tiny minor dims (21.4 GB at 8.4M records).
 
     Clipped sub-triangle corners blend the ORIGINAL corners' varyings by the
     obary weights recorded at clip time, so clipping is invisible downstream.
@@ -560,23 +578,24 @@ def corner_attributes(
     v = v.reshape(r, 3, -1)  # original corner varyings
 
     sh = records.shade16
-    # obary of record-corner k w.r.t. original corners (x, y, 1-x-y).
-    bx = jnp.stack([sh[:, SHADE_B0X], sh[:, SHADE_B1X], sh[:, SHADE_B2X]], axis=1)
-    by = jnp.stack([sh[:, SHADE_B0Y], sh[:, SHADE_B1Y], sh[:, SHADE_B2Y]], axis=1)
-    bz = 1.0 - bx - by
-    # attr at record corner k = bx·v0 + by·v1 + bz·v2  → (R, 3, A)
-    attr = (
-        bx[..., None] * v[:, None, 0, :]
-        + by[..., None] * v[:, None, 1, :]
-        + bz[..., None] * v[:, None, 2, :]
+    front = sh[:, SHADE_FRONT][:, None]  # (R, 1) — one more varying channel
+    corner_cols = (
+        (SHADE_B0X, SHADE_B0Y, SHADE_IW0),
+        (SHADE_B1X, SHADE_B1Y, SHADE_IW1),
+        (SHADE_B2X, SHADE_B2Y, SHADE_IW2),
     )
-    iw = jnp.stack([sh[:, SHADE_IW0], sh[:, SHADE_IW1], sh[:, SHADE_IW2]], axis=1)
-    # Append the per-record front-facing flag as one more varying channel
-    # (constant across corners; the 1/w premultiply divides back out exactly).
-    front = jnp.broadcast_to(sh[:, SHADE_FRONT][:, None, None], (r, 3, 1))
-    attr = jnp.concatenate([attr, front], axis=-1)
-    out = jnp.concatenate([attr * iw[..., None], iw[..., None]], axis=-1)
-    return out.astype(jnp.float32)
+    blocks = []
+    for bxcol, bycol, iwcol in corner_cols:
+        # obary of record-corner c w.r.t. original corners (x, y, 1-x-y).
+        bx = sh[:, bxcol][:, None]
+        by = sh[:, bycol][:, None]
+        bz = 1.0 - bx - by
+        attr = bx * v[:, 0, :] + by * v[:, 1, :] + bz * v[:, 2, :]  # (R, A)
+        iw_c = sh[:, iwcol][:, None]
+        blocks.append(attr * iw_c)
+        blocks.append(front * iw_c)
+        blocks.append(iw_c)
+    return jnp.concatenate(blocks, axis=1).astype(jnp.float32)
 
 
 def transform_vertices(positions: jnp.ndarray, mvp: jnp.ndarray) -> jnp.ndarray:
