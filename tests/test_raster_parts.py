@@ -220,3 +220,46 @@ def test_blend_batch_split_bit_equal(monkeypatch):
         batch=True,
         n_tris=48,
     )
+
+
+def test_prim_level_split_bit_equal(monkeypatch):
+    """Geometry-level parts (ops/draw.py _geo_specs): a huge triangle draw
+    splits at the PRIM level so t-proportional geometry buffers stay
+    bounded — result must be bit-equal to the unsplit render."""
+    state = GraphicPipelineState(
+        rasterization=RasterizationState(cull_mode=CullMode.NONE),
+        depth_stencil=DepthStencilDesc().reverse_z(),
+    )
+    full = _render(state)
+    monkeypatch.setattr(draw_mod, "MAX_PRIMS_PER_PART", 16)
+    split = _render(state)
+    monkeypatch.undo()
+    for k in full:
+        np.testing.assert_array_equal(
+            full[k], split[k], err_msg=f"output {k} differs under prim split"
+        )
+
+
+def test_prim_split_batch_and_blend(monkeypatch):
+    """Prim-level parts through the batched and blend-kernel paths."""
+    opaque = GraphicPipelineState(
+        rasterization=RasterizationState(cull_mode=CullMode.NONE),
+        depth_stencil=DepthStencilDesc().reverse_z(),
+    )
+    blend = GraphicPipelineState(
+        rasterization=RasterizationState(cull_mode=CullMode.NONE),
+        depth_stencil=DepthStencilDesc(
+            depth_test_enable=True,
+            depth_write_enable=False,
+            depth_compare_op=CompareOp.GREATER,
+            depth_load_op=LoadOp.LOAD,
+        ),
+    )
+    for state, kw in ((opaque, dict(batch=True)),
+                      (blend, dict(alpha=0.5, batch=True, n_tris=48))):
+        full = _render(state, **kw)
+        monkeypatch.setattr(draw_mod, "MAX_PRIMS_PER_PART", 16)
+        split = _render(state, **kw)
+        monkeypatch.undo()
+        for k in full:
+            np.testing.assert_array_equal(full[k], split[k])

@@ -65,6 +65,107 @@ DEFAULT_BIN_CAPACITY = 256
 MAX_RECORDS_PER_RASTER = 6 * 1024 * 1024
 
 
+# Primitives per geometry part. Record-level splitting (_bin_parts) caps
+# the BINNING payload, but every t-proportional GEOMETRY buffer (clip
+# payload, corner gathers) is built before it — and TPU tile padding makes
+# a materialized rank-3 (t, 3, small) intermediate ~40x its logical size
+# (an 8.4M-tri draw's 5-channel clip payload alone reserved 21.4 GB, more
+# than HBM). Huge triangle draws therefore split at the PRIM level: the
+# index buffer slices into contiguous ranges, and setup+binning run per
+# part, sequenced by an optimization barrier, so geometry temporaries are
+# transient per part. Submission order is preserved (contiguous ranges);
+# rasterization threads (z, color, stencil) through parts bit-equal.
+MAX_PRIMS_PER_PART = 2 * 1024 * 1024
+
+
+def _geo_specs(prim_kind, clip, prims, flat_vary, grid, rast_state,
+               viewport, depth_bias, point_sizes=None):
+    """Deferred geometry-part builders for one draw: a list of
+    ``(est_records, build)`` where ``build(dep)`` runs _setup_records on
+    the part's prim slice (tied to ``dep`` through an optimization
+    barrier when given, sequencing this part's geometry after the
+    previous part's binning). Only triangle draws split — the other
+    kinds (lines, points, wireframe) never reach millions of prims."""
+
+    def make_build(pr):
+        def build(dep):
+            p = pr
+            if dep is not None:
+                p, _ = jax.lax.optimization_barrier((p, dep))
+            return _setup_records(prim_kind, clip, p, flat_vary, grid,
+                                  rast_state, viewport, depth_bias,
+                                  point_sizes=point_sizes)
+        return build
+
+    t = prims.shape[0]
+    est_factor = 6 if prim_kind == "wire_line" else 2
+    if prim_kind != "tri" or t <= MAX_PRIMS_PER_PART:
+        return [(est_factor * t, make_build(prims))]
+    k = -(-t // MAX_PRIMS_PER_PART)
+    step = -(-t // k)
+    return [
+        (2 * (min(t, s + step) - s), make_build(prims[s:s + step]))
+        for s in range(0, t, step)
+    ]
+
+
+def _bin_spec_parts(specs, grid, entry_budget=None, budget_scale=1):
+    """Bin a submission-ordered list of geometry-part specs.
+
+    Adjacent parts coalesce into groups of ≤ MAX_RECORDS_PER_RASTER
+    estimated records — every ordinary scene coalesces to ONE group, so
+    its compiled program is unchanged. Each group's geometry materializes
+    lazily, chained behind the previous group's binning; inside a group
+    the record-level splitter (_bin_parts) still applies its SMEM budget
+    cap. Returns _BinParts over all groups' parts."""
+    total_est = sum(e for e, _ in specs) or 1
+    scale = max(int(budget_scale), 1)
+    total_budget = (
+        int(entry_budget) if entry_budget is not None
+        else sum(max(2 * e, 8192) for e, _ in specs)
+    ) * scale
+
+    groups = []
+    cur, cur_est = [], 0
+    for e, build in specs:
+        if cur and cur_est + e > MAX_RECORDS_PER_RASTER:
+            groups.append((cur_est, cur))
+            cur, cur_est = [], 0
+        cur.append(build)
+        cur_est += e
+    if cur:
+        groups.append((cur_est, cur))
+
+    all_parts = []
+    dep = None
+    for g_est, builds in groups:
+        rec_list, corner_list = [], []
+        for i, b in enumerate(builds):
+            r, c = b(dep if i == 0 else None)
+            rec_list.append(r)
+            corner_list.append(c)
+        if len(rec_list) == 1:
+            records, corner = rec_list[0], corner_list[0]
+        else:
+            records = geometry.TriangleRecords(
+                rast16=jnp.concatenate([r.rast16 for r in rec_list]),
+                shade16=jnp.concatenate([r.shade16 for r in rec_list]),
+                tri_id=jnp.concatenate([r.tri_id for r in rec_list]),
+                valid=jnp.concatenate([r.valid for r in rec_list]),
+                aabb=jnp.concatenate([r.aabb for r in rec_list]),
+            )
+            corner = jnp.concatenate(corner_list)
+        # Proportional share of the draw/batch budget; a single group gets
+        # exactly the old value (bit-identical program for every scene
+        # that doesn't split). Explicitly small budgets stay small — tests
+        # rely on forced overflow being counted, never floored away.
+        g_budget = max(int(round(total_budget * g_est / total_est)), 1)
+        bp = _bin_parts(records, corner, grid, entry_budget=g_budget)
+        all_parts.extend(bp.parts)
+        dep = bp.parts[-1].overflow
+    return _BinParts(all_parts)
+
+
 class _BinParts:
     """1..K sequential binning units for one draw (see _bin_parts)."""
 
@@ -500,7 +601,7 @@ def draw_indexed(
     depth_bias = None
     if rast_state.depth_bias_enable:
         depth_bias = (rast_state.depth_bias_constant, rast_state.depth_bias_slope)
-    records, corner_data = _setup_records(
+    specs = _geo_specs(
         prim_kind, clip, indices, flat_vary, grid, rast_state, viewport,
         depth_bias, point_sizes=point_sizes,
     )
@@ -510,8 +611,8 @@ def draw_indexed(
     # bin_capacity is interpreted as a per-draw entry budget multiplier for
     # the segmented binner (legacy callers pass per-tile caps; the budget is
     # never less than 4×records, so those remain valid hints).
-    bins = _bin_parts(records, corner_data, grid, entry_budget=entry_budget,
-                      budget_scale=budget_scale)
+    bins = _bin_spec_parts(specs, grid, entry_budget=entry_budget,
+                           budget_scale=budget_scale)
 
     samples = state.multisample.samples
     if samples > 1:
@@ -919,10 +1020,8 @@ def draw_indexed_batch(
     # 64 plain-color objects 4.3 → flat with record-ridden uniforms.
     uniforms_in_records = n_draws > 8 and bool(per_draw_uniforms)
 
-    rec_parts = []
-    corner_parts = []
+    all_specs = []
     attr_layout = None
-    budget_total = 0
     for di, draw in enumerate(draws):
         vb, ib, res = draw[0], draw[1], draw[2]
         inst = draw[3] if len(draw) > 3 else None
@@ -1001,27 +1100,14 @@ def draw_indexed_batch(
             if vary_cols
             else jnp.zeros((nv, 0), jnp.float32)
         )
-        records, corner = _setup_records(
+        all_specs.extend(_geo_specs(
             prim_kind, clip, prims, flat_vary, grid, rast_state, viewport,
             depth_bias, point_sizes=point_sizes,
-        )
-        rec_parts.append(records)
-        corner_parts.append(corner)
-        budget_total += max(2 * records.rast16.shape[0], 8192)
+        ))
     attr_layout.append(("__front", 1))
 
-    records = geometry.TriangleRecords(
-        rast16=jnp.concatenate([r.rast16 for r in rec_parts]),
-        shade16=jnp.concatenate([r.shade16 for r in rec_parts]),
-        tri_id=jnp.concatenate([r.tri_id for r in rec_parts]),
-        valid=jnp.concatenate([r.valid for r in rec_parts]),
-        aabb=jnp.concatenate([r.aabb for r in rec_parts]),
-    )
-    corner_data = jnp.concatenate(corner_parts)
-
-    bins = _bin_parts(
-        records, corner_data, grid,
-        entry_budget=entry_budget or budget_total,
+    bins = _bin_spec_parts(
+        all_specs, grid, entry_budget=entry_budget,
         budget_scale=budget_scale,
     )
 
@@ -1280,10 +1366,8 @@ def _draw_batch_blend(
 
     uniform_names = tuple(fs.reflection.binding_names())
 
-    rec_parts = []
-    corner_parts = []
+    all_specs = []
     attr_layout = None
-    budget_total = 0
     for di, draw in enumerate(draws):
         vb, ib, res = draw[0], draw[1], draw[2]
         inst = draw[3] if len(draw) > 3 else None
@@ -1359,26 +1443,14 @@ def _draw_batch_blend(
                 f"from draw 0's — batched draws share one pipeline"
             )
         flat_vary = jnp.concatenate(vary_cols, axis=1)
-        records, corner = _setup_records(
+        all_specs.extend(_geo_specs(
             prim_kind, clip, prims, flat_vary, grid, rast_state, viewport,
             depth_bias, point_sizes=point_sizes,
-        )
-        rec_parts.append(records)
-        corner_parts.append(corner)
-        budget_total += max(2 * records.rast16.shape[0], 8192)
+        ))
     attr_layout.append(("__front", 1))
 
-    records = geometry.TriangleRecords(
-        rast16=jnp.concatenate([r.rast16 for r in rec_parts]),
-        shade16=jnp.concatenate([r.shade16 for r in rec_parts]),
-        tri_id=jnp.concatenate([r.tri_id for r in rec_parts]),
-        valid=jnp.concatenate([r.valid for r in rec_parts]),
-        aabb=jnp.concatenate([r.aabb for r in rec_parts]),
-    )
-    corner_data = jnp.concatenate(corner_parts)
-    bins = _bin_parts(
-        records, corner_data, grid,
-        entry_budget=entry_budget or budget_total,
+    bins = _bin_spec_parts(
+        all_specs, grid, entry_budget=entry_budget,
         budget_scale=budget_scale,
     )
 
