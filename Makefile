@@ -3,7 +3,7 @@
 #
 # Tiers (single core; nproc=1 here makes xdist useless — tiering, not
 # parallelism, keeps the gate usable under deadline):
-#   make gate   — <15 min: every subsystem's core correctness (ops/raster
+#   make gate   — 12:50 measured (262 tests, 2026-08-21): every subsystem's core correctness (ops/raster
 #                 fixed-function + parts, rendergraph, rhi, core, asset,
 #                 engine, viewer, one golden smoke). Run between edits and
 #                 before any commit touching the render path.
